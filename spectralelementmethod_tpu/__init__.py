@@ -1,0 +1,23 @@
+"""spectralelementmethod_tpu — a TPU-native hp/spectral element framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the
+reference ``nchisholm/SpectralElementMethod`` (serial numpy/scipy; see
+SURVEY.md), re-designed TPU-first:
+
+* element-batched struct-of-arrays discretization (no per-element Python
+  objects on the hot path),
+* matrix-free sum-factorized operator application (batched MXU matmuls /
+  Pallas kernels),
+* direct stiffness summation as device-side scatter-add,
+* matrix-free preconditioned Krylov solves and batched static condensation,
+* element-axis sharding over a ``jax.sharding.Mesh`` with XLA collectives.
+
+Unlike the reference (whose ``sem/__init__.py`` is an empty stub), this is a
+curated top-level API.
+"""
+
+from . import basis, config
+
+__version__ = "0.1.0"
+
+__all__ = ["basis", "config", "__version__"]

@@ -1,0 +1,56 @@
+"""Global configuration for the TPU-native spectral element framework.
+
+The reference library (``/root/reference``) has no config system at all —
+configuration is constructor kwargs (SURVEY.md §5).  We keep that spirit
+(everything is an explicit argument) but centralize the two global switches
+that genuinely must be process-wide in JAX:
+
+* ``enable_x64()`` — float64 mode.  The correctness target (BASELINE.md:
+  "solution matches reference to 1e-10") requires float64 accumulation;
+  benchmarks on real TPU hardware run float32/bfloat16 instead, so x64 is
+  opt-in rather than forced at import.
+* default dtypes for solver/geometry work.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+_X64_ENABLED = False
+
+
+def enable_x64() -> None:
+    """Switch JAX to float64 mode (idempotent).
+
+    Required for solver paths that must match the float64 numpy reference to
+    1e-10; benchmarks use float32/bf16 and do not call this.
+    """
+    global _X64_ENABLED
+    if not _X64_ENABLED:
+        jax.config.update("jax_enable_x64", True)
+        _X64_ENABLED = True
+
+
+def x64_enabled() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def solver_dtype():
+    """Preferred dtype for solver-accuracy work under the current config."""
+    return np.float64 if x64_enabled() else np.float32
+
+
+def host_device_count(n: int = 8) -> None:
+    """Request ``n`` virtual CPU devices (must run before JAX backends init).
+
+    This is the TPU analogue of the reference's absent "multi-node test"
+    story (SURVEY.md §4): multi-chip sharding is validated on a virtual CPU
+    mesh via ``--xla_force_host_platform_device_count``.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    token = f"--xla_force_host_platform_device_count={n}"
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " " + token).strip()
