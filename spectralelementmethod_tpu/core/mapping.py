@@ -1,0 +1,172 @@
+"""Batched isoparametric mappings (element-batched geometry pipeline).
+
+TPU-first replacement of the reference's per-cell ``Mapping``/``SubMapping``
+objects (``sem/mapping.py:79-272``): all quantities carry a leading element
+axis ``E`` and are computed once at setup by sum-factorized per-axis matmuls,
+then live in device memory for the solver.
+
+Pipeline (parity with the per-element math of the reference):
+
+1. ``mapping_coeffs``: cell node coordinates (equispaced in parametric
+   space, the Gmsh convention) -> nodal basis coefficients of the physical
+   coordinate map (``sem/mapping.py:98-103`` via
+   ``sem/basis_functions.py:599-624``).
+2. ``jacobian``: J[i, a] = d x_i / d xi_a at the GLL nodes from the
+   spectral differentiation matrices (``sem/mapping.py:105-119``).
+3. ``det_inv_2x2``: closed-form batched determinant/inverse
+   (``sem/linalg.py:105-115``).
+4. ``face_geometry``: CCW-oriented face restriction, tangents, normal*dS
+   (``sem/mapping.py:184-268``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..basis.tensor import TensorProduct, apply_matrices
+from ..mesh.geometry import subface_index_array, subface_slice
+
+
+def mapping_coeffs(basis: TensorProduct, cell_nodes: np.ndarray) -> np.ndarray:
+    """Physical-coordinate basis coefficients from equispaced cell nodes.
+
+    Parameters
+    ----------
+    basis : TensorProduct
+        The (mapping) basis; coefficients are its nodal values.
+    cell_nodes : (..., ndim_phys, *shape)
+        Cell node coordinates on the equispaced parametric grid (leading
+        axes are free, typically ``(E, ndim)``).
+    """
+    mats = [b.interp_eq_mat_inv for b in basis.subbases]
+    return apply_matrices(mats, np.asarray(cell_nodes), basis.ndim)
+
+
+def jacobian(basis: TensorProduct, x_coeffs: np.ndarray) -> np.ndarray:
+    """Jacobian J[..., i, a, *shape] = d x_i / d xi_a at the basis nodes.
+
+    ``x_coeffs``: (..., ndim_phys, *shape).
+    """
+    ndim = basis.ndim
+    derivs = []
+    for a in range(ndim):
+        mats = [basis.subbases[d].D1 if d == a else None for d in range(ndim)]
+        derivs.append(apply_matrices(mats, x_coeffs, ndim))
+    # stack over parametric axis a, directly after the physical axis i
+    return np.stack(derivs, axis=x_coeffs.ndim - ndim)
+
+
+def det_inv_2x2(mat: np.ndarray):
+    """Batched closed-form determinant and inverse of 2x2 matrices.
+
+    Layout ``mat[batch..., 2, 2, grid0, grid1]``: the matrix axes sit
+    between any leading batch axes and the two trailing grid axes (parity
+    with ``sem/linalg.py:105-115``, which puts them first with no batch).
+    """
+    a = mat[..., 0, 0, :, :]
+    b = mat[..., 0, 1, :, :]
+    c = mat[..., 1, 0, :, :]
+    d = mat[..., 1, 1, :, :]
+    det = a * d - b * c
+    inv = np.empty_like(mat)
+    inv[..., 0, 0, :, :] = d
+    inv[..., 0, 1, :, :] = -b
+    inv[..., 1, 0, :, :] = -c
+    inv[..., 1, 1, :, :] = a
+    inv /= det[..., None, None, :, :]
+    return det, inv
+
+
+class FaceGeometry(NamedTuple):
+    """Batched geometry of a set of (cell, face) pairs, in CCW face order.
+
+    Parity: the reference's ``SubMapping``/``SubFiniteElement`` quantities
+    (``sem/mapping.py:196-268``, ``sem/discrete.py:733-750``).
+    """
+
+    cells: np.ndarray      # (k,) cell numbers
+    faces: np.ndarray      # (k,) face ids
+    local_ind: np.ndarray  # (k, m) flat local node index of face nodes
+    x: np.ndarray          # (k, ndim_phys, m) physical coords of face nodes
+    tangent: np.ndarray    # (k, ndim_phys, m) CCW tangent (not normalized)
+    n_dS: np.ndarray       # (k, ndim_phys, m) outward normal * surface measure
+    dS: np.ndarray         # (k, m) surface measure |n_dS|
+    weights: np.ndarray    # (m,) 1D quadrature weights along the face
+
+    @property
+    def unit_normal(self) -> np.ndarray:
+        return self.n_dS / self.dS[:, None, :]
+
+    @property
+    def n_dSxW(self) -> np.ndarray:
+        """normal * dS * quadrature weight (Neumann contour integrals)."""
+        return self.n_dS * self.weights
+
+    @property
+    def dSxW(self) -> np.ndarray:
+        return self.dS * self.weights
+
+
+# face -> (tangential parametric axis, sign) for the CCW tangent in 2D
+# (derived from sem/mapping.py:233-256: faces 0 and 3 flip sign).
+_FACE_TANGENT = {0: (1, -1.0), 1: (1, +1.0), 2: (0, +1.0), 3: (0, -1.0)}
+
+
+def face_geometry(
+    basis: TensorProduct,
+    x_coeffs: np.ndarray,
+    J: np.ndarray,
+    cells: np.ndarray,
+    faces: np.ndarray,
+) -> FaceGeometry:
+    """Compute batched face geometry for (cell, face) pairs.
+
+    ``x_coeffs``: (E, 2, *shape); ``J``: (E, 2, 2, *shape).
+    Only 2D parents (1D faces) are supported, like the reference
+    (``sem/mapping.py:110-111``).
+    """
+    shape = x_coeffs.shape[-basis.ndim:]
+    assert basis.ndim == 2
+    cells = np.asarray(cells, dtype=np.int64)
+    faces = np.asarray(faces, dtype=np.int64)
+    k = cells.size
+
+    # per-face-id flat local index arrays (face-oriented)
+    face_local = {f: subface_index_array(f, shape) for f in range(4)}
+    lengths = {f: face_local[f].size for f in range(4)}
+    if k and len(set(lengths[int(f)] for f in faces)) > 1:
+        raise NotImplementedError(
+            "mixed-length faces in one FaceGeometry batch"
+        )
+    m = lengths[int(faces[0])] if k else shape[1]
+
+    local_ind = np.zeros((k, m), dtype=np.int64)
+    x = np.zeros((k, 2, m))
+    tangent = np.zeros((k, 2, m))
+    for i, (c, f) in enumerate(zip(cells, faces)):
+        f = int(f)
+        li = face_local[f]
+        local_ind[i] = li
+        x[i] = x_coeffs[c].reshape(2, -1)[:, li]
+        ax_t, sign = _FACE_TANGENT[f]
+        # restrict the tangential column of J to the face, face-oriented
+        Jt = subface_slice(f, J[c, :, ax_t], 2)  # (2, m)
+        tangent[i] = sign * Jt
+
+    # outward normal in 2D: rotate CCW tangent by -90 deg -> (t_y, -t_x)
+    # (sem/mapping.py:196-211: roll + sign flip)
+    n_dS = np.stack([tangent[:, 1], -tangent[:, 0]], axis=1)
+    dS = np.linalg.norm(n_dS, axis=1)
+
+    # 1D weights along the face (tangential axis factor); GLL weights are
+    # symmetric so face-orientation reversal leaves them unchanged.
+    if k:
+        ax_t = _FACE_TANGENT[int(faces[0])][0]
+        sb = basis.subbases[ax_t]
+    else:
+        sb = basis.subbases[0]
+    weights = sb.quad_rule.weights if hasattr(sb, "quad_rule") else None
+
+    return FaceGeometry(cells, faces, local_ind, x, tangent, n_dS, dS, weights)

@@ -169,7 +169,7 @@ class Mesh:
         Parity: ``sem/discrete.py:1095-1106`` (vertex-mask matching against
         ``corner_verts``).
         """
-        common = np.in1d(
+        common = np.isin(
             cell1.vertex_node_ind, cell2.vertex_node_ind, assume_unique=True
         )
         for side, vertex_mask in enumerate(cell1.geometry.corner_verts):

@@ -1,0 +1,170 @@
+"""Poisson solver (matrix-free, element-batched, CG).
+
+Implements the workflow the reference's ``examples/poisson.py`` documents
+(its code imports a dead package; SURVEY.md caveat): Laplace/Poisson on an
+imported or generated quad mesh with named Dirichlet ("ebc") and Neumann
+("nbc") boundaries, e.g.
+
+    -div(c grad u) = f   on Omega
+    u = g_D              on "ebc"
+    n . grad u = g_N     on "nbc"
+
+TPU-native design (north star): the per-element rank-4 ``Lse`` operators
+(``examples/poisson.py:180-193``) are never materialized — operator
+application is a batched sum-factorized kernel (:mod:`..ops.sumfac`) and the
+Schur-complement direct solve (``sem/linalg.py:9-102``) is replaced by
+Jacobi-preconditioned CG.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.discretization import Discretization
+from ..ops import sumfac
+from ..solver.cg import CGResult, cg, cg_host, jacobi_preconditioner
+
+
+class PoissonSolution(NamedTuple):
+    u: np.ndarray          # (n_nodes,) nodal solution (GLL nodal values)
+    cg: CGResult
+
+
+def _as_callable(value) -> Callable:
+    if callable(value):
+        return value
+    return lambda x, y: np.full_like(np.asarray(x, float), float(value))
+
+
+class Poisson:
+    """Poisson problem on a discretized mesh.
+
+    Parameters
+    ----------
+    disc : Discretization
+        Single-component (dofs_per_node=1) discretization.
+    forcing : callable(x, y) or scalar
+        Right-hand side f.  Default 1 (the reference example's unit forcing,
+        ``examples/poisson.py:200``).
+    coefficient : callable(x, y) or None
+        Variable diffusivity c(x, y) for -div(c grad u); None = 1.
+    dtype : dtype for the device solve (float64 for reference-matching
+        accuracy, float32/bf16 for speed).
+    """
+
+    def __init__(self, disc: Discretization, forcing=1.0, coefficient=None,
+                 dtype=np.float64):
+        if disc.dpn != 1:
+            raise ValueError("Poisson requires dofs_per_node=1")
+        self.disc = disc
+        self.dtype = dtype
+
+        xg = disc.global_gll_coords()  # (2, n_nodes) GLL node positions
+        self.x_nodes = xg
+
+        coeff = None
+        if coefficient is not None:
+            cfun = _as_callable(coefficient)
+            coeff = cfun(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
+        G = disc.laplacian_factors(coeff)
+
+        # device arrays
+        self._gix = jnp.asarray(disc.gather_nodes)
+        self._G = jnp.asarray(G, dtype=dtype)
+        self._D0 = jnp.asarray(disc.basis.subbases[0].D1, dtype=dtype)
+        self._D1 = jnp.asarray(disc.basis.subbases[1].D1, dtype=dtype)
+        self._detJxW = jnp.asarray(disc.detJxW, dtype=dtype)
+
+        ffun = _as_callable(forcing)
+        f_gll = ffun(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
+        # weak forcing: ∫ f phi = scatter(f * detJxW) at collocated GLL
+        # quadrature (examples/poisson.py:200 "fe = JxW" for f=1)
+        self._b = jnp.asarray(
+            disc.scatter_add(f_gll * disc.detJxW), dtype=dtype
+        )
+
+        self._dirichlet_mask = np.zeros(disc.n_nodes, dtype=bool)
+        self._dirichlet_vals = np.zeros(disc.n_nodes)
+        self._neumann = np.zeros(disc.n_nodes)
+
+    # -- boundary conditions -------------------------------------------------
+
+    def set_dirichlet(self, boundary_name: str, value) -> None:
+        """Essential BC u = g(x, y) on a named boundary."""
+        g = _as_callable(value)
+        nodes = self.disc.face_global_nodes(boundary_name).ravel()
+        x = self.x_nodes[:, nodes]
+        self._dirichlet_mask[nodes] = True
+        self._dirichlet_vals[nodes] = g(x[0], x[1])
+
+    def set_neumann(self, boundary_name: str, value) -> None:
+        """Natural BC: adds the contour integral ∫ g v dS to the RHS.
+
+        Homogeneous Neumann needs no call (it is the do-nothing BC, as in
+        ``examples/poisson.py:141-143``).
+        """
+        g = _as_callable(value)
+        disc = self.disc
+        fg = disc.face_geometry(boundary_name)
+        gvals = g(fg.x[:, 0], fg.x[:, 1])  # (k, m)
+        contrib = gvals * fg.dSxW
+        gidx = disc.face_global_nodes(boundary_name)
+        np.add.at(self._neumann, gidx.ravel(), contrib.ravel())
+
+    # -- operator access -------------------------------------------------------
+
+    def apply_operator(self, u) -> jnp.ndarray:
+        """Raw weak Laplacian A u (no BC masking) — for tests/benchmarks."""
+        return sumfac.laplacian_apply(
+            jnp.asarray(u, dtype=self.dtype), self._gix, self._G,
+            self._D0, self._D1, self.disc.n_nodes,
+        )
+
+    def operator_diagonal(self) -> jnp.ndarray:
+        de = sumfac.laplacian_diag_local(self._G, self._D0, self._D1)
+        return sumfac.scatter_add(de, self._gix, self.disc.n_nodes)
+
+    # -- solve -------------------------------------------------------------------
+
+    def solve(self, tol: float = 1e-12, max_iter: int | None = None,
+              host_loop: bool = False) -> PoissonSolution:
+        """Solve with Jacobi-preconditioned CG.
+
+        ``host_loop=True`` iterates on the host (fast start, small
+        problems/tests); the default compiles the whole solve as one fused
+        ``lax.while_loop`` (production TPU path).
+        """
+        disc = self.disc
+        free = jnp.asarray(~self._dirichlet_mask)
+        u_d = jnp.asarray(
+            np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0),
+            dtype=self.dtype,
+        )
+
+        A = sumfac.make_poisson_operator(
+            self._gix, self._G, self._D0, self._D1, disc.n_nodes, free
+        )
+        b = self._b + jnp.asarray(self._neumann, dtype=self.dtype)
+        # eliminate Dirichlet DOFs: r_f = (b - A u_d)|_free
+        r = sumfac.masked(b - self.apply_operator(u_d), free)
+
+        M = jacobi_preconditioner(self.operator_diagonal(), free)
+        if max_iter is None:
+            max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
+        solver = cg_host if host_loop else cg
+        res = solver(A, r, M=M, tol=tol, max_iter=max_iter)
+
+        u = np.asarray(u_d + res.x)
+        return PoissonSolution(u, res)
+
+    # -- post-processing -----------------------------------------------------------
+
+    def l2_error(self, u: np.ndarray, exact: Callable) -> float:
+        """Quadrature L2 error against an exact solution callable(x, y)."""
+        disc = self.disc
+        ue = disc.gather(u)
+        ex = exact(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
+        return float(np.sqrt(np.sum((ue - ex) ** 2 * disc.detJxW)))

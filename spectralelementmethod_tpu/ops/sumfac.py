@@ -1,0 +1,119 @@
+"""Sum-factorized matrix-free operator kernels (JAX, element-batched).
+
+This is the compute core mandated by the north star (BASELINE.json): the
+reference's per-element assembled rank-4 operators
+(``examples/poisson.py:180-193``, applied via dense matvecs) become one
+batched chain of small matmuls over the whole element axis:
+
+    u_global --gather--> (E, p, p) --D-matmuls--> parametric gradient
+    --G-weighting--> fluxes --D^T-matmuls--> local residual --scatter-add-->
+
+Everything here is jit-compatible and shards over the element axis.
+FLOP count per Laplacian apply: E * (8 * p1^3 + 6 * p1^2) for p1 = p + 1
+(four (p1 x p1)@(p1 x p1) matmuls + pointwise G application).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gather(u, gather_nodes, shape):
+    """(n_nodes,) -> (E, *shape) element-local values."""
+    return u[gather_nodes].reshape((-1,) + tuple(shape))
+
+
+def scatter_add(vals, gather_nodes, n_nodes):
+    """(E, *shape) -> (n_nodes,) direct stiffness summation.
+
+    Device-side scatter-add; the TPU equivalent of scipy COO
+    duplicate-summation assembly (reference ``sem/discrete.py:478-500``).
+    """
+    flat = vals.reshape(-1)
+    return jnp.zeros(n_nodes, dtype=vals.dtype).at[
+        gather_nodes.reshape(-1)
+    ].add(flat)
+
+
+def grad_2d(ue, D0, D1):
+    """Parametric gradient of (E, p0, p1) local fields: (ur, us)."""
+    ur = jnp.einsum("mj,ejn->emn", D0, ue, precision="highest")
+    us = jnp.einsum("nk,emk->emn", D1, ue, precision="highest")
+    return ur, us
+
+
+def grad_transpose_2d(fr, fs, D0, D1):
+    """Adjoint of :func:`grad_2d`: v = D0^T fr + fs D1."""
+    v = jnp.einsum("mp,emq->epq", D0, fr, precision="highest")
+    v += jnp.einsum("nq,epn->epq", D1, fs, precision="highest")
+    return v
+
+
+def laplacian_apply_local(ue, G, D0, D1):
+    """Local weak Laplacian: v_e = B_e^T (G . B_e u_e).
+
+    ``G``: (E, 3, p0, p1) packed [G00, G01, G11] geometric factors
+    (:meth:`Discretization.laplacian_factors`).
+    """
+    ur, us = grad_2d(ue, D0, D1)
+    fr = G[:, 0] * ur + G[:, 1] * us
+    fs = G[:, 1] * ur + G[:, 2] * us
+    return grad_transpose_2d(fr, fs, D0, D1)
+
+
+def laplacian_apply(u, gather_nodes, G, D0, D1, n_nodes):
+    """Global matrix-free weak Laplacian: scatter(local(gather(u)))."""
+    ue = gather(u, gather_nodes, G.shape[-2:])
+    ve = laplacian_apply_local(ue, G, D0, D1)
+    return scatter_add(ve, gather_nodes, n_nodes)
+
+
+def laplacian_diag_local(G, D0, D1):
+    """Diagonal of the local weak Laplacian (for Jacobi preconditioning).
+
+    K[(p,q),(p,q)] = sum_m G00[m,q] D0[m,p]^2
+                   + 2 G01[p,q] D0[p,p] D1[q,q]
+                   + sum_n G11[p,n] D1[n,q]^2
+    """
+    d0 = jnp.einsum("emq,mp->epq", G[:, 0], D0**2, precision="highest")
+    d1 = jnp.einsum("epn,nq->epq", G[:, 2], D1**2, precision="highest")
+    cross = 2.0 * G[:, 1] * jnp.diag(D0)[:, None] * jnp.diag(D1)[None, :]
+    return d0 + d1 + cross
+
+
+def mass_apply_local(ue, detJxW):
+    """Local weak identity (mass) operator on the GLL-collocated rule:
+    diagonal, M_e u_e = detJxW * u_e (reference ``Me`` KroneckerArray,
+    ``examples/squirmer-axisymmetric.py:253-254``)."""
+    return detJxW * ue
+
+
+def masked(u, free_mask):
+    """Zero entries not in the free set (Dirichlet elimination helper)."""
+    return jnp.where(free_mask, u, 0.0)
+
+
+def make_poisson_operator(gather_nodes, G, D0, D1, n_nodes, free_mask):
+    """Return jitted ``A(u)`` = weak Laplacian restricted to free DOFs.
+
+    Dirichlet DOFs are eliminated symmetrically: input entries on the
+    boundary are zeroed, and output rows on the boundary are zeroed, so the
+    operator acts as [A_ff 0; 0 0] — CG then solves A_ff u_f = r_f.
+
+    The returned callable is not itself jitted: it is traced inside the
+    (jitted) Krylov loop, avoiding a second compilation.
+    """
+
+    def apply(u):
+        u = masked(u, free_mask)
+        v = laplacian_apply(u, gather_nodes, G, D0, D1, n_nodes)
+        return masked(v, free_mask)
+
+    return apply
+
+
+def element_apply_flops(E: int, p0: int, p1: int) -> int:
+    """FLOPs of one batched Laplacian element apply (matmuls + pointwise)."""
+    matmul = 2 * E * (2 * p0 * p0 * p1 + 2 * p0 * p1 * p1)
+    pointwise = 6 * E * p0 * p1
+    return matmul + pointwise

@@ -1,0 +1,141 @@
+"""Matrix-free preconditioned conjugate gradients (JAX).
+
+Replaces the reference's sparse direct solve on the condensed exterior
+system (``scipy.sparse.linalg.spsolve`` at ``sem/discrete.py:511``) with a
+device-resident Krylov iteration that never materializes a global matrix
+(north star, BASELINE.json).  The loop is a ``lax.while_loop`` so the whole
+solve is one XLA computation; per-iteration cost is one operator apply
+(batched sum-factorized matmuls) plus a few vector ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array
+    residual_norm: jax.Array
+    converged: jax.Array
+
+
+def cg_host(
+    A: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-12,
+    atol: float = 0.0,
+    max_iter: int = 1000,
+) -> CGResult:
+    """PCG with a host-side Python loop (device work = operator applies).
+
+    Same math as :func:`cg` but without compiling the loop itself — much
+    faster to start for small/one-off solves and for CPU test runs; the
+    fused ``lax.while_loop`` version is the production TPU path.
+    """
+    if M is None:
+        M = lambda r: r  # noqa: E731
+    x = jnp.zeros_like(b) if x0 is None else x0
+    A = jax.jit(A)
+    M = jax.jit(M)
+
+    stop = max(tol * float(jnp.linalg.norm(b)), atol)
+    r = b - A(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    k = 0
+    rnorm = float(jnp.linalg.norm(r))
+    while rnorm > stop and k < max_iter:
+        Ap = A(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+        k += 1
+        rnorm = float(jnp.linalg.norm(r))
+    return CGResult(
+        x,
+        jnp.array(k, dtype=jnp.int32),
+        jnp.array(rnorm),
+        jnp.array(rnorm <= stop),
+    )
+
+
+@partial(jax.jit, static_argnames=("A", "M", "max_iter"))
+def cg(
+    A: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-12,
+    atol: float = 0.0,
+    max_iter: int = 1000,
+) -> CGResult:
+    """Solve ``A x = b`` with preconditioned CG.
+
+    ``A``: SPD linear operator (callable).  ``M``: preconditioner
+    approximating A^-1 (callable), e.g. inverse-diagonal (Jacobi).
+    Stops when ||r||_2 <= max(tol * ||b||_2, atol).
+    """
+    if M is None:
+        M = lambda r: r  # noqa: E731
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    bnorm = jnp.linalg.norm(b)
+    stop = jnp.maximum(tol * bnorm, atol)
+
+    r0 = b - A(x0)
+    z0 = M(r0)
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (jnp.linalg.norm(r) > stop) & (k < max_iter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = A(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    state = (x0, r0, z0, z0, rz0, jnp.array(0, dtype=jnp.int32))
+    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, state)
+    rnorm = jnp.linalg.norm(r)
+    return CGResult(x, k, rnorm, rnorm <= stop)
+
+
+def jacobi_preconditioner(diag: jax.Array, free_mask: jax.Array | None = None):
+    """Inverse-diagonal preconditioner; safe where the diagonal is 0/masked.
+
+    The diagonal comes matrix-free from the scatter-added per-element
+    operator diagonals (``ops.sumfac.laplacian_diag_local``) — the batched
+    analogue of extracting the assembled matrix diagonal.
+    """
+    safe = jnp.where(diag != 0, diag, 1.0)
+    inv = 1.0 / safe
+    if free_mask is not None:
+        inv = jnp.where(free_mask, inv, 0.0)
+
+    def M(r):
+        return inv * r
+
+    return M
