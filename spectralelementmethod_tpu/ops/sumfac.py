@@ -112,6 +112,46 @@ def make_poisson_operator(gather_nodes, G, D0, D1, n_nodes, free_mask):
     return apply
 
 
+def make_stacked_derivative(D0, D1):
+    """Dhat (2n, n): both directional nodal derivatives as ONE shared matrix.
+
+    Dhat = [D0 (x) I; I (x) D1] so that (Dhat @ u_flat) stacks [ur; us].
+    At moderate p this turns the element apply into two large
+    ``(E, n) @ (n, 2n)`` matmuls — MXU-shaped (K = n = (p+1)^2 = 81 at
+    p=8) instead of the K=p+1=9 contractions of the per-axis form.  ~4.5x
+    more raw FLOPs, but the apply is HBM-bound on TPU so wall-clock wins;
+    see bench.py.
+    """
+    import numpy as np
+
+    n0, n1 = D0.shape[0], D1.shape[0]
+    Dr = np.kron(np.asarray(D0), np.eye(n1, dtype=np.asarray(D0).dtype))
+    Ds = np.kron(np.eye(n0, dtype=np.asarray(D1).dtype), np.asarray(D1))
+    return np.concatenate([Dr, Ds], axis=0)
+
+
+def laplacian_apply_fused(u, gather_nodes, Gf, Dhat, n_nodes):
+    """Matrix-free weak Laplacian via the stacked derivative matrix.
+
+    ``Gf``: (E, 3, n) flattened geometric factors [G00, G01, G11];
+    ``Dhat``: (2n, n) from :func:`make_stacked_derivative`.
+    Numerically identical to :func:`laplacian_apply` (same quadrature),
+    different matmul shapes.
+    """
+    n = Dhat.shape[1]
+    ue = u[gather_nodes.reshape(-1)].reshape(-1, n)     # (E, n)
+    grads = jnp.einsum("en,mn->em", ue, Dhat,
+                       precision="highest")             # (E, 2n)
+    ur, us = grads[:, :n], grads[:, n:]
+    fr = Gf[:, 0] * ur + Gf[:, 1] * us
+    fs = Gf[:, 1] * ur + Gf[:, 2] * us
+    flux = jnp.concatenate([fr, fs], axis=1)            # (E, 2n)
+    ve = jnp.einsum("em,mn->en", flux, Dhat, precision="highest")
+    return jnp.zeros(n_nodes, dtype=u.dtype).at[
+        gather_nodes.reshape(-1)
+    ].add(ve.reshape(-1))
+
+
 def element_apply_flops(E: int, p0: int, p1: int) -> int:
     """FLOPs of one batched Laplacian element apply (matmuls + pointwise)."""
     matmul = 2 * E * (2 * p0 * p0 * p1 + 2 * p0 * p1 * p1)

@@ -1,0 +1,153 @@
+"""Element-axis sharding over a JAX device mesh.
+
+The reference has **zero** distributed machinery (SURVEY.md §2: grep-verified
+no MPI/NCCL/threads); this layer is the net-new TPU-native design mandated by
+the north star:
+
+* elements (and their gather maps / geometric factors) are sharded over a
+  1D device mesh axis;
+* the solution vector is replicated; each shard computes its elements'
+  local operator contributions and scatter-adds into a full-length partial
+  vector;
+* direct stiffness summation across shards is one ``psum`` over the element
+  axis — an ICI all-reduce on real hardware.  Shared-DOF reduction is thus
+  exact and deterministic (same contraction order per shard).
+
+This "replicated vector, sharded elements" scheme keeps every collective on
+ICI and degrades to a no-op on a single device.  For very large meshes a
+DOF-sharded halo-exchange variant can replace the all-reduce; the operator
+signature is unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops import sumfac
+
+ELEM_AXIS = "elements"
+
+
+def device_mesh(n_devices: int | None = None, axis: str = ELEM_AXIS):
+    """1D device mesh over the element axis."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    return jax.make_mesh(
+        (n_devices,), (axis,),
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+
+
+def pad_elements(E: int, n_shards: int) -> int:
+    """Padded element count (multiple of n_shards)."""
+    return ((E + n_shards - 1) // n_shards) * n_shards
+
+
+def pad_element_arrays(gather_nodes: np.ndarray, *arrays, n_shards: int):
+    """Pad element-axis arrays to a shard-divisible count with no-op elements.
+
+    Padding elements gather node 0 but carry all-zero geometric factors, so
+    their scatter contribution is exactly zero.
+    """
+    E = gather_nodes.shape[0]
+    Ep = pad_elements(E, n_shards)
+    if Ep == E:
+        return (gather_nodes,) + arrays
+    pad_g = np.zeros((Ep - E,) + gather_nodes.shape[1:], gather_nodes.dtype)
+    out = [np.concatenate([gather_nodes, pad_g])]
+    for a in arrays:
+        pad_a = np.zeros((Ep - E,) + a.shape[1:], a.dtype)
+        out.append(np.concatenate([a, pad_a]))
+    return tuple(out)
+
+
+def shard_element_arrays(mesh, *arrays, axis: str = ELEM_AXIS):
+    """Place element-axis arrays with the leading axis sharded on ``mesh``."""
+    sharding = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
+
+
+def replicated(mesh, *arrays):
+    sharding = NamedSharding(mesh, P())
+    return tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
+
+
+def make_sharded_poisson_operator(
+    mesh, gather_nodes, G, D0, D1, n_nodes: int, free_mask,
+    axis: str = ELEM_AXIS,
+):
+    """Sharded matrix-free weak Laplacian: psum-of-partials DSS.
+
+    ``gather_nodes``/``G`` must already be padded & sharded on ``axis``;
+    ``free_mask``/inputs are replicated.  Returns ``A(u) -> u``-shaped
+    callable usable inside jit/CG.
+    """
+
+    def local_apply(u, free, gix, Gs):
+        # u, free: replicated (n_nodes,); gix/Gs: this shard's elements
+        u = sumfac.masked(u, free)
+        partial = sumfac.laplacian_apply(u, gix, Gs, D0, D1, n_nodes)
+        total = jax.lax.psum(partial, axis)
+        return sumfac.masked(total, free)
+
+    sharded = jax.shard_map(
+        local_apply,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(),
+    )
+
+    def A(u):
+        return sharded(u, free_mask, gather_nodes, G)
+
+    return A
+
+
+def sharded_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS):
+    """Shard an existing :class:`..models.poisson.Poisson` problem.
+
+    Returns ``(A, b_masked, M, u_dirichlet, jmesh)`` ready for CG: the
+    operator is element-sharded, vectors replicated.
+    """
+    from ..solver.cg import jacobi_preconditioner
+
+    if mesh is None:
+        mesh = device_mesh()
+    n_shards = mesh.devices.size
+
+    gix, G = pad_element_arrays(
+        np.asarray(problem._gix), np.asarray(problem._G), n_shards=n_shards
+    )
+    gix, G = shard_element_arrays(mesh, gix, G, axis=axis)
+
+    free = jnp.asarray(~problem._dirichlet_mask)
+    u_d = jnp.asarray(
+        np.where(problem._dirichlet_mask, problem._dirichlet_vals, 0.0),
+        dtype=problem.dtype,
+    )
+    (free, u_d) = replicated(mesh, free, u_d)
+
+    A = make_sharded_poisson_operator(
+        mesh, gix, G, problem._D0, problem._D1,
+        problem.disc.n_nodes, free, axis=axis,
+    )
+    b = problem._b + jnp.asarray(problem._neumann, dtype=problem.dtype)
+    r = _dirichlet_rhs(problem, A, b, u_d, free)
+
+    M = jacobi_preconditioner(
+        jnp.asarray(np.asarray(problem.operator_diagonal())), free
+    )
+    return A, r, M, u_d, mesh
+
+
+def _dirichlet_rhs(problem, A_masked, b, u_d, free):
+    """r_f = (b - A u_d)|_free with the *unmasked-input* operator.
+
+    The sharded operator masks its input, so apply it to the full vector by
+    adding the Dirichlet values through the raw (host-built) apply.
+    """
+    v = problem.apply_operator(u_d)  # raw single-device apply (setup only)
+    return sumfac.masked(b - v, free)

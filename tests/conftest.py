@@ -8,7 +8,7 @@ JAX initializes a backend.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the remote-TPU ("axon") plugin
+# and forces jax_platforms="axon,cpu" at interpreter start, which silently
+# overrides the env var; pin CPU explicitly so tests run locally.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
