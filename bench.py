@@ -86,9 +86,11 @@ def main():
     ap.add_argument("--elements", type=int, default=100_000)
     ap.add_argument("--order", type=int, default=8)
     ap.add_argument("--f64", action="store_true")
-    ap.add_argument("--per-axis", action="store_true",
-                    help="use the per-axis sum-factorized kernel instead of "
-                         "the MXU-shaped stacked-derivative kernel")
+    ap.add_argument("--kernel", choices=["local", "fused", "peraxis"],
+                    default="local",
+                    help="local = L-vector storage + structured DSS exchange "
+                         "(production path); fused/peraxis = global-vector "
+                         "gather/scatter variants")
     ap.add_argument("--reps", type=int, default=50)
     args = ap.parse_args()
 
@@ -103,86 +105,124 @@ def main():
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.f64 else np.float32
 
+    from spectralelementmethod_tpu.basis import gll_basis_2d
+    from spectralelementmethod_tpu.core.discretization import Discretization
+    from spectralelementmethod_tpu.mesh import rectangle_mesh
+    from spectralelementmethod_tpu.models.poisson import Poisson
     from spectralelementmethod_tpu.ops import sumfac
+    from spectralelementmethod_tpu.ops.exchange import LocalExchange
+    from spectralelementmethod_tpu.solver.cg import cg, jacobi_preconditioner
 
-    gather, G, D, n_nodes, E, dirichlet_nodes = build_element_data(
-        args.elements, args.order, dtype
-    )
-    p1 = args.order + 1
+    p = args.order
+    p1 = p + 1
+    nx = max(int(np.sqrt(args.elements)), 1)
+    ny = max(args.elements // nx, 1)
 
-    gix_d = jnp.asarray(gather)
-    G_d = jnp.asarray(G)
-    D_d = jnp.asarray(D)
+    t0 = time.perf_counter()
+    mesh = rectangle_mesh(nx, ny, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    t_setup = time.perf_counter() - t0
+    E, n_loc, n_nodes = disc.E, disc.n_loc, disc.n_nodes
+
+    prob = Poisson(disc, dtype=dtype)
+    prob.set_dirichlet("ebc", lambda x, y: 0.2 * ((x + 1) + (y + 1)))
+
+    D = np.asarray(prob._D0)
+    Dhat = sumfac.make_stacked_derivative(D, D)
+    Gf = prob._G.reshape(E, 3, -1)
+    gix_d, G_d = prob._gix, prob._G
+    D_d, Dhat_d = prob._D0, jnp.asarray(Dhat.astype(dtype))
+
     rng = np.random.RandomState(1)
-    u_d = jnp.asarray(rng.random_sample(n_nodes).astype(dtype))
+    u_global = rng.random_sample(n_nodes).astype(dtype)
+
+    if args.kernel == "local":
+        t0 = time.perf_counter()
+        ex = LocalExchange(disc)
+        t_setup += time.perf_counter() - t0
+        one_apply = sumfac.make_local_laplacian_operator(ex, Gf, Dhat)
+        vec0 = jnp.asarray(ex.local_from_global(u_global))
+        dot = ex.dot
+        free = jnp.asarray((~prob._dirichlet_mask)[ex.gather_hier])
+        A_cg = sumfac.make_local_laplacian_operator(ex, Gf, Dhat, free)
+        diagL = jnp.asarray(
+            ex.local_from_global(np.asarray(prob.operator_diagonal()))
+            .astype(dtype))
+        M = jacobi_preconditioner(diagL, free)
+        u_dL = jnp.asarray(ex.local_from_global(
+            np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0)
+        ).astype(dtype))
+        bL = jnp.asarray(ex.local_from_global(
+            np.asarray(prob._b)).astype(dtype))
+        r_cg = jnp.where(free, bL - one_apply(u_dL), 0.0)
+    else:
+        dot = None
+        free = jnp.asarray(~prob._dirichlet_mask)
+        if args.kernel == "fused":
+            Gf_d = jnp.asarray(Gf)
+
+            def one_apply(x):
+                return sumfac.laplacian_apply_fused(
+                    x, gix_d, Gf_d, Dhat_d, n_nodes)
+        else:
+            def one_apply(x):
+                return sumfac.laplacian_apply(
+                    x, gix_d, G_d, D_d, D_d, n_nodes)
+
+        vec0 = jnp.asarray(u_global)
+
+        def A_cg(x):
+            x = sumfac.masked(x, free)
+            return sumfac.masked(one_apply(x), free)
+
+        M = jacobi_preconditioner(prob.operator_diagonal(), free)
+        u_d = jnp.asarray(np.where(
+            prob._dirichlet_mask, prob._dirichlet_vals, 0.0).astype(dtype))
+        r_cg = sumfac.masked(
+            prob._b + jnp.asarray(prob._neumann, dtype=dtype)
+            - one_apply(u_d), free)
 
     reps = args.reps
 
-    Dhat_d = jnp.asarray(sumfac.make_stacked_derivative(D, D))
-    Gf_d = G_d.reshape(G_d.shape[0], 3, -1)
-
-    if args.per_axis:
-        def one_apply(x):
-            return sumfac.laplacian_apply(x, gix_d, G_d, D_d, D_d, n_nodes)
-    else:
-        def one_apply(x):
-            return sumfac.laplacian_apply_fused(
-                x, gix_d, Gf_d, Dhat_d, n_nodes
-            )
-
     # Chain the applies inside ONE jitted loop: a timing that counts kernel
     # throughput, not per-dispatch host/tunnel latency.
+    def _dot(a, b):
+        return jnp.vdot(a, b) if dot is None else dot(a, b)
+
     @jax.jit
     def apply_chain(u):
         def body(i, x):
             y = one_apply(x)
-            return y * jax.lax.rsqrt(jnp.vdot(y, y).real + 1e-30)
+            return y * jax.lax.rsqrt(_dot(y, y).real.astype(y.dtype) + 1e-30)
 
         return jax.lax.fori_loop(0, reps, body, u)
 
-    # warmup/compile
-    apply_chain(u_d).block_until_ready()
-
+    apply_chain(vec0).block_until_ready()
     t0 = time.perf_counter()
-    apply_chain(u_d).block_until_ready()
+    apply_chain(vec0).block_until_ready()
     t_apply = (time.perf_counter() - t0) / reps
 
     flops = sumfac.element_apply_flops(E, p1, p1)
     gflops = flops / t_apply / 1e9
-
-    # HBM roofline estimate: bytes moved per apply (u gather + G + out)
     bytes_per_apply = E * p1 * p1 * np.dtype(dtype).itemsize * (1 + 3 + 1)
     gbps = bytes_per_apply / t_apply / 1e9
 
     # reference-style numpy baseline on a subsample
     n_sample = min(E, 256)
-    u_np = np.asarray(u_d)
-    t_np = numpy_reference_apply(u_np, gather, G, D, n_nodes, n_sample)
+    t_np = numpy_reference_apply(
+        u_global, disc.gather_nodes,
+        np.asarray(prob._G, dtype=dtype), D.astype(dtype),
+        n_nodes, n_sample)
     t_np_full = t_np * E / n_sample
     vs_baseline = t_np_full / t_apply
 
-    # CG wall-clock on the same operator (Jacobi, fixed tolerance)
-    from spectralelementmethod_tpu.solver.cg import cg, jacobi_preconditioner
-
-    diag_local = sumfac.laplacian_diag_local(G_d, D_d, D_d)
-    diag = sumfac.scatter_add(diag_local, gix_d, n_nodes)
-    # Dirichlet along the south edge: a well-posed SPD system for CG
-    free = jnp.ones(n_nodes, dtype=bool).at[jnp.asarray(dirichlet_nodes)].set(
-        False
-    )
-
-    def A(x):
-        x = sumfac.masked(x, free)
-        return sumfac.masked(one_apply(x), free)
-
-    M = jacobi_preconditioner(diag, free)
-    b = sumfac.masked(u_d, free)
-    cg_tol = 1e-4 if dtype == np.float32 else 1e-8
+    # CG wall-clock (Dirichlet "ebc" system, Jacobi preconditioner)
+    cg_tol = 1e-5 if dtype == np.float32 else 1e-10
     cg_iters = 100 if args.smoke else 1000
-    res = cg(A, b, M=M, tol=cg_tol, max_iter=cg_iters)  # compile+warm
+    res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot)
     res.x.block_until_ready()
     t0 = time.perf_counter()
-    res = cg(A, b, M=M, tol=cg_tol, max_iter=cg_iters)
+    res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot)
     res.x.block_until_ready()
     t_cg = time.perf_counter() - t0
 
@@ -202,6 +242,8 @@ def main():
             "dtype": str(np.dtype(dtype)),
             "n_nodes": n_nodes,
             "device": str(jax.devices()[0]),
+            "kernel": args.kernel,
+            "setup_s": round(t_setup, 2),
             "baseline": "serial per-element numpy einsum apply "
                         f"(reference style), {n_sample}-element sample",
         },

@@ -149,6 +149,23 @@ class Discretization:
         out[1, flat] = self.x_coeffs[:, 1].ravel()
         return out
 
+    def values_at_nodes(self, coeffs: np.ndarray) -> np.ndarray:
+        """Resample a global GLL-nodal field onto the equispaced mesh nodes.
+
+        Parity: reference ``DOFManager.values_at_nodes``
+        (``sem/discrete.py:235-258``) — used for plotting, where node
+        positions are the mesh's equispaced cell nodes.  Shared nodes get
+        consistent values from every adjacent element (the face restriction
+        of the tensor-product interpolant depends only on face data).
+        """
+        ue = self.gather(coeffs)                      # (..., E, *shape)
+        vals = self.basis.interpolate_on_grid_eq(ue)
+        out = np.zeros_like(np.asarray(coeffs))
+        out[..., self.gather_nodes.reshape(-1)] = np.asarray(vals).reshape(
+            vals.shape[: -1 - self.ndim] + (-1,)
+        )
+        return out
+
     def integrate(self, u_node: np.ndarray) -> float:
         """Integrate a global nodal field over the mesh: sum_e u_e . detJxW."""
         return float(np.sum(self.gather(u_node) * self.detJxW))

@@ -212,6 +212,27 @@ class Mesh:
             elif len(owners) > 2:
                 raise ValueError(f"face {key} shared by >2 cells")
 
+    def face_pairs(self) -> np.ndarray:
+        """(n_pairs, 4) int array of interior face matches (i, fi, j, fj).
+
+        Each conforming interior face appears once; built from the same
+        vertex-hash used by :meth:`find_neighbors`.
+        """
+        face_table: dict[tuple, list] = {}
+        for i, cd in enumerate(self._cell_data):
+            geometry = self._geometries[cd.geometry_id]
+            flat = cd.node_map.ravel()
+            for face in range(geometry.n_faces):
+                verts = flat[geometry.face_vertex_local_ind(face)]
+                key = tuple(sorted(int(v) for v in verts))
+                face_table.setdefault(key, []).append((i, face))
+        pairs = []
+        for owners in face_table.values():
+            if len(owners) == 2:
+                (i, fi), (j, fj) = owners
+                pairs.append((i, fi, j, fj))
+        return np.asarray(sorted(pairs), dtype=np.int64).reshape(-1, 4)
+
     def attach_boundary_mesh(self, bnd_mesh: "Mesh") -> None:
         """Match each boundary-mesh cell to a face of a bulk cell.
 

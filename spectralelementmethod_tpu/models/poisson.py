@@ -160,6 +160,54 @@ class Poisson:
         u = np.asarray(u_d + res.x)
         return PoissonSolution(u, res)
 
+    def solve_local(self, tol: float = 1e-12, max_iter: int | None = None,
+                    host_loop: bool = False) -> PoissonSolution:
+        """Solve with CG on element-local (L-vector) storage.
+
+        The production TPU path: no global gather/scatter in the iteration
+        (structured neighbor exchange instead; :mod:`..ops.exchange`).
+        Iterates are mathematically identical to :meth:`solve`.
+        """
+        from ..ops.exchange import LocalExchange
+
+        disc = self.disc
+        ex = getattr(self, "_exchange", None)
+        if ex is None:
+            ex = self._exchange = LocalExchange(disc)
+
+        Gf = self._G.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(self._D0), np.asarray(self._D1)
+        )
+        free_local = jnp.asarray(
+            (~self._dirichlet_mask)[ex.gather_hier]
+        )
+        A = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, free_local
+        )
+
+        # rhs and Dirichlet lift in local form
+        b = np.asarray(self._b) + self._neumann
+        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
+        bL = jnp.asarray(ex.local_from_global(b).astype(self.dtype))
+        u_dL = jnp.asarray(ex.local_from_global(u_d).astype(self.dtype))
+
+        A_raw = sumfac.make_local_laplacian_operator(ex, Gf, Dhat, None)
+        r = jnp.where(free_local, bL - A_raw(u_dL), 0.0)
+
+        diag = np.asarray(self.operator_diagonal())
+        diagL = jnp.asarray(ex.local_from_global(diag).astype(self.dtype))
+        M = jacobi_preconditioner(diagL, free_local)
+
+        if max_iter is None:
+            max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
+        solver = cg_host if host_loop else cg
+        res = solver(A, r, M=M, tol=tol, max_iter=max_iter, dot=ex.dot)
+
+        uL = u_dL + res.x
+        u = ex.global_from_local(np.asarray(uL))
+        return PoissonSolution(u, res)
+
     # -- post-processing -----------------------------------------------------------
 
     def l2_error(self, u: np.ndarray, exact: Callable) -> float:

@@ -1,0 +1,166 @@
+"""Local-vector (L-vector) storage and structured DSS exchange.
+
+The fastest TPU formulation of direct stiffness summation.  Arbitrary-index
+scatter/gather is pathologically slow on TPU (measured ~25 ms for a p=8,
+20k-element apply vs ~1 ms for its matmuls), so the hot path never touches a
+global vector.  Fields live **element-local** with duplicated shared DOFs
+("L-vectors", shape ``(E, n_loc[, k])`` in *hierarchical* node order:
+vertices, then the 4 edge interiors, then the cell interior — the reference's
+ordering, ``sem/geometry.py:197-212``), and DSS becomes:
+
+* **edge-interior exchange**: each conforming interior edge is shared by
+  exactly 2 elements; summing contributions is one row-take by neighbor
+  index (+ an orientation flip where needed) and a static-slice add;
+* **vertex exchange**: vertices have variable valence; a scatter-add over
+  only ``4E`` values (20x smaller than the naive full scatter) plus a
+  gather-back.
+
+An L-vector is *consistent* when all copies of a shared DOF hold the same
+value; ``dss()`` maps arbitrary local contributions to a consistent sum,
+and weighted dots (1/multiplicity) reproduce global inner products exactly,
+so Krylov iterations on L-vectors are identical to global-vector iterations.
+
+This is the domain's halo-exchange structure: sharding the element axis
+turns the neighbor row-take into an ICI exchange.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class LocalExchange:
+    """Precomputed DSS-exchange structure for a Discretization.
+
+    Requires a conforming single-geometry quad mesh with square node grids
+    (``shape[0] == shape[1]``, the common case; the reference's meshes are
+    all square-shaped too).
+    """
+
+    def __init__(self, disc):
+        geometry = disc.geometry
+        m0, m1 = disc.shape
+        if m0 != m1:
+            raise NotImplementedError(
+                "local exchange requires square cell node grids"
+            )
+        self.disc = disc
+        E = disc.E
+        m = m0
+        self.E, self.m = E, m
+        self.n_loc = disc.n_loc
+        self.ne = m - 2                      # edge-interior nodes per face
+        self.n_edge_block = 4 * self.ne
+
+        hier = geometry.hierarchical_node_order
+        self.hier = hier
+        #: (E, n_loc) global node ids in hierarchical local order
+        self.gather_hier = np.ascontiguousarray(
+            disc.gather_nodes[:, hier], dtype=np.int64
+        )
+
+        # ---- edge pairing -------------------------------------------------
+        nb_lin = np.arange(E * 4, dtype=np.int32)   # default: self
+        has_nb = np.zeros((E, 4), dtype=bool)
+        flip = np.zeros((E, 4), dtype=bool)
+
+        if self.ne > 0:
+            edge_nodes = self.gather_hier[:, 4:4 + self.n_edge_block].reshape(
+                E, 4, self.ne
+            )
+        else:
+            edge_nodes = np.zeros((E, 4, 0), dtype=np.int64)
+
+        for i, fi, j, fj in disc.mesh.face_pairs():
+            if self.ne > 0:
+                mine = edge_nodes[i, fi]
+                theirs = edge_nodes[j, fj]
+                if np.array_equal(mine, theirs):
+                    fl = False
+                elif np.array_equal(mine, theirs[::-1]):
+                    fl = True
+                else:
+                    raise ValueError(
+                        f"faces ({i},{fi})<->({j},{fj}) are not conforming"
+                    )
+                flip[i, fi] = flip[j, fj] = fl
+            nb_lin[i * 4 + fi] = j * 4 + fj
+            nb_lin[j * 4 + fj] = i * 4 + fi
+            has_nb[i, fi] = has_nb[j, fj] = True
+
+        self.nb_lin = jnp.asarray(nb_lin)
+        self.has_nb = jnp.asarray(has_nb[..., None])      # (E, 4, 1)
+        self.flip = jnp.asarray(flip[..., None])          # (E, 4, 1)
+
+        # ---- vertex numbering --------------------------------------------
+        vert_g = self.gather_hier[:, :4]
+        uniq, inv = np.unique(vert_g.ravel(), return_inverse=True)
+        self.n_vertices = uniq.size
+        self.vert_gid = jnp.asarray(inv.astype(np.int32))  # (E*4,)
+
+        # ---- multiplicity weights ----------------------------------------
+        mult = np.asarray(self.dss(jnp.ones((E, self.n_loc))))
+        self.multiplicity = mult
+        self.weights = jnp.asarray(1.0 / mult)
+
+    # -- conversions -------------------------------------------------------
+
+    def local_from_global(self, u_global) -> np.ndarray:
+        """(n_nodes[, k]) -> (E, n_loc[, k]) consistent L-vector."""
+        return np.asarray(u_global)[self.gather_hier]
+
+    def global_from_local(self, uL) -> np.ndarray:
+        """Consistent (E, n_loc[, k]) L-vector -> global (n_nodes[, k])."""
+        uL = np.asarray(uL)
+        out_shape = (self.disc.n_nodes,) + uL.shape[2:]
+        out = np.zeros(out_shape, dtype=uL.dtype)
+        out[self.gather_hier.ravel()] = uL.reshape(
+            (-1,) + uL.shape[2:]
+        )
+        return out
+
+    # -- the exchange ------------------------------------------------------
+
+    def dss(self, vL):
+        """Direct stiffness summation on an L-vector.
+
+        ``vL``: (E, n_loc) or (E, n_loc, k) arbitrary local contributions;
+        returns the consistent summed L-vector (every copy of a shared DOF
+        holds the total).  Jit-compatible.
+        """
+        squeeze = vL.ndim == 2
+        if squeeze:
+            vL = vL[..., None]
+        E, n, k = vL.shape
+        ne, neb = self.ne, self.n_edge_block
+
+        if ne > 0:
+            F = vL[:, 4:4 + neb].reshape(E * 4, ne, k)
+            recv = F[self.nb_lin]                       # (E*4, ne, k)
+            recv = recv.reshape(E, 4, ne, k)
+            recv = jnp.where(
+                self.flip[..., None], jnp.flip(recv, axis=2), recv
+            )
+            recv = jnp.where(self.has_nb[..., None], recv, 0.0)
+            edges = F.reshape(E, 4, ne, k) + recv
+            vL = vL.at[:, 4:4 + neb].set(edges.reshape(E, neb, k))
+
+        verts = vL[:, :4].reshape(E * 4, k)
+        summed = jnp.zeros((self.n_vertices, k), vL.dtype).at[
+            self.vert_gid
+        ].add(verts)
+        vL = vL.at[:, :4].set(summed[self.vert_gid].reshape(E, 4, k))
+
+        return vL[..., 0] if squeeze else vL
+
+    def dot(self, uL, vL):
+        """Global inner product from consistent L-vectors (1/mult weights)."""
+        w = self.weights
+        prod = uL * vL
+        if prod.ndim == 3:
+            w = w[..., None]
+        return jnp.sum(prod * w)
+
+    def norm(self, uL):
+        return jnp.sqrt(self.dot(uL, uL))

@@ -152,6 +152,40 @@ def laplacian_apply_fused(u, gather_nodes, Gf, Dhat, n_nodes):
     ].add(ve.reshape(-1))
 
 
+def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None):
+    """Weak Laplacian acting on hierarchical L-vectors (E, n).
+
+    The production TPU formulation: no global vector in the loop —
+    two large MXU matmuls (via ``Dhat`` with columns permuted into the
+    hierarchical order) + pointwise geometric factors + structured DSS
+    exchange (:class:`..ops.exchange.LocalExchange`).
+
+    ``Gf``: (E, 3, n) lex-flattened geometric factors. ``free_local``:
+    optional (E, n) bool mask for symmetric Dirichlet elimination.
+    """
+    import numpy as np
+
+    Dhat_h = jnp.asarray(np.asarray(Dhat)[:, exchange.hier])
+    n = Dhat_h.shape[1]
+
+    def apply(uL):
+        if free_local is not None:
+            uL = jnp.where(free_local, uL, 0.0)
+        grads = jnp.einsum("en,mn->em", uL, Dhat_h,
+                           precision="highest")          # (E, 2n) lex rows
+        ur, us = grads[:, :n], grads[:, n:]
+        fr = Gf[:, 0] * ur + Gf[:, 1] * us
+        fs = Gf[:, 1] * ur + Gf[:, 2] * us
+        flux = jnp.concatenate([fr, fs], axis=1)
+        ve = jnp.einsum("em,mn->en", flux, Dhat_h, precision="highest")
+        ve = exchange.dss(ve)
+        if free_local is not None:
+            ve = jnp.where(free_local, ve, 0.0)
+        return ve
+
+    return apply
+
+
 def element_apply_flops(E: int, p0: int, p1: int) -> int:
     """FLOPs of one batched Laplacian element apply (matmuls + pointwise)."""
     matmul = 2 * E * (2 * p0 * p0 * p1 + 2 * p0 * p1 * p1)

@@ -33,6 +33,7 @@ def cg_host(
     tol: float = 1e-12,
     atol: float = 0.0,
     max_iter: int = 1000,
+    dot: Callable | None = None,
 ) -> CGResult:
     """PCG with a host-side Python loop (device work = operator applies).
 
@@ -42,28 +43,33 @@ def cg_host(
     """
     if M is None:
         M = lambda r: r  # noqa: E731
+    if dot is None:
+        dot = lambda u, v: jnp.vdot(u, v)  # noqa: E731
     x = jnp.zeros_like(b) if x0 is None else x0
     A = jax.jit(A)
     M = jax.jit(M)
 
-    stop = max(tol * float(jnp.linalg.norm(b)), atol)
+    def norm(v):
+        return float(jnp.sqrt(jnp.real(dot(v, v))))
+
+    stop = max(tol * norm(b), atol)
     r = b - A(x)
     z = M(r)
     p = z
-    rz = jnp.vdot(r, z)
+    rz = dot(r, z)
     k = 0
-    rnorm = float(jnp.linalg.norm(r))
+    rnorm = norm(r)
     while rnorm > stop and k < max_iter:
         Ap = A(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         p = z + (rz_new / rz) * p
         rz = rz_new
         k += 1
-        rnorm = float(jnp.linalg.norm(r))
+        rnorm = norm(r)
     return CGResult(
         x,
         jnp.array(k, dtype=jnp.int32),
@@ -72,7 +78,7 @@ def cg_host(
     )
 
 
-@partial(jax.jit, static_argnames=("A", "M", "max_iter"))
+@partial(jax.jit, static_argnames=("A", "M", "max_iter", "dot"))
 def cg(
     A: Callable,
     b: jax.Array,
@@ -82,44 +88,53 @@ def cg(
     tol: float = 1e-12,
     atol: float = 0.0,
     max_iter: int = 1000,
+    dot: Callable | None = None,
 ) -> CGResult:
     """Solve ``A x = b`` with preconditioned CG.
 
     ``A``: SPD linear operator (callable).  ``M``: preconditioner
     approximating A^-1 (callable), e.g. inverse-diagonal (Jacobi).
-    Stops when ||r||_2 <= max(tol * ||b||_2, atol).
+    ``dot``: custom inner product (e.g. multiplicity-weighted for
+    L-vectors, :meth:`..ops.exchange.LocalExchange.dot`); defaults to the
+    Euclidean one.  Stops when ||r|| <= max(tol * ||b||, atol) in the
+    ``dot``-induced norm.
     """
     if M is None:
         M = lambda r: r  # noqa: E731
+    if dot is None:
+        dot = lambda u, v: jnp.vdot(u, v)  # noqa: E731
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
-    bnorm = jnp.linalg.norm(b)
+    def norm(v):
+        return jnp.sqrt(jnp.real(dot(v, v)))
+
+    bnorm = norm(b)
     stop = jnp.maximum(tol * bnorm, atol)
 
     r0 = b - A(x0)
     z0 = M(r0)
-    rz0 = jnp.vdot(r0, z0)
+    rz0 = dot(r0, z0)
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return (jnp.linalg.norm(r) > stop) & (k < max_iter)
+        return (norm(r) > stop) & (k < max_iter)
 
     def body(state):
         x, r, z, p, rz, k = state
         Ap = A(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
 
     state = (x0, r0, z0, z0, rz0, jnp.array(0, dtype=jnp.int32))
     x, r, z, p, rz, k = jax.lax.while_loop(cond, body, state)
-    rnorm = jnp.linalg.norm(r)
+    rnorm = norm(r)
     return CGResult(x, k, rnorm, rnorm <= stop)
 
 

@@ -1,0 +1,124 @@
+"""Local-vector DSS exchange tests: equivalence with global scatter-add."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectralelementmethod_tpu.basis import gll_basis_2d
+from spectralelementmethod_tpu.core.discretization import Discretization
+from spectralelementmethod_tpu.mesh import annulus_mesh, rectangle_mesh
+from spectralelementmethod_tpu.ops import sumfac
+from spectralelementmethod_tpu.ops.exchange import LocalExchange
+from spectralelementmethod_tpu.models.poisson import Poisson
+
+
+def make(mesh, p):
+    disc = Discretization(mesh, gll_basis_2d(p))
+    return disc, LocalExchange(disc)
+
+
+MESHES = [
+    ("rect", lambda: rectangle_mesh(4, 3, 4), 4),
+    ("rect_p1", lambda: rectangle_mesh(3, 3, 1), 1),  # no edge interiors
+    ("rect_p2", lambda: rectangle_mesh(2, 5, 2), 2),
+    ("annulus", lambda: annulus_mesh(order=3, n_theta=5, n_r=4,
+                                     r_outer=8.0), 3),
+]
+
+
+@pytest.mark.parametrize("name,mk,p", MESHES)
+def test_dss_matches_global_scatter(name, mk, p):
+    """DSS on L-vectors == gather(scatter_add(.)) through the global vector."""
+    disc, ex = make(mk(), p)
+    rng = np.random.RandomState(0)
+    vL = rng.randn(disc.E, disc.n_loc)
+
+    out_local = np.asarray(ex.dss(jnp.asarray(vL)))
+
+    # oracle: scatter into global (hier gather map), gather back
+    g = np.zeros(disc.n_nodes)
+    np.add.at(g, ex.gather_hier.ravel(), vL.ravel())
+    expected = g[ex.gather_hier]
+    np.testing.assert_allclose(out_local, expected, atol=1e-12)
+
+
+@pytest.mark.parametrize("name,mk,p", MESHES[:1])
+def test_dss_with_components(name, mk, p):
+    disc, ex = make(mk(), p)
+    rng = np.random.RandomState(1)
+    vL = rng.randn(disc.E, disc.n_loc, 3)
+    out = np.asarray(ex.dss(jnp.asarray(vL)))
+    for c in range(3):
+        g = np.zeros(disc.n_nodes)
+        np.add.at(g, ex.gather_hier.ravel(), vL[..., c].ravel())
+        np.testing.assert_allclose(out[..., c], g[ex.gather_hier],
+                                   atol=1e-12)
+
+
+def test_multiplicity_and_dot():
+    disc, ex = make(rectangle_mesh(3, 3, 3), 3)
+    # multiplicity: interior 1, edge 2, interior vertices 4
+    assert ex.multiplicity.max() == 4
+    assert ex.multiplicity.min() == 1
+    # weighted dot == global dot
+    rng = np.random.RandomState(2)
+    u = rng.randn(disc.n_nodes)
+    v = rng.randn(disc.n_nodes)
+    uL = jnp.asarray(ex.local_from_global(u))
+    vL = jnp.asarray(ex.local_from_global(v))
+    assert abs(float(ex.dot(uL, vL)) - np.dot(u, v)) < 1e-10
+
+
+def test_local_global_roundtrip():
+    disc, ex = make(rectangle_mesh(2, 4, 5), 5)
+    rng = np.random.RandomState(3)
+    u = rng.randn(disc.n_nodes)
+    np.testing.assert_array_equal(
+        ex.global_from_local(ex.local_from_global(u)), u
+    )
+
+
+def test_local_operator_matches_global():
+    """Local-layout Laplacian == global matrix-free apply."""
+    mesh = rectangle_mesh(3, 3, 5)
+    disc = Discretization(mesh, gll_basis_2d(5))
+    prob = Poisson(disc)
+    ex = LocalExchange(disc)
+
+    Gf = prob._G.reshape(disc.E, 3, -1)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1)
+    )
+    A = sumfac.make_local_laplacian_operator(ex, Gf, Dhat)
+
+    rng = np.random.RandomState(4)
+    u = rng.randn(disc.n_nodes)
+    vL = np.asarray(A(jnp.asarray(ex.local_from_global(u))))
+    v_global = np.asarray(prob.apply_operator(u))
+    np.testing.assert_allclose(
+        ex.global_from_local(vL), v_global, atol=1e-11
+    )
+
+
+def test_solve_local_matches_solve():
+    """Full local-CG Poisson solve == global-CG solve."""
+    mesh = rectangle_mesh(4, 3, 4)
+    disc = Discretization(mesh, gll_basis_2d(4))
+    prob = Poisson(disc)
+    prob.set_dirichlet("ebc", lambda x, y: 0.2 * ((x + 1) + (y + 1)))
+    sol_g = prob.solve(tol=1e-13, host_loop=True)
+    sol_l = prob.solve_local(tol=1e-13, host_loop=True)
+    assert bool(sol_l.cg.converged)
+    np.testing.assert_allclose(sol_l.u, sol_g.u, atol=1e-10)
+
+
+def test_solve_local_curved():
+    mesh = annulus_mesh(order=6, n_theta=6, n_r=6, r_outer=10.0,
+                        progression=1.3)
+    disc = Discretization(mesh, gll_basis_2d(6))
+    prob = Poisson(disc, forcing=0.0)
+    prob.set_dirichlet("sphere", 0.0)
+    prob.set_dirichlet("shell", 1.0)
+    sol = prob.solve_local(tol=1e-13, host_loop=True)
+    exact = lambda x, y: np.log(np.sqrt(x**2 + y**2)) / np.log(10.0)  # noqa
+    assert prob.l2_error(sol.u, exact) < 1e-6
