@@ -27,7 +27,10 @@ def forward_map(disc, e: int, x_param) -> np.ndarray:
 
 
 def inverse_map(disc, e: int, x_phys, x_param_guess=None, it_max: int = 8,
-                tol: float = 1e-8, bound_tol: float = 1e-10) -> np.ndarray:
+                tol: float = 1e-8, bound_tol: float = 1e-7) -> np.ndarray:
+    # bound_tol must absorb the O(h^p) gap between a curved boundary and
+    # its isoparametric interpolant: boundary points of one discretization
+    # can sit slightly "outside" another's polynomial faces.
     """Parametric coordinates of a physical point in element ``e``.
 
     Newton iteration on the isoparametric map, Jacobian interpolated at the
@@ -58,15 +61,21 @@ def inverse_map(disc, e: int, x_phys, x_param_guess=None, it_max: int = 8,
         return np.clip(x_param, -1.0, 1.0)
     raise OutsideDomain(
         "Given physical point is not in the parametric domain of the "
-        "finite element."
+        "finite element.", x_param,
     )
 
 
-def find_element_containing_point(disc, point, max_candidates=None):
+def find_element_containing_point(disc, point, max_candidates=None,
+                                  extrapolate_tol: float = 0.0):
     """(element, x_param) for the element containing ``point``.
 
     Candidates are scanned in order of centroid distance
-    (parity: ``sem/discrete.py:263-280``).
+    (parity: ``sem/discrete.py:263-280``).  With ``extrapolate_tol > 0``,
+    a point that no element strictly contains (e.g. a curved-boundary
+    point of a *different* discretization sitting O(h^p) outside this
+    one's isoparametric boundary) is assigned to the element whose
+    converged parametric coordinate exceeds [-1, 1] the least, provided
+    that excess is below the tolerance.
     """
     point = np.asarray(point, dtype=np.float64)
     centroids = disc.mesh.centroids
@@ -74,22 +83,32 @@ def find_element_containing_point(disc, point, max_candidates=None):
     order = np.argsort(dist)
     if max_candidates is not None:
         order = order[:max_candidates]
+    best = None  # (excess, element, x_param)
     for e in order:
         try:
             x_param = inverse_map(disc, int(e), point)
             return int(e), x_param
-        except OutsideDomain:
-            continue
+        except OutsideDomain as exc:
+            if extrapolate_tol > 0.0 and len(exc.args) > 1:
+                x_param = np.asarray(exc.args[1])
+                excess = float(np.max(np.maximum(np.abs(x_param) - 1.0, 0)))
+                if best is None or excess < best[0]:
+                    best = (excess, int(e), x_param)
+    if best is not None and best[0] <= extrapolate_tol:
+        return best[1], np.clip(best[2], -1.0, 1.0)
     raise OutsideDomain(
         f"Point {point} appears outside the domain of the mesh."
     )
 
 
-def interpolate(disc, coeffs, points) -> np.ndarray:
+def interpolate(disc, coeffs, points, extrapolate_tol: float = 1e-3
+                ) -> np.ndarray:
     """Evaluate a global nodal field at arbitrary physical points.
 
     ``coeffs``: (..., n_nodes); ``points``: (ndim,) or (M, ndim).
     Returns (..., ) or (..., M).  Parity: ``sem/discrete.py:221-233``.
+    Points marginally outside curved boundaries are clipped into the
+    nearest element (see :func:`find_element_containing_point`).
     """
     coeffs = np.asarray(coeffs)
     points = np.asarray(points, dtype=np.float64)
@@ -97,7 +116,9 @@ def interpolate(disc, coeffs, points) -> np.ndarray:
     pts = points.reshape(-1, disc.ndim)
     out = np.zeros(coeffs.shape[:-1] + (pts.shape[0],))
     for k, pt in enumerate(pts):
-        e, x_param = find_element_containing_point(disc, pt)
+        e, x_param = find_element_containing_point(
+            disc, pt, extrapolate_tol=extrapolate_tol
+        )
         local = coeffs[..., disc.gather_nodes[e]].reshape(
             coeffs.shape[:-1] + disc.shape
         )

@@ -1,0 +1,154 @@
+"""Squirmer (axisymmetric Navier-Stokes) end-to-end tests.
+
+Oracles (SURVEY.md §4):
+
+* Stokes limit: swimming speed -> 1 for the 3/2 sin(th)(1+beta cos(th))
+  slip (classical squirmer result U = (2/3) B1, B1 = 3/2), fixed-sphere
+  drag -> -6 pi;
+* the reference's only quantitative end-to-end value: speed
+  0.92571156681483957 at Re=1, beta=1 on the donut mesh at p=8
+  (``examples/squirmer-axisymmetric.py:666-671``);
+* checkpoint/resume and continuation-driver behavior.
+"""
+
+import numpy as np
+import pytest
+
+from spectralelementmethod_tpu.mesh import annulus_mesh
+from spectralelementmethod_tpu.models import squirmer as sqm
+from spectralelementmethod_tpu.solver.rootfind import SolverFailure
+
+
+def coarse_mesh():
+    return annulus_mesh(order=6, n_theta=6, n_r=10, r_outer=100.0,
+                        progression=1.6)
+
+
+@pytest.fixture(scope="module")
+def coarse_squirmer():
+    sq = sqm.Squirmer(coarse_mesh(), order=6)
+    return sq
+
+
+class TestStokesLimit:
+    def test_swimming_speed_is_one(self, coarse_squirmer):
+        sq = coarse_squirmer
+        sq.set_initial_guess()
+        speed = sq.calc_speed([0.99, 1.01], n_rey=0.01, beta=1.0,
+                              verbose=False)
+        # analytic U = 1 up to finite-domain (R=100) and Re=0.01 effects
+        assert abs(speed - 1.0) < 5e-3
+
+    def test_fixed_sphere_drag(self):
+        fs = sqm.FixedSphere(coarse_mesh(), order=6)
+        fs.run(0.01, verbose=False)
+        force = fs.calc_force()
+        # Stokes drag -6 pi (flow from +z pushes the sphere downstream),
+        # with O(1%) finite-domain/Oseen corrections
+        assert abs(force - (-6 * np.pi)) < 0.06 * 6 * np.pi
+        assert force < 0
+
+    def test_newton_quadratic_convergence(self, coarse_squirmer):
+        """Exact autodiff Jacobians: Newton converges in a few iterations."""
+        sq = coarse_squirmer
+        sq.set_initial_guess()
+        sq.compute_operators(0.5)
+        sq.set_boundary_conditions(speed=1.0, beta=0.5)
+        sq.solve(it_max=8, tol=1e-10, verbose=False)  # raises on failure
+
+    def test_solver_failure_raised(self, coarse_squirmer):
+        sq = coarse_squirmer
+        sq.set_initial_guess()
+        sq.compute_operators(1.0)
+        sq.set_boundary_conditions(speed=1.0, beta=1.0)
+        with pytest.raises(SolverFailure):
+            sq.solve(it_max=1, tol=1e-14, verbose=False)
+
+
+class TestGoldenValue:
+    def test_reference_golden_speed(self):
+        """The reference's documented oracle at its own resolution:
+        donut mesh (9 x 15 transfinite, progression 1.35, R=100), p=8,
+        Re=1, beta=1 -> 0.92571156681483957.  Our polar-exact mesh differs
+        from Gmsh's Coons-patch interior node placement at the 1e-6 level.
+        """
+        mesh = annulus_mesh(order=8, n_theta=9, n_r=15, r_outer=100.0,
+                            progression=1.35)
+        sq = sqm.Squirmer(mesh, order=8)
+        sq.set_initial_guess()
+        speed = sq.calc_speed([0.99, 1.01], n_rey=1.0, beta=1.0,
+                              verbose=False)
+        assert abs(speed - 0.92571156681483957) < 1e-5
+
+
+class TestCheckpointAndContinuation:
+    def test_save_load_roundtrip(self, coarse_squirmer, tmp_path):
+        import h5py
+
+        sq = coarse_squirmer
+        sq.set_initial_guess()
+        sq.calc_speed([0.99, 1.01], n_rey=0.01, beta=1.0, verbose=False)
+        path = str(tmp_path / "results.h5")
+        with h5py.File(path, "w") as f:
+            sq.save_data(f)
+        soln_before = sq.soln_vec.copy()
+        speed_before = sq.phys_params["speed"]
+
+        sq.soln_vec = np.zeros_like(sq.soln_vec)
+        with h5py.File(path, "r") as f:
+            label = [k for k in f.keys()][0]
+            assert label == "Re=1.00e-02,beta=1.00e+00"
+            sq.load_data(f[label])
+        np.testing.assert_array_equal(sq.soln_vec, soln_before)
+        assert sq.phys_params["speed"] == speed_before
+
+    def test_continuation_sweep_and_resume(self, coarse_squirmer, tmp_path):
+        import h5py
+
+        sq = coarse_squirmer
+        path = str(tmp_path / "sweep.h5")
+        speeds = sqm.main(sq, [0.01, 0.05], [1.0], filename=path,
+                          verbose=False)
+        assert set(speeds) == {(0.01, 1.0), (0.05, 1.0)}
+        with h5py.File(path, "r") as f:
+            assert "Re=1.00e-02,beta=1.00e+00" in f
+            assert "Re=5.00e-02,beta=1.00e+00" in f
+
+        # resume: both points load from file (no solves); speeds identical
+        speeds2 = sqm.main(sq, [0.01, 0.05], [1.0], filename=path,
+                           verbose=False)
+        assert speeds2 == speeds
+
+    def test_guess_from(self, coarse_squirmer):
+        sq = coarse_squirmer
+        sq.set_initial_guess()
+        sq.calc_speed([0.99, 1.01], n_rey=0.01, beta=1.0, verbose=False)
+
+        other = sqm.Squirmer(
+            annulus_mesh(order=4, n_theta=5, n_r=8, r_outer=100.0,
+                         progression=1.8),
+            order=4,
+        )
+        other.guess_from(sq)
+        # warm-started field should resemble the source solution at shared
+        # physical locations (sample the stream function near the sphere)
+        from spectralelementmethod_tpu.core import pointlocate as pl
+
+        pts = np.array([[1.5, 0.3], [2.0, -1.0]])
+        a = pl.interpolate(sq.disc, sq.soln[:, 0], pts)
+        b = pl.interpolate(other.disc, other.soln[:, 0], pts)
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+def test_reference_api_names():
+    """Reference-parity entry points exist."""
+    assert hasattr(sqm, "squirmer_vslip_profile")
+    assert hasattr(sqm, "zero_slip_vel")
+    assert hasattr(sqm, "sfn_potential")
+    assert hasattr(sqm, "sfn_free_stream")
+    sq_cls = sqm.Squirmer
+    for name in ("run", "solve", "calc_force", "calc_speed", "save_data",
+                 "load_data", "guess_from", "set_initial_guess",
+                 "set_boundary_conditions", "compute_operators",
+                 "pre_assembly"):
+        assert hasattr(sq_cls, name), name
