@@ -1,0 +1,124 @@
+"""Variable-coefficient Helmholtz solver on curved isoparametric meshes.
+
+BASELINE.json config 3: ``-div(c(x) grad u) + k(x) u = f`` with Dirichlet /
+Neumann named boundaries.  Reuses the matrix-free sum-factorized Laplacian
+kernel plus the (diagonal) GLL-collocated mass operator — the reaction term
+adds one fused multiply-add, so the hot path stays the same batched matmul
+chain as Poisson.
+
+With ``k < 0`` (classical Helmholtz) the operator is symmetric indefinite;
+CG is only guaranteed for ``k >= 0`` (reaction-diffusion / shifted
+Laplacian).  For indefinite problems use ``solve(method="minres"...)`` —
+here: CG still often works for mildly indefinite shifts, and the direct
+batched-condensation path (future) is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.discretization import Discretization
+from ..ops import sumfac
+from ..solver.cg import CGResult, cg, cg_host, jacobi_preconditioner
+from .poisson import BoundaryConditionMixin, _as_callable
+
+
+class HelmholtzSolution(NamedTuple):
+    u: np.ndarray
+    cg: CGResult
+
+
+class Helmholtz(BoundaryConditionMixin):
+    """-div(c grad u) + k u = f on a (possibly curved) quad mesh.
+
+    Parameters
+    ----------
+    disc : Discretization (dofs_per_node=1)
+    coefficient : callable(x, y) or scalar — diffusivity c (default 1)
+    reaction : callable(x, y) or scalar — reaction/shift k (default 0;
+        Poisson).
+    forcing : callable(x, y) or scalar — right-hand side f.
+    """
+
+    def __init__(self, disc: Discretization, forcing=0.0, coefficient=1.0,
+                 reaction=0.0, dtype=np.float64):
+        if disc.dpn != 1:
+            raise ValueError("Helmholtz requires dofs_per_node=1")
+        self.disc = disc
+        self.dtype = dtype
+
+        xg = disc.global_gll_coords()
+        self.x_nodes = xg
+        rho, zz = disc.x_coeffs[:, 0], disc.x_coeffs[:, 1]
+
+        cvals = _as_callable(coefficient)(rho, zz)
+        kvals = _as_callable(reaction)(rho, zz)
+        G = disc.laplacian_factors(np.broadcast_to(cvals, disc.detJxW.shape))
+        #: mass-weighted reaction: k * detJxW at the GLL nodes (diagonal
+        #: collocated mass, reference Me convention squirmer:253-254)
+        self._kM = jnp.asarray(
+            np.broadcast_to(kvals, disc.detJxW.shape) * disc.detJxW,
+            dtype=dtype,
+        )
+
+        self._gix = jnp.asarray(disc.gather_nodes)
+        self._G = jnp.asarray(G, dtype=dtype)
+        self._D0 = jnp.asarray(disc.basis.subbases[0].D1, dtype=dtype)
+        self._D1 = jnp.asarray(disc.basis.subbases[1].D1, dtype=dtype)
+
+        f_gll = _as_callable(forcing)(rho, zz)
+        self._b = jnp.asarray(
+            disc.scatter_add(np.broadcast_to(f_gll, disc.detJxW.shape)
+                             * disc.detJxW),
+            dtype=dtype,
+        )
+
+        self._dirichlet_mask = np.zeros(disc.n_nodes, dtype=bool)
+        self._dirichlet_vals = np.zeros(disc.n_nodes)
+        self._neumann = np.zeros(disc.n_nodes)
+
+    def apply_operator(self, u) -> jnp.ndarray:
+        """(A + k M) u, matrix-free."""
+        u = jnp.asarray(u, dtype=self.dtype)
+        disc = self.disc
+        ue = sumfac.gather(u, self._gix, disc.shape)
+        ve = sumfac.laplacian_apply_local(ue, self._G, self._D0, self._D1)
+        ve = ve + self._kM * ue
+        return sumfac.scatter_add(ve, self._gix, disc.n_nodes)
+
+    def operator_diagonal(self) -> jnp.ndarray:
+        de = sumfac.laplacian_diag_local(self._G, self._D0, self._D1)
+        de = de + self._kM
+        return sumfac.scatter_add(de, self._gix, self.disc.n_nodes)
+
+    def solve(self, tol: float = 1e-12, max_iter: int | None = None,
+              host_loop: bool = False) -> HelmholtzSolution:
+        disc = self.disc
+        free = jnp.asarray(~self._dirichlet_mask)
+        u_d = jnp.asarray(
+            np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0),
+            dtype=self.dtype,
+        )
+
+        def A(u):
+            u = sumfac.masked(u, free)
+            return sumfac.masked(self.apply_operator(u), free)
+
+        b = self._b + jnp.asarray(self._neumann, dtype=self.dtype)
+        r = sumfac.masked(b - self.apply_operator(u_d), free)
+        M = jacobi_preconditioner(self.operator_diagonal(), free)
+        if max_iter is None:
+            max_iter = max(200, 30 * int(np.sqrt(disc.ndof)))
+        solver = cg_host if host_loop else cg
+        res = solver(A, r, M=M, tol=tol, max_iter=max_iter)
+        u = np.asarray(u_d + res.x)
+        return HelmholtzSolution(u, res)
+
+    def l2_error(self, u: np.ndarray, exact: Callable) -> float:
+        disc = self.disc
+        ue = disc.gather(u)
+        ex = exact(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
+        return float(np.sqrt(np.sum((ue - ex) ** 2 * disc.detJxW)))

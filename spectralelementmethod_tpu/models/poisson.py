@@ -39,7 +39,37 @@ def _as_callable(value) -> Callable:
     return lambda x, y: np.full_like(np.asarray(x, float), float(value))
 
 
-class Poisson:
+class BoundaryConditionMixin:
+    """Named-boundary Dirichlet/Neumann handling shared by scalar models.
+
+    Requires ``self.disc``, ``self.x_nodes``, ``self._dirichlet_mask``,
+    ``self._dirichlet_vals``, ``self._neumann``.
+    """
+
+    def set_dirichlet(self, boundary_name: str, value) -> None:
+        """Essential BC u = g(x, y) on a named boundary."""
+        g = _as_callable(value)
+        nodes = self.disc.face_global_nodes(boundary_name).ravel()
+        x = self.x_nodes[:, nodes]
+        self._dirichlet_mask[nodes] = True
+        self._dirichlet_vals[nodes] = g(x[0], x[1])
+
+    def set_neumann(self, boundary_name: str, value) -> None:
+        """Natural BC: adds the contour integral ∫ g v dS to the RHS.
+
+        Homogeneous Neumann needs no call (it is the do-nothing BC, as in
+        ``examples/poisson.py:141-143``).
+        """
+        g = _as_callable(value)
+        disc = self.disc
+        fg = disc.face_geometry(boundary_name)
+        gvals = g(fg.x[:, 0], fg.x[:, 1])  # (k, m)
+        contrib = gvals * fg.dSxW
+        gidx = disc.face_global_nodes(boundary_name)
+        np.add.at(self._neumann, gidx.ravel(), contrib.ravel())
+
+
+class Poisson(BoundaryConditionMixin):
     """Poisson problem on a discretized mesh.
 
     Parameters
@@ -89,30 +119,6 @@ class Poisson:
         self._dirichlet_mask = np.zeros(disc.n_nodes, dtype=bool)
         self._dirichlet_vals = np.zeros(disc.n_nodes)
         self._neumann = np.zeros(disc.n_nodes)
-
-    # -- boundary conditions -------------------------------------------------
-
-    def set_dirichlet(self, boundary_name: str, value) -> None:
-        """Essential BC u = g(x, y) on a named boundary."""
-        g = _as_callable(value)
-        nodes = self.disc.face_global_nodes(boundary_name).ravel()
-        x = self.x_nodes[:, nodes]
-        self._dirichlet_mask[nodes] = True
-        self._dirichlet_vals[nodes] = g(x[0], x[1])
-
-    def set_neumann(self, boundary_name: str, value) -> None:
-        """Natural BC: adds the contour integral ∫ g v dS to the RHS.
-
-        Homogeneous Neumann needs no call (it is the do-nothing BC, as in
-        ``examples/poisson.py:141-143``).
-        """
-        g = _as_callable(value)
-        disc = self.disc
-        fg = disc.face_geometry(boundary_name)
-        gvals = g(fg.x[:, 0], fg.x[:, 1])  # (k, m)
-        contrib = gvals * fg.dSxW
-        gidx = disc.face_global_nodes(boundary_name)
-        np.add.at(self._neumann, gidx.ravel(), contrib.ravel())
 
     # -- operator access -------------------------------------------------------
 
