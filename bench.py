@@ -86,11 +86,15 @@ def main():
     ap.add_argument("--elements", type=int, default=100_000)
     ap.add_argument("--order", type=int, default=8)
     ap.add_argument("--f64", action="store_true")
-    ap.add_argument("--kernel", choices=["local", "fused", "peraxis"],
+    ap.add_argument("--kernel",
+                    choices=["local", "pallas", "xla-local", "fused",
+                             "peraxis"],
                     default="local",
                     help="local = L-vector storage + structured DSS exchange "
-                         "(production path); fused/peraxis = global-vector "
-                         "gather/scatter variants")
+                         "with auto backend (fused Pallas kernel on TPU); "
+                         "pallas / xla-local force that backend; "
+                         "fused/peraxis = global-vector gather/scatter "
+                         "variants")
     ap.add_argument("--reps", type=int, default=50)
     args = ap.parse_args()
 
@@ -136,15 +140,19 @@ def main():
     rng = np.random.RandomState(1)
     u_global = rng.random_sample(n_nodes).astype(dtype)
 
-    if args.kernel == "local":
+    if args.kernel in ("local", "pallas", "xla-local"):
+        backend = {"local": "auto", "pallas": "pallas",
+                   "xla-local": "xla"}[args.kernel]
         t0 = time.perf_counter()
         ex = LocalExchange(disc)
         t_setup += time.perf_counter() - t0
-        one_apply = sumfac.make_local_laplacian_operator(ex, Gf, Dhat)
+        one_apply = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, backend=backend)
         vec0 = jnp.asarray(ex.local_from_global(u_global))
         dot = ex.dot
         free = jnp.asarray((~prob._dirichlet_mask)[ex.gather_hier])
-        A_cg = sumfac.make_local_laplacian_operator(ex, Gf, Dhat, free)
+        A_cg = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, free, backend=backend)
         diagL = jnp.asarray(
             ex.local_from_global(np.asarray(prob.operator_diagonal()))
             .astype(dtype))

@@ -99,8 +99,16 @@ class LocalExchange:
         self.n_vertices = uniq.size
         self.vert_gid = jnp.asarray(inv.astype(np.int32))  # (E*4,)
 
-        # ---- multiplicity weights ----------------------------------------
-        mult = np.asarray(self.dss(jnp.ones((E, self.n_loc))))
+        # ---- multiplicity weights (host-side: a device round-trip here
+        # costs minutes through a remote-TPU tunnel) -----------------------
+        mult = np.ones((E, self.n_loc))
+        if self.ne > 0:
+            # edge-interior nodes of faces with a neighbor appear twice
+            mult[:, 4:4 + self.n_edge_block] += np.repeat(
+                has_nb, self.ne, axis=1
+            )
+        vert_counts = np.bincount(inv, minlength=self.n_vertices)
+        mult[:, :4] = vert_counts[inv].reshape(E, 4)
         self.multiplicity = mult
         self.weights = jnp.asarray(1.0 / mult)
 
@@ -156,8 +164,8 @@ class LocalExchange:
 
     def dot(self, uL, vL):
         """Global inner product from consistent L-vectors (1/mult weights)."""
-        w = self.weights
         prod = uL * vL
+        w = self.weights.astype(prod.dtype)
         if prod.ndim == 3:
             w = w[..., None]
         return jnp.sum(prod * w)

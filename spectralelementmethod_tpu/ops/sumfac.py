@@ -152,7 +152,8 @@ def laplacian_apply_fused(u, gather_nodes, Gf, Dhat, n_nodes):
     ].add(ve.reshape(-1))
 
 
-def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None):
+def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
+                                  backend: str = "auto"):
     """Weak Laplacian acting on hierarchical L-vectors (E, n).
 
     The production TPU formulation: no global vector in the loop —
@@ -162,22 +163,54 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None):
 
     ``Gf``: (E, 3, n) lex-flattened geometric factors. ``free_local``:
     optional (E, n) bool mask for symmetric Dirichlet elimination.
+    ``backend``: 'auto' (fused Pallas kernel on TPU, XLA einsums
+    elsewhere), 'pallas', 'pallas-interpret' (CPU testing), or 'xla'.
     """
     import numpy as np
 
-    Dhat_h = jnp.asarray(np.asarray(Dhat)[:, exchange.hier])
+    # operate in Gf's dtype (Dhat often arrives float64 from numpy setup)
+    Dhat_h = jnp.asarray(np.asarray(Dhat)[:, exchange.hier],
+                         dtype=jnp.asarray(Gf).dtype)
     n = Dhat_h.shape[1]
+
+    if backend == "auto":
+        from . import pallas_kernels
+
+        # Pallas TPU kernels are compiled for f32/bf16; fall back to XLA
+        # einsums for float64 (x64 reference-matching mode) or other
+        # backends (CPU/virtual-device test meshes).
+        use_pallas = (pallas_kernels.supported()
+                      and jnp.asarray(Gf).dtype != jnp.float64)
+        backend = "pallas" if use_pallas else "xla"
+
+    if backend in ("pallas", "pallas-interpret"):
+        from . import pallas_kernels
+
+        Gf_d = jnp.asarray(Gf)
+        g0, g1, g2 = Gf_d[:, 0], Gf_d[:, 1], Gf_d[:, 2]
+        interp = backend == "pallas-interpret"
+
+        def local_apply(uL):
+            return pallas_kernels.fused_laplacian_local(
+                uL, g0, g1, g2, Dhat_h, interpret=interp
+            )
+    elif backend == "xla":
+        def local_apply(uL):
+            grads = jnp.einsum("en,mn->em", uL, Dhat_h,
+                               precision="highest")      # (E, 2n) lex rows
+            ur, us = grads[:, :n], grads[:, n:]
+            fr = Gf[:, 0] * ur + Gf[:, 1] * us
+            fs = Gf[:, 1] * ur + Gf[:, 2] * us
+            flux = jnp.concatenate([fr, fs], axis=1)
+            return jnp.einsum("em,mn->en", flux, Dhat_h,
+                              precision="highest")
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
 
     def apply(uL):
         if free_local is not None:
             uL = jnp.where(free_local, uL, 0.0)
-        grads = jnp.einsum("en,mn->em", uL, Dhat_h,
-                           precision="highest")          # (E, 2n) lex rows
-        ur, us = grads[:, :n], grads[:, n:]
-        fr = Gf[:, 0] * ur + Gf[:, 1] * us
-        fs = Gf[:, 1] * ur + Gf[:, 2] * us
-        flux = jnp.concatenate([fr, fs], axis=1)
-        ve = jnp.einsum("em,mn->en", flux, Dhat_h, precision="highest")
+        ve = local_apply(uL)
         ve = exchange.dss(ve)
         if free_local is not None:
             ve = jnp.where(free_local, ve, 0.0)

@@ -1,0 +1,115 @@
+"""Pallas fused element-apply kernels vs. the XLA einsum reference path.
+
+Runs the kernels in Pallas interpreter mode on the CPU backend (the suite's
+TPU-free analogue of on-device testing); the same code path compiles with
+Mosaic on real TPU hardware (exercised by bench.py --kernel pallas).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectralelementmethod_tpu.basis import gll_basis_2d
+from spectralelementmethod_tpu.core.discretization import Discretization
+from spectralelementmethod_tpu.mesh import rectangle_mesh
+from spectralelementmethod_tpu.models.poisson import Poisson
+from spectralelementmethod_tpu.ops import pallas_kernels, sumfac
+from spectralelementmethod_tpu.ops.exchange import LocalExchange
+
+
+@pytest.fixture(scope="module")
+def problem():
+    p = 4
+    mesh = rectangle_mesh(3, 3, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    ex = LocalExchange(disc)
+    Gf = jnp.asarray(np.asarray(prob._G), dtype=jnp.float32).reshape(
+        disc.E, 3, -1
+    )
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1)
+    ).astype(np.float32)
+    return disc, ex, Gf, Dhat
+
+
+def test_fused_kernel_matches_xla(problem):
+    disc, ex, Gf, Dhat = problem
+    rng = np.random.RandomState(3)
+    uL = jnp.asarray(
+        rng.standard_normal((disc.E, disc.n_loc)).astype(np.float32)
+    )
+
+    A_xla = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, backend="xla"
+    )
+    A_pl = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, backend="pallas-interpret"
+    )
+    np.testing.assert_allclose(
+        np.asarray(A_pl(uL)), np.asarray(A_xla(uL)), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_kernel_partial_block(problem):
+    """E not divisible by block_e: padded rows must not corrupt results."""
+    disc, ex, Gf, Dhat = problem
+    Dhat_h = jnp.asarray(Dhat[:, ex.hier], dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    uL = jnp.asarray(
+        rng.standard_normal((disc.E, disc.n_loc)).astype(np.float32)
+    )
+    g0, g1, g2 = Gf[:, 0], Gf[:, 1], Gf[:, 2]
+
+    full = pallas_kernels.fused_laplacian_local(
+        uL, g0, g1, g2, Dhat_h, block_e=disc.E, interpret=True
+    )
+    # block of 8 does not divide E=9: exercises the final partial block
+    assert disc.E % 8 != 0
+    part = pallas_kernels.fused_laplacian_local(
+        uL, g0, g1, g2, Dhat_h, block_e=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(part), np.asarray(full), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_vector_kernel_matches_scalar(problem):
+    """k-component kernel == scalar kernel applied per component."""
+    disc, ex, Gf, Dhat = problem
+    Dhat_h = jnp.asarray(Dhat[:, ex.hier], dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    k = 2
+    comps = [
+        jnp.asarray(
+            rng.standard_normal((disc.E, disc.n_loc)).astype(np.float32)
+        )
+        for _ in range(k)
+    ]
+    g0, g1, g2 = Gf[:, 0], Gf[:, 1], Gf[:, 2]
+
+    packed = jnp.concatenate(comps, axis=1)
+    out = pallas_kernels.fused_vector_laplacian_local(
+        packed, g0, g1, g2, Dhat_h, interpret=True
+    )
+    for c in range(k):
+        ref = pallas_kernels.fused_laplacian_local(
+            comps[c], g0, g1, g2, Dhat_h, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[:, c * disc.n_loc:(c + 1) * disc.n_loc]),
+            np.asarray(ref), rtol=1e-6, atol=1e-6,
+        )
+
+
+def test_auto_backend_on_cpu_is_xla(problem):
+    """auto must not select Pallas off-TPU; solve still works end to end."""
+    assert not pallas_kernels.supported()
+    p = 3
+    mesh = rectangle_mesh(2, 2, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    sol = prob.solve_local(tol=1e-6)
+    assert np.all(np.isfinite(sol.u))
