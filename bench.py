@@ -114,7 +114,7 @@ def main():
     from spectralelementmethod_tpu.mesh import rectangle_mesh
     from spectralelementmethod_tpu.models.poisson import Poisson
     from spectralelementmethod_tpu.ops import sumfac
-    from spectralelementmethod_tpu.ops.exchange import LocalExchange
+    from spectralelementmethod_tpu.ops.exchange import make_exchange
     from spectralelementmethod_tpu.solver.cg import cg, jacobi_preconditioner
 
     p = args.order
@@ -144,7 +144,7 @@ def main():
         backend = {"local": "auto", "pallas": "pallas",
                    "xla-local": "xla"}[args.kernel]
         t0 = time.perf_counter()
-        ex = LocalExchange(disc)
+        ex = make_exchange(disc)
         t_setup += time.perf_counter() - t0
         one_apply = sumfac.make_local_laplacian_operator(
             ex, Gf, Dhat, backend=backend)

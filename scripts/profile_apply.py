@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain(f, x0, reps=20):
+def chain(f, x0, reps=100):
     @jax.jit
     def run(x):
         def body(i, x):
@@ -35,6 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--elements", type=int, default=100_000)
     ap.add_argument("--order", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=100)
     args = ap.parse_args()
 
     from spectralelementmethod_tpu.basis import gll_basis_2d
@@ -42,7 +43,8 @@ def main():
     from spectralelementmethod_tpu.mesh import rectangle_mesh
     from spectralelementmethod_tpu.models.poisson import Poisson
     from spectralelementmethod_tpu.ops import pallas_kernels, sumfac
-    from spectralelementmethod_tpu.ops.exchange import LocalExchange
+    from spectralelementmethod_tpu.ops.exchange import (LocalExchange,
+                                                        RollExchange)
 
     p = args.order
     nx = max(int(np.sqrt(args.elements)), 1)
@@ -87,13 +89,21 @@ def main():
         return v.at[:, :4].set(summed[ex.vert_gid].reshape(E, 4))
 
     A_xla = sumfac.make_local_laplacian_operator(ex, Gf, Dhat, backend="xla")
+    exR = RollExchange(disc)
+    print(f"roll classes: {len(exR.edge_classes)} edge, "
+          f"{len(exR.vert_classes)} vert, tail {exR.tail_fraction:.4f}",
+          flush=True)
+    A_roll = sumfac.make_local_laplacian_operator(
+        exR, Gf, Dhat, backend="xla")
 
     pieces = {
         "matmuls_only": matmuls_only,
         "edge_exchange": edge_only,
         "vertex_exchange": vert_only,
         "dss_full": ex.dss,
+        "dss_roll": exR.dss,
         "apply_xla": A_xla,
+        "apply_roll_xla": A_roll,
     }
     if pallas_kernels.supported():
         def pl_local(u):
@@ -101,13 +111,14 @@ def main():
                 u, g0, g1, g2, Dhat_h)
 
         A_pl = sumfac.make_local_laplacian_operator(
-            ex, Gf, Dhat, backend="pallas")
+            exR, Gf, Dhat, backend="pallas")
         pieces["pallas_local_only"] = pl_local
-        pieces["apply_pallas"] = A_pl
+        pieces["apply_roll_pallas"] = A_pl
 
     for name, f in pieces.items():
-        t = chain(f, uL)
-        print(f"{name:20s} {t * 1e3:8.3f} ms")
+        t = chain(f, uL, reps=args.reps)
+        print(f"{name:20s} {t * 1e3:8.3f} ms   "
+              f"(total {t * args.reps:6.2f} s)", flush=True)
 
 
 if __name__ == "__main__":

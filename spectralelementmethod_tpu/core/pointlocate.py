@@ -101,6 +101,41 @@ def find_element_containing_point(disc, point, max_candidates=None,
     )
 
 
+def locate_points(disc, points, extrapolate_tol: float = 0.0,
+                  max_candidates: int = 16):
+    """Batched point location: (elem (Q,), xi (Q, ndim)).
+
+    Uses the native C++ locator (bin-grid candidate search + Newton inverse
+    map, ``..native.meshkit``) when the toolchain is available — the
+    framework's counterpart of the reference's C interpolation prototype
+    (``sem/bary_interp.c``) — and falls back to the per-point Python scan.
+    ``elem`` is -1 for points outside the mesh.
+    """
+    from .. import native
+
+    points = np.asarray(points, dtype=np.float64).reshape(-1, disc.ndim)
+    if disc.ndim == 2 and native.available():
+        b0 = disc.map_basis.subbases[0]
+        b1 = disc.map_basis.subbases[1]
+        return native.locate_points(
+            disc.mesh.centroids, disc.x_coeffs, disc.J,
+            b0.nodes, b0.bary_wts, b1.nodes, b1.bary_wts,
+            points, extrapolate_tol=extrapolate_tol,
+            max_candidates=max_candidates,
+        )
+    elem = np.full(points.shape[0], -1, dtype=np.int64)
+    xi = np.zeros((points.shape[0], disc.ndim))
+    for q, pt in enumerate(points):
+        try:
+            e, x_param = find_element_containing_point(
+                disc, pt, extrapolate_tol=extrapolate_tol
+            )
+            elem[q], xi[q] = e, x_param
+        except OutsideDomain:
+            pass
+    return elem, xi
+
+
 def interpolate(disc, coeffs, points, extrapolate_tol: float = 1e-3
                 ) -> np.ndarray:
     """Evaluate a global nodal field at arbitrary physical points.
@@ -115,10 +150,12 @@ def interpolate(disc, coeffs, points, extrapolate_tol: float = 1e-3
     single = points.ndim == 1
     pts = points.reshape(-1, disc.ndim)
     out = np.zeros(coeffs.shape[:-1] + (pts.shape[0],))
-    for k, pt in enumerate(pts):
-        e, x_param = find_element_containing_point(
-            disc, pt, extrapolate_tol=extrapolate_tol
-        )
+    elems, xis = locate_points(disc, pts, extrapolate_tol=extrapolate_tol)
+    for k, (e, x_param) in enumerate(zip(elems, xis)):
+        if e < 0:
+            raise OutsideDomain(
+                f"Point {pts[k]} appears outside the domain of the mesh."
+            )
         local = coeffs[..., disc.gather_nodes[e]].reshape(
             coeffs.shape[:-1] + disc.shape
         )

@@ -82,11 +82,15 @@ def structured_patch_mesh(
     gid = mesh.add_geometry(geometry)
     rid = mesh.new_region(region)
 
+    # all element node maps at once: cell (i, j) covers global grid rows
+    # i*p..i*p+p and columns j*p..j*p+p (cell numbering: i * ny + j)
     glob = np.arange(u.size * v.size).reshape(u.size, v.size)
-    for i in range(nx):
-        for j in range(ny):
-            node_map = glob[i * p:(i + 1) * p + 1, j * p:(j + 1) * p + 1]
-            mesh.add_cell(node_map, gid, rid)
+    i0 = (np.arange(nx) * p)[:, None, None, None]
+    j0 = (np.arange(ny) * p)[None, :, None, None]
+    ii = i0 + np.arange(p + 1)[None, None, :, None]
+    jj = j0 + np.arange(p + 1)[None, None, None, :]
+    node_maps = glob[ii, jj].reshape(nx * ny, p + 1, p + 1)
+    mesh.add_cells(node_maps, gid, rid)
 
     mesh.find_neighbors()
 
@@ -95,18 +99,17 @@ def structured_patch_mesh(
         for side, name in boundary_names.items():
             if name not in ids:
                 ids[name] = mesh.new_boundary(name)
-        # patch side -> (cells, face number):  faces are
+        # patch side -> (cell numbers, face number):  faces are
         # 0=west(u0=0) 1=east 2=south(u1=0) 3=north of each cell
         side_cells = {
-            "west": ([(0, j) for j in range(ny)], 0),
-            "east": ([(nx - 1, j) for j in range(ny)], 1),
-            "south": ([(i, 0) for i in range(nx)], 2),
-            "north": ([(i, ny - 1) for i in range(nx)], 3),
+            "west": (np.arange(ny), 0),
+            "east": ((nx - 1) * ny + np.arange(ny), 1),
+            "south": (np.arange(nx) * ny, 2),
+            "north": (np.arange(nx) * ny + ny - 1, 3),
         }
         for side, name in boundary_names.items():
             cells, face = side_cells[side]
-            for (i, j) in cells:
-                mesh.add_boundary_cell(i * ny + j, ids[name], 1, face)
+            mesh.add_boundary_cells(cells, ids[name], 1, face)
     return mesh
 
 

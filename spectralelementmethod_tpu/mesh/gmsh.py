@@ -239,14 +239,20 @@ def _parse_elements_bin(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
         idxmap = spiral_to_lex_permutation(geometry.shape).ravel()
         node_ix_lex = node_ix[:, idxmap]
 
-        phys = block["tags"][:, 0].astype(np.int64) if n_tags else None
-        for i in range(n_follow):
-            phys_id = int(phys[i]) if phys is not None else 1
-            nm = node_ix_lex[i].reshape(geometry.shape)
-            if is_bulk:
-                mesh.add_cell(nm, geometry_id, region_map[phys_id])
-            else:
-                bnd_mesh.add_cell(nm, geometry_id, boundary_map[phys_id])
+        if n_tags:
+            phys = block["tags"][:, 0].astype(np.int64)
+        else:
+            phys = np.ones(n_follow, dtype=np.int64)
+        id_map = region_map if is_bulk else boundary_map
+        target = mesh if is_bulk else bnd_mesh
+        uniq, inv = np.unique(phys, return_inverse=True)
+        rids = np.asarray(
+            [id_map[int(u)] for u in uniq], dtype=np.int64
+        )[inv]
+        target.add_cells(
+            node_ix_lex.reshape((n_follow,) + tuple(geometry.shape)),
+            geometry_id, rids,
+        )
         n_read += n_follow
 
     f.readline()

@@ -1,20 +1,22 @@
 """Finite element mesh container (host side).
 
 Parity target: reference ``sem/discrete.py:777-1127`` (``Mesh``, ``CellBase``,
-``Cell``, ``SubCell``) with two deliberate departures for the TPU design:
+``Cell``, ``SubCell``) with three deliberate departures for the TPU design:
 
 * **No node permutation mutation.**  The reference's ``_permute_nodes``
   (``sem/discrete.py:1115-1127``) mutates the mesh per-DOFManager, which its
   own FIXME (``sem/discrete.py:119-122``) flags as corrupting; here DOF
   numbering is a pure function of the immutable mesh (see
   ``core/discretization.py``).
-* **Batched accessors.**  ``cell_blocks()`` returns struct-of-arrays
-  (stacked node maps per geometry) so device code sees one gather index
-  array per block instead of a Python cell loop.
-
-Adjacency is discovered from shared face vertices via a hash map — O(E)
-instead of the reference's O(E²) centroid-distance scan
-(``sem/grid_importers.py:221-270``).
+* **Struct-of-arrays storage.**  Cells are stored in stacked array chunks
+  (one array per ``add_cells`` call), not per-cell Python objects, so a
+  1M-element mesh is a handful of numpy arrays; ``cell_blocks()`` exposes
+  them directly to the device discretization.  Per-cell ``Cell`` views are
+  materialized on demand only.
+* **Vectorized adjacency.**  Neighbors are discovered by sorting encoded
+  face-vertex keys — O(E log E) numpy (with an O(E) C++ hash path in
+  ``..native``) instead of the reference's O(E²) centroid-distance scan
+  (``sem/grid_importers.py:221-270``).
 """
 
 from __future__ import annotations
@@ -25,27 +27,37 @@ import numpy as np
 
 from .geometry import NCube, subface_slice
 
+_Chunk = namedtuple("_Chunk", ["geometry_id", "node_maps", "region_ids"])
+
 
 class Mesh:
     """A mesh of N-cube cells with named regions and boundaries."""
 
-    CellData = namedtuple("CellData", ["geometry_id", "region_id", "node_map"])
     BoundaryData = namedtuple("BoundaryData", ["ndim", "index"])
 
     def __init__(self, ndim: int):
         self._ndim = ndim
         self.nodes = np.zeros((ndim, 0))
         self._geometries: list[NCube] = []
-        self._cell_data: list[Mesh.CellData] = []
-        self._adj_map: list[list] = []
+
+        self._chunks: list[_Chunk] = []
+        self._chunk_starts: list[int] = []   # first cell number of each chunk
+        self._n_cells = 0
+
+        # adjacency (filled by find_neighbors): (E, max_faces) neighbor cell
+        # number / partner face, -1 = boundary/none
+        self._adj_cell: np.ndarray | None = None
+        self._adj_face: np.ndarray | None = None
 
         self._region_names: list[str] = []
         self._region_id_lookup: dict[str, int] = {}
         self._boundary_names: list[str] = []
         self._boundary_id_lookup: dict[str, int] = {}
-        # cell number -> {boundary_id: [BoundaryData(ndim, face), ...]}
-        self._boundary_map: dict[int, dict] = {}
-        self._boundary_cells: list[set] = []
+        # boundary incidences as parallel arrays (vectorized storage)
+        self._bnd_cell: list[int] = []
+        self._bnd_id: list[int] = []
+        self._bnd_ndim: list[int] = []
+        self._bnd_face: list[int] = []
         self._centroids = None
 
     # -- counts ------------------------------------------------------------
@@ -60,7 +72,7 @@ class Mesh:
 
     @property
     def n_cells(self) -> int:
-        return len(self._cell_data)
+        return self._n_cells
 
     @property
     def region_names(self):
@@ -88,7 +100,6 @@ class Mesh:
         boundary_id = len(self._boundary_names)
         self._boundary_names.append(name)
         self._boundary_id_lookup[name] = boundary_id
-        self._boundary_cells.append(set())
         return boundary_id
 
     def set_nodes(self, nodes) -> None:
@@ -100,21 +111,66 @@ class Mesh:
         self._centroids = None
 
     def add_cell(self, node_ind, geometry_id: int, region_id: int) -> int:
-        """Add a cell; ``node_ind`` is the lexicographic node-index grid."""
+        """Add one cell; ``node_ind`` is the lexicographic node-index grid."""
         geometry = self._geometries[geometry_id]
         node_ind = np.asarray(node_ind, dtype=np.int64).reshape(geometry.shape)
-        self._cell_data.append(Mesh.CellData(geometry_id, region_id, node_ind))
-        self._adj_map.append([None] * geometry.n_sub_geometries())
-        return len(self._cell_data) - 1
+        self.add_cells(node_ind[None], geometry_id, region_id)
+        return self._n_cells - 1
+
+    def add_cells(self, node_maps, geometry_id: int, region_ids) -> np.ndarray:
+        """Add a batch of cells sharing one geometry (struct-of-arrays path).
+
+        ``node_maps``: (k, *geometry.shape) lexicographic node-index grids.
+        ``region_ids``: scalar or (k,) region id(s).
+        Returns the assigned cell numbers.
+        """
+        geometry = self._geometries[geometry_id]
+        node_maps = np.ascontiguousarray(node_maps, dtype=np.int64)
+        k = node_maps.shape[0]
+        if node_maps.shape[1:] != tuple(geometry.shape):
+            raise ValueError(
+                f"node_maps shape {node_maps.shape[1:]} != geometry shape "
+                f"{tuple(geometry.shape)}"
+            )
+        region_ids = np.broadcast_to(
+            np.asarray(region_ids, dtype=np.int64), (k,)
+        ).copy()
+        self._chunks.append(_Chunk(geometry_id, node_maps, region_ids))
+        self._chunk_starts.append(self._n_cells)
+        nums = np.arange(self._n_cells, self._n_cells + k, dtype=np.int64)
+        self._n_cells += k
+        self._adj_cell = self._adj_face = None
+        self._centroids = None
+        return nums
 
     def add_boundary_cell(self, cell_number: int, bnd_id: int, ndim: int,
                           face: int) -> None:
         """Mark ``face`` of cell ``cell_number`` as lying on boundary ``bnd_id``."""
-        per_cell = self._boundary_map.setdefault(cell_number, {})
-        per_cell.setdefault(bnd_id, []).append(Mesh.BoundaryData(ndim, face))
-        self._boundary_cells[bnd_id].add(cell_number)
+        self._bnd_cell.append(int(cell_number))
+        self._bnd_id.append(int(bnd_id))
+        self._bnd_ndim.append(int(ndim))
+        self._bnd_face.append(int(face))
 
-    # -- access --------------------------------------------------------------
+    def add_boundary_cells(self, cell_numbers, bnd_id: int, ndim: int,
+                           faces) -> None:
+        """Batched :meth:`add_boundary_cell`."""
+        cell_numbers = np.asarray(cell_numbers, dtype=np.int64).ravel()
+        faces = np.broadcast_to(
+            np.asarray(faces, dtype=np.int64), cell_numbers.shape
+        )
+        self._bnd_cell.extend(int(c) for c in cell_numbers)
+        self._bnd_id.extend([int(bnd_id)] * cell_numbers.size)
+        self._bnd_ndim.extend([int(ndim)] * cell_numbers.size)
+        self._bnd_face.extend(int(f) for f in faces)
+
+    # -- cell lookup ---------------------------------------------------------
+
+    def _locate(self, i: int):
+        """cell number -> (chunk, row)."""
+        if not 0 <= i < self._n_cells:
+            raise IndexError(f"cell {i} out of range [0, {self._n_cells})")
+        c = int(np.searchsorted(self._chunk_starts, i, side="right")) - 1
+        return self._chunks[c], i - self._chunk_starts[c]
 
     def get_geometries(self):
         return list(self._geometries)
@@ -123,15 +179,19 @@ class Mesh:
         return self._geometries[geometry_id]
 
     def get_cell(self, i: int) -> "Cell":
-        geometry_id, region_id, node_map = self._cell_data[i]
+        chunk, row = self._locate(i)
+        bnd: dict[int, list] = {}
+        for j in np.nonzero(np.asarray(self._bnd_cell) == i)[0] \
+                if self._bnd_cell else []:
+            bd = Mesh.BoundaryData(self._bnd_ndim[j], self._bnd_face[j])
+            bnd.setdefault(self._bnd_id[j], []).append(bd)
         return Cell(
             self,
-            self._geometries[geometry_id],
-            node_map,
-            region_id,
-            self._adj_map[i],
-            self._boundary_map.get(i, {}),
-            index=i,
+            self._geometries[chunk.geometry_id],
+            chunk.node_maps[row],
+            int(chunk.region_ids[row]),
+            i,
+            bnd,
         )
 
     @property
@@ -147,8 +207,9 @@ class Mesh:
 
     def cells_on_boundary(self, name: str):
         bnd_id = self._boundary_id_lookup[name]
-        for cell_num in sorted(self._boundary_cells[bnd_id]):
-            yield self.get_cell(cell_num)
+        sel = np.asarray(self._bnd_id) == bnd_id
+        for cell_num in sorted(set(np.asarray(self._bnd_cell)[sel])):
+            yield self.get_cell(int(cell_num))
 
     def boundary_faces(self, name: str) -> np.ndarray:
         """(k, 2) int array of (cell_number, face) pairs on boundary ``name``.
@@ -157,11 +218,13 @@ class Mesh:
         iteration (``sem/discrete.py:211-219``).
         """
         bnd_id = self._boundary_id_lookup[name]
-        pairs = []
-        for cell_num in sorted(self._boundary_cells[bnd_id]):
-            for bd in self._boundary_map[cell_num].get(bnd_id, []):
-                pairs.append((cell_num, bd.index))
-        return np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+        if not self._bnd_cell:
+            return np.zeros((0, 2), dtype=np.int64)
+        bid = np.asarray(self._bnd_id)
+        cells = np.asarray(self._bnd_cell)[bid == bnd_id]
+        faces = np.asarray(self._bnd_face)[bid == bnd_id]
+        order = np.lexsort((faces, cells))
+        return np.stack([cells[order], faces[order]], axis=1)
 
     def cells_are_neighbors(self, cell1: "Cell", cell2: "Cell") -> int:
         """Return the face of ``cell1`` shared with ``cell2``, or -1.
@@ -181,57 +244,117 @@ class Mesh:
     def centroids(self) -> np.ndarray:
         """(n_cells, ndim) approximate cell centers (vertex means)."""
         if self._centroids is None:
-            c = np.zeros((self.n_cells, self.ndim))
-            for i, cell in enumerate(self.cells):
-                c[i] = cell.vertex_nodes.reshape(self.ndim, -1).mean(axis=1)
+            c = np.empty((self.n_cells, self.ndim))
+            for chunk, start in zip(self._chunks, self._chunk_starts):
+                geometry = self._geometries[chunk.geometry_id]
+                k = chunk.node_maps.shape[0]
+                verts = chunk.node_maps.reshape(k, -1)[
+                    :, geometry.vertex_node_ind
+                ]
+                c[start:start + k] = self.nodes[:, verts].mean(axis=2).T
             self._centroids = c
         return self._centroids
 
     # -- adjacency -----------------------------------------------------------
 
-    def find_neighbors(self) -> None:
-        """Populate cell-to-cell adjacency and attach boundary-mesh cells.
+    def _face_keys(self):
+        """Encoded sorted-vertex keys for every (cell, face).
 
-        Replaces the reference's centroid-sorted O(E²) scan
-        (``sem/grid_importers.py:221-270``) with an O(E) hash on sorted face
-        vertex tuples.
+        Returns (keys (F,), cell (F,), face (F,)) with F = sum of faces of
+        all cells; key = v0 * (n_nodes + 1) + v1 + 1 for the sorted vertex
+        pair (v1 absent for 1D cells -> 0).
         """
-        face_table: dict[tuple, list] = {}
-        for i, cd in enumerate(self._cell_data):
-            geometry = self._geometries[cd.geometry_id]
-            flat = cd.node_map.ravel()
+        N = max(self.n_nodes, 1)
+        keys, cells, faces = [], [], []
+        for chunk, start in zip(self._chunks, self._chunk_starts):
+            geometry = self._geometries[chunk.geometry_id]
+            k = chunk.node_maps.shape[0]
+            flat = chunk.node_maps.reshape(k, -1)
             for face in range(geometry.n_faces):
-                verts = flat[geometry.face_vertex_local_ind(face)]
-                key = tuple(sorted(int(v) for v in verts))
-                face_table.setdefault(key, []).append((i, face))
-        for key, owners in face_table.items():
-            if len(owners) == 2:
-                (i, fi), (j, fj) = owners
-                self._adj_map[i][fi] = j
-                self._adj_map[j][fj] = i
-            elif len(owners) > 2:
-                raise ValueError(f"face {key} shared by >2 cells")
+                verts = flat[:, geometry.face_vertex_local_ind(face)]
+                if verts.shape[1] == 1:
+                    key = verts[:, 0] * np.int64(N + 1)
+                elif verts.shape[1] == 2:
+                    v = np.sort(verts, axis=1)
+                    key = v[:, 0] * np.int64(N + 1) + v[:, 1] + 1
+                else:
+                    raise NotImplementedError("3D face keys not implemented")
+                keys.append(key)
+                cells.append(
+                    np.arange(start, start + k, dtype=np.int64))
+                faces.append(np.full(k, face, dtype=np.int64))
+        if not keys:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return (np.concatenate(keys), np.concatenate(cells),
+                np.concatenate(faces))
+
+    def _max_faces(self) -> int:
+        return max(
+            (self._geometries[c.geometry_id].n_faces for c in self._chunks),
+            default=0,
+        )
+
+    def find_neighbors(self) -> None:
+        """Populate cell-to-cell adjacency (vectorized).
+
+        Sorts encoded face-vertex keys and matches equal adjacent entries —
+        O(E log E) with no Python per-cell loop (the reference's version is
+        an O(E²) centroid scan, ``sem/grid_importers.py:221-270``).
+        """
+        keys, cells, faces = self._face_keys()
+        E, maxf = self.n_cells, self._max_faces()
+        self._adj_cell = np.full((E, maxf), -1, dtype=np.int64)
+        self._adj_face = np.full((E, maxf), -1, dtype=np.int64)
+        if keys.size == 0:
+            return
+
+        from .. import native
+
+        if native.available():
+            # O(F) open-addressing hash (raises on >2-shared faces)
+            partner = native.match_keys(keys)
+            m = partner >= 0
+            i, fi = cells[m], faces[m]
+            j, fj = cells[partner[m]], faces[partner[m]]
+            self._adj_cell[i, fi] = j
+            self._adj_face[i, fi] = fj
+            return
+
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        eq = ks[:-1] == ks[1:]
+        if np.any(eq[:-1] & eq[1:]):
+            raise ValueError("a face is shared by more than 2 cells")
+        first = np.nonzero(eq)[0]
+        i, fi = cells[order[first]], faces[order[first]]
+        j, fj = cells[order[first + 1]], faces[order[first + 1]]
+        self._adj_cell[i, fi] = j
+        self._adj_face[i, fi] = fj
+        self._adj_cell[j, fj] = i
+        self._adj_face[j, fj] = fi
+
+    def neighbor_of(self, cell_num: int, face: int):
+        """Neighbor cell number across ``face`` or None."""
+        if self._adj_cell is None:
+            return None
+        j = self._adj_cell[cell_num, face]
+        return None if j < 0 else int(j)
 
     def face_pairs(self) -> np.ndarray:
         """(n_pairs, 4) int array of interior face matches (i, fi, j, fj).
 
-        Each conforming interior face appears once; built from the same
-        vertex-hash used by :meth:`find_neighbors`.
+        Each conforming interior face appears once (with i < j or
+        (i == j and fi < fj)).
         """
-        face_table: dict[tuple, list] = {}
-        for i, cd in enumerate(self._cell_data):
-            geometry = self._geometries[cd.geometry_id]
-            flat = cd.node_map.ravel()
-            for face in range(geometry.n_faces):
-                verts = flat[geometry.face_vertex_local_ind(face)]
-                key = tuple(sorted(int(v) for v in verts))
-                face_table.setdefault(key, []).append((i, face))
-        pairs = []
-        for owners in face_table.values():
-            if len(owners) == 2:
-                (i, fi), (j, fj) = owners
-                pairs.append((i, fi, j, fj))
-        return np.asarray(sorted(pairs), dtype=np.int64).reshape(-1, 4)
+        if self._adj_cell is None:
+            self.find_neighbors()
+        i, fi = np.nonzero(self._adj_cell >= 0)
+        j = self._adj_cell[i, fi]
+        fj = self._adj_face[i, fi]
+        keep = (i < j) | ((i == j) & (fi < fj))
+        pairs = np.stack([i[keep], fi[keep], j[keep], fj[keep]], axis=1)
+        return pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
 
     def attach_boundary_mesh(self, bnd_mesh: "Mesh") -> None:
         """Match each boundary-mesh cell to a face of a bulk cell.
@@ -239,28 +362,44 @@ class Mesh:
         The boundary mesh's *regions* become this mesh's boundaries (the
         Gmsh import convention, ``sem/grid_importers.py:104-133``): boundary
         ``bnd_mesh.region k`` must already exist here with the same name.
+        Vectorized key match (sorted search).
         """
-        face_table: dict[tuple, tuple] = {}
-        for i, cd in enumerate(self._cell_data):
-            geometry = self._geometries[cd.geometry_id]
-            flat = cd.node_map.ravel()
-            for face in range(geometry.n_faces):
-                verts = flat[geometry.face_vertex_local_ind(face)]
-                key = tuple(sorted(int(v) for v in verts))
-                face_table[key] = (i, face)
-        for bcd in bnd_mesh._cell_data:
-            geometry = bnd_mesh._geometries[bcd.geometry_id]
-            flat = bcd.node_map.ravel()
-            verts = flat[geometry.hierarchical_node_order[: 2**geometry.ndim]]
-            key = tuple(sorted(int(v) for v in verts))
-            if key not in face_table:
+        keys, cells, faces = self._face_keys()
+        order = np.argsort(keys, kind="stable")
+        ks, cs, fs = keys[order], cells[order], faces[order]
+
+        N = max(self.n_nodes, 1)
+        for chunk in bnd_mesh._chunks:
+            geometry = bnd_mesh._geometries[chunk.geometry_id]
+            k = chunk.node_maps.shape[0]
+            flat = chunk.node_maps.reshape(k, -1)
+            verts = flat[:, geometry.hierarchical_node_order[
+                : 2 ** geometry.ndim]]
+            if verts.shape[1] == 1:
+                bkey = verts[:, 0] * np.int64(N + 1)
+            elif verts.shape[1] == 2:
+                v = np.sort(verts, axis=1)
+                bkey = v[:, 0] * np.int64(N + 1) + v[:, 1] + 1
+            else:
+                raise NotImplementedError("3D boundary keys not implemented")
+            pos = np.searchsorted(ks, bkey)
+            ok = (pos < ks.size) & (ks[np.minimum(pos, ks.size - 1)] == bkey)
+            if not np.all(ok):
+                bad = verts[~ok][:5]
                 raise ValueError(
-                    f"boundary cell with vertices {key} matches no bulk face"
+                    f"boundary cell(s) with vertices {bad.tolist()} match "
+                    f"no bulk face"
                 )
-            cell_num, face = face_table[key]
-            bnd_name = bnd_mesh._region_names[bcd.region_id]
-            bnd_id = self._boundary_id_lookup[bnd_name]
-            self.add_boundary_cell(cell_num, bnd_id, geometry.ndim, face)
+            for rid in np.unique(chunk.region_ids):
+                bnd_name = bnd_mesh._region_names[rid]
+                bnd_id = self._boundary_id_lookup[bnd_name]
+                sel = chunk.region_ids == rid
+                # one boundary record per matched bulk face
+                bcells, bfaces = cs[pos[sel]], fs[pos[sel]]
+                o = np.lexsort((bfaces, bcells))
+                for c, f in zip(bcells[o], bfaces[o]):
+                    self.add_boundary_cell(
+                        int(c), bnd_id, geometry.ndim, int(f))
 
     # -- batched accessors ---------------------------------------------------
 
@@ -273,17 +412,24 @@ class Mesh:
         parallelism").
         """
         groups: dict[int, list[int]] = {}
-        for i, cd in enumerate(self._cell_data):
-            groups.setdefault(cd.geometry_id, []).append(i)
+        for ci, chunk in enumerate(self._chunks):
+            groups.setdefault(chunk.geometry_id, []).append(ci)
         blocks = []
-        for gid, cell_nums in sorted(groups.items()):
+        for gid, chunk_ixs in sorted(groups.items()):
             geometry = self._geometries[gid]
-            node_maps = np.stack(
-                [self._cell_data[i].node_map for i in cell_nums]
+            node_maps = np.concatenate(
+                [self._chunks[ci].node_maps for ci in chunk_ixs]
             )
-            blocks.append(
-                (geometry, np.asarray(cell_nums, dtype=np.int64), node_maps)
-            )
+            nums = np.concatenate([
+                np.arange(
+                    self._chunk_starts[ci],
+                    self._chunk_starts[ci]
+                    + self._chunks[ci].node_maps.shape[0],
+                    dtype=np.int64,
+                )
+                for ci in chunk_ixs
+            ])
+            blocks.append((geometry, nums, node_maps))
         return blocks
 
 
@@ -359,13 +505,12 @@ class CellBase:
 class Cell(CellBase):
     """A bulk cell with region/adjacency/boundary context."""
 
-    def __init__(self, mesh, geometry, node_map, region_id, adj_map,
-                 boundary_data, index=None):
+    def __init__(self, mesh, geometry, node_map, region_id, index,
+                 boundary_data):
         super().__init__(mesh, geometry, node_map)
         self._region_id = region_id
-        self._adj_map = adj_map
-        self._boundary_data = boundary_data
         self._index = index
+        self._boundary_data = boundary_data
 
     @property
     def index(self):
@@ -380,7 +525,7 @@ class Cell(CellBase):
         return self._mesh._region_names[self._region_id]
 
     def neighbor(self, face: int):
-        j = self._adj_map[face]
+        j = self._mesh.neighbor_of(self._index, face)
         return None if j is None else self._mesh.get_cell(j)
 
     def boundary_faces(self, name: str):

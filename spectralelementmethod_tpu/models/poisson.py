@@ -174,12 +174,12 @@ class Poisson(BoundaryConditionMixin):
         (structured neighbor exchange instead; :mod:`..ops.exchange`).
         Iterates are mathematically identical to :meth:`solve`.
         """
-        from ..ops.exchange import LocalExchange
+        from ..ops.exchange import make_exchange
 
         disc = self.disc
         ex = getattr(self, "_exchange", None)
         if ex is None:
-            ex = self._exchange = LocalExchange(disc)
+            ex = self._exchange = make_exchange(disc)
 
         Gf = self._G.reshape(disc.E, 3, -1)
         Dhat = sumfac.make_stacked_derivative(

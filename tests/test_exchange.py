@@ -122,3 +122,62 @@ def test_solve_local_curved():
     sol = prob.solve_local(tol=1e-13, host_loop=True)
     exact = lambda x, y: np.log(np.sqrt(x**2 + y**2)) / np.log(10.0)  # noqa
     assert prob.l2_error(sol.u, exact) < 1e-6
+
+
+class TestRollExchange:
+    """Roll-class DSS must equal the generic gather DSS on any mesh."""
+
+    def _check(self, mesh, p):
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        disc = Discretization(mesh, gll_basis_2d(p))
+        exL = LocalExchange(disc)
+        exR = RollExchange(disc)
+        rng = np.random.RandomState(0)
+        v = jnp.asarray(rng.standard_normal((disc.E, disc.n_loc)))
+        np.testing.assert_allclose(
+            np.asarray(exR.dss(v)), np.asarray(exL.dss(v)),
+            rtol=1e-13, atol=1e-13,
+        )
+        v3 = jnp.asarray(rng.standard_normal((disc.E, disc.n_loc, 2)))
+        np.testing.assert_allclose(
+            np.asarray(exR.dss(v3)), np.asarray(exL.dss(v3)),
+            rtol=1e-13, atol=1e-13,
+        )
+        return exR
+
+    def test_rectangle_all_classes(self):
+        ex = self._check(rectangle_mesh(5, 7, 4), 4)
+        assert ex.tail_fraction == 0.0
+        assert len(ex.edge_classes) == 4
+        assert len(ex.vert_classes) == 12
+
+    def test_annulus(self):
+        from spectralelementmethod_tpu.mesh.generators import annulus_mesh
+
+        ex = self._check(annulus_mesh(3, n_theta=5, n_r=6), 3)
+        assert ex.tail_fraction == 0.0
+
+    def test_permuted_mesh_uses_tail(self):
+        """Cell order destroyed -> classes can't cover; tail must kick in."""
+        from spectralelementmethod_tpu.mesh.mesh import Mesh
+
+        base = rectangle_mesh(4, 4, 3)
+        (geometry, nums, node_maps), = base.cell_blocks()
+        perm = np.random.RandomState(5).permutation(len(nums))
+        mesh = Mesh(2)
+        mesh.set_nodes(base.nodes)
+        gid = mesh.add_geometry(geometry)
+        rid = mesh.new_region("interior")
+        mesh.add_cells(node_maps[perm], gid, rid)
+        mesh.find_neighbors()
+
+        ex = self._check(mesh, 3)
+        assert ex.tail_fraction > 0.0
+
+    def test_make_exchange_picks_roll_for_structured(self):
+        from spectralelementmethod_tpu.ops.exchange import (
+            RollExchange, make_exchange)
+
+        disc = Discretization(rectangle_mesh(4, 4, 4), gll_basis_2d(4))
+        assert isinstance(make_exchange(disc), RollExchange)
