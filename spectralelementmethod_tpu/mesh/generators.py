@@ -241,3 +241,231 @@ def single_cell_mesh(order: int, corners=None) -> Mesh:
         cmap,
         boundary_names={"west": "w", "east": "e", "south": "s", "north": "n"},
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-patch structured meshes (Gmsh "Transfinite Surface" parity)
+# ---------------------------------------------------------------------------
+
+
+def coons_patch(south, north, west, east):
+    """Transfinite (Coons) interpolation map from four boundary curves.
+
+    ``south(u)``/``north(u)`` map u in [0,1] to (x, y) along v=0 / v=1;
+    ``west(v)``/``east(v)`` along u=0 / u=1.  Curves must agree at corners.
+    Returns ``cmap(U, V) -> (x, y)`` over the unit square, vectorized —
+    the same construction Gmsh uses for ``Transfinite Surface``.
+    """
+    def cmap(U, V):
+        Su = np.stack(south(U))
+        Nu = np.stack(north(U))
+        Wv = np.stack(west(V))
+        Ev = np.stack(east(V))
+        c00 = np.stack(south(np.zeros_like(U)))
+        c10 = np.stack(south(np.ones_like(U)))
+        c01 = np.stack(north(np.zeros_like(U)))
+        c11 = np.stack(north(np.ones_like(U)))
+        xy = ((1 - V) * Su + V * Nu + (1 - U) * Wv + U * Ev
+              - ((1 - U) * (1 - V) * c00 + U * (1 - V) * c10
+                 + (1 - U) * V * c01 + U * V * c11))
+        return xy[0], xy[1]
+
+    return cmap
+
+
+def line_curve(p0, p1):
+    """Straight segment p0 -> p1 as a unit-parameter curve."""
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+
+    def c(t):
+        return (p0[0] + (p1[0] - p0[0]) * t, p0[1] + (p1[1] - p0[1]) * t)
+
+    return c
+
+
+def arc_curve(radius, th0, th1, center=(0.0, 0.0)):
+    """Circular arc (rho, z) = center + R (sin th, cos th), th0 -> th1.
+
+    Polar angle measured from the +z axis (the axisymmetric convention of
+    :func:`annulus_mesh`).
+    """
+    def c(t):
+        th = th0 + (th1 - th0) * t
+        return (center[0] + radius * np.sin(th),
+                center[1] + radius * np.cos(th))
+
+    return c
+
+
+def polyline_curve(points, fractions=None):
+    """Piecewise-linear curve through ``points``; ``fractions`` places the
+    interior corners at given parameter values (so corners can coincide
+    with mesh lines)."""
+    pts = np.asarray(points, dtype=np.float64)
+    k = len(pts) - 1
+    if fractions is None:
+        seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        fr = np.concatenate([[0.0], np.cumsum(seg) / seg.sum()])
+    else:
+        fr = np.asarray(fractions, dtype=np.float64)
+        assert fr[0] == 0.0 and fr[-1] == 1.0 and fr.size == k + 1
+
+    def c(t):
+        t = np.asarray(t, dtype=np.float64)
+        i = np.clip(np.searchsorted(fr, t, side="right") - 1, 0, k - 1)
+        local = (t - fr[i]) / (fr[i + 1] - fr[i])
+        p0, p1 = pts[i], pts[i + 1]
+        return (p0[..., 0] + (p1[..., 0] - p0[..., 0]) * local,
+                p0[..., 1] + (p1[..., 1] - p0[..., 1]) * local)
+
+    return c
+
+
+def multi_patch_mesh(patches, order: int, region: str = "interior",
+                     tol: float = 1e-9) -> Mesh:
+    """Stitch structured patches into one conforming mesh.
+
+    ``patches``: list of dicts with keys ``u_corners``, ``v_corners``,
+    ``cmap`` (as :func:`structured_patch_mesh`) and optional ``boundaries``
+    = {"west"/"east"/"south"/"north": name} for sides on the *outer*
+    boundary.  Patch interfaces must match node-for-node (same corner
+    splits and physical positions); shared nodes are merged by rounded
+    coordinates (tolerance ``tol``).
+    """
+    all_nodes = []
+    patch_data = []  # (node_maps local, boundaries, nx, ny)
+    offset = 0
+    for pa in patches:
+        u_corners = np.asarray(pa["u_corners"], dtype=np.float64)
+        v_corners = np.asarray(pa["v_corners"], dtype=np.float64)
+        p = order
+        nx, ny = u_corners.size - 1, v_corners.size - 1
+        u = _patch_param_1d(u_corners, p)
+        v = _patch_param_1d(v_corners, p)
+        U, V = np.meshgrid(u, v, indexing="ij")
+        x, y = pa["cmap"](U, V)
+        nodes = np.stack([np.asarray(x).ravel(), np.asarray(y).ravel()])
+        all_nodes.append(nodes)
+
+        glob = offset + np.arange(u.size * v.size).reshape(u.size, v.size)
+        i0 = (np.arange(nx) * p)[:, None, None, None]
+        j0 = (np.arange(ny) * p)[None, :, None, None]
+        ii = i0 + np.arange(p + 1)[None, None, :, None]
+        jj = j0 + np.arange(p + 1)[None, None, None, :]
+        node_maps = glob[ii, jj].reshape(nx * ny, p + 1, p + 1)
+        patch_data.append((node_maps, pa.get("boundaries", {}), nx, ny))
+        offset += nodes.shape[1]
+
+    nodes = np.concatenate(all_nodes, axis=1)
+    # merge duplicate nodes (patch interfaces) by rounded coordinates
+    key = np.round(nodes.T / tol).astype(np.int64)
+    _, first, inv = np.unique(key, axis=0, return_index=True,
+                              return_inverse=True)
+    order_first = np.argsort(first)          # stable: keep first occurrence
+    rank = np.empty_like(order_first)
+    rank[order_first] = np.arange(order_first.size)
+    remap = rank[inv]
+    merged_nodes = nodes[:, first[order_first]]
+
+    mesh = Mesh(2)
+    mesh.set_nodes(merged_nodes)
+    geometry = Quadrilateral(order + 1, order + 1)
+    gid = mesh.add_geometry(geometry)
+    rid = mesh.new_region(region)
+
+    bnd_ids = {}
+    cell0 = []
+    for node_maps, bnames, nx, ny in patch_data:
+        nums = mesh.add_cells(remap[node_maps], gid, rid)
+        cell0.append(nums[0])
+        for name in bnames.values():
+            if name not in bnd_ids:
+                bnd_ids[name] = mesh.new_boundary(name)
+
+    mesh.find_neighbors()
+
+    for (node_maps, bnames, nx, ny), start in zip(patch_data, cell0):
+        side_cells = {
+            "west": (start + np.arange(ny), 0),
+            "east": (start + (nx - 1) * ny + np.arange(ny), 1),
+            "south": (start + np.arange(nx) * ny, 2),
+            "north": (start + np.arange(nx) * ny + ny - 1, 3),
+        }
+        for side, name in bnames.items():
+            cells, face = side_cells[side]
+            mesh.add_boundary_cells(cells, bnd_ids[name], 1, face)
+    return mesh
+
+
+def tube_mesh(order: int, blt: float = 0.75, r_head: float = 32.0,
+              tail: float = 64.0, r_wake: float = 2.5,
+              n_theta: int = 18, n_r: int = 6, n_wake: int = 4,
+              n_outer: int = 6, progression: float = 1.35) -> Mesh:
+    """All-quad "tube" domain: sphere + boundary layer + wake + far field.
+
+    Multi-patch transfinite rendering of the reference's
+    ``examples/meshes/tube.geo`` domain (sphere of radius 1 at the origin
+    in the meridional (rho, z) half-plane; boundary layer of thickness
+    ``blt`` with radial progression; wake ring to ``r_wake``; far field =
+    quarter-disc head of radius ``r_head`` (z > 0) plus a rectangular tail
+    box down to z = -``tail``).  Boundaries: "sphere", "symaxis", "shell"
+    (head arc + tail wall + tail end), matching the reference's physical
+    lines.  The reference's unstructured bulk surfaces become structured
+    Coons patches (this framework is all-quad/transfinite by design).
+    """
+    th = np.linspace(0.0, np.pi, n_theta + 1)
+    R0 = 1.0 + blt
+
+    # patch 1: boundary layer ring  (theta, r in [1, R0], progression)
+    bl = {
+        "u_corners": th,
+        "v_corners": geometric_progression(1.0, R0, n_r, progression),
+        "cmap": lambda TH, R: (R * np.sin(TH), R * np.cos(TH)),
+        "boundaries": {"south": "sphere", "west": "symaxis",
+                       "east": "symaxis"},
+    }
+    # patch 2: wake ring (theta, r in [R0, r_wake])
+    wake = {
+        "u_corners": th,
+        "v_corners": geometric_progression(R0, r_wake, n_wake, progression),
+        "cmap": lambda TH, R: (R * np.sin(TH), R * np.cos(TH)),
+        "boundaries": {"west": "symaxis", "east": "symaxis"},
+    }
+
+    # patch 3: head quarter-annulus (theta in [0, pi/2], r in [r_wake,
+    # r_head]), geometric grading outward
+    th_head = th[th <= np.pi / 2 + 1e-12]
+    n_th_head = th_head.size - 1
+    head = {
+        "u_corners": th_head,
+        "v_corners": geometric_progression(r_wake, r_head, n_outer,
+                                           progression),
+        "cmap": lambda TH, R: (R * np.sin(TH), R * np.cos(TH)),
+        "boundaries": {"west": "symaxis", "north": "shell"},
+    }
+
+    # patch 4: tail region — Coons patch between the lower wake arc
+    # (theta in [pi/2, pi]) and the tail outline (wall + bottom)
+    th_tail = th[th >= np.pi / 2 - 1e-12]
+    n_th_tail = th_tail.size - 1
+    inner = arc_curve(r_wake, th_tail[0], th_tail[-1])
+    # outer curve from (r_head, 0) around to (0, -tail); corner at the
+    # (r_head, -tail) bottom-right; fractions put it on a mesh line
+    corner_frac = np.round(0.5 * n_th_tail) / n_th_tail
+    outer = polyline_curve(
+        [(r_head, 0.0), (r_head, -tail), (0.0, -tail)],
+        fractions=[0.0, corner_frac, 1.0],
+    )
+    west4 = line_curve(inner(0.0), outer(0.0))     # radial at theta=pi/2
+    east4 = line_curve(inner(1.0), outer(1.0))     # along the -z axis
+    vfrac = geometric_progression(0.0, 1.0, n_outer, progression)
+    tailp = {
+        "u_corners": np.linspace(0.0, 1.0, n_th_tail + 1),
+        "v_corners": vfrac,
+        "cmap": coons_patch(inner, outer, west4, east4),
+        "boundaries": {"north": "shell", "east": "symaxis"},
+    }
+
+    mesh = multi_patch_mesh([bl, wake, head, tailp], order, region="bulk")
+    return mesh

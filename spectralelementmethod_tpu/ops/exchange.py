@@ -38,7 +38,7 @@ class LocalExchange:
     all square-shaped too).
     """
 
-    def __init__(self, disc):
+    def __init__(self, disc, pad_to: int | None = None):
         geometry = disc.geometry
         m0, m1 = disc.shape
         if m0 != m1:
@@ -47,30 +47,36 @@ class LocalExchange:
             )
         self.disc = disc
         E = disc.E
+        #: padded element count (>= disc.E) — pad rows are inert no-op
+        #: elements so the element axis divides a device-mesh shard count
+        Ep = E if pad_to is None else int(pad_to)
+        if Ep < E:
+            raise ValueError(f"pad_to={Ep} < E={E}")
         m = m0
-        self.E, self.m = E, m
+        self.E, self.m = Ep, m
+        self.E_real = E
         self.n_loc = disc.n_loc
         self.ne = m - 2                      # edge-interior nodes per face
         self.n_edge_block = 4 * self.ne
 
         hier = geometry.hierarchical_node_order
         self.hier = hier
-        #: (E, n_loc) global node ids in hierarchical local order
-        self.gather_hier = np.ascontiguousarray(
-            disc.gather_nodes[:, hier], dtype=np.int64
-        )
+        #: (Ep, n_loc) global node ids in hierarchical local order
+        #: (pad rows alias node 0; their values never enter any reduction)
+        self.gather_hier = np.zeros((Ep, self.n_loc), dtype=np.int64)
+        self.gather_hier[:E] = disc.gather_nodes[:, hier]
 
         # ---- edge pairing -------------------------------------------------
-        nb_lin = np.arange(E * 4, dtype=np.int32)   # default: self
-        has_nb = np.zeros((E, 4), dtype=bool)
-        flip = np.zeros((E, 4), dtype=bool)
+        nb_lin = np.arange(Ep * 4, dtype=np.int32)  # default: self
+        has_nb = np.zeros((Ep, 4), dtype=bool)
+        flip = np.zeros((Ep, 4), dtype=bool)
 
         if self.ne > 0:
             edge_nodes = self.gather_hier[:, 4:4 + self.n_edge_block].reshape(
-                E, 4, self.ne
+                Ep, 4, self.ne
             )
         else:
-            edge_nodes = np.zeros((E, 4, 0), dtype=np.int64)
+            edge_nodes = np.zeros((Ep, 4, 0), dtype=np.int64)
 
         pairs = disc.mesh.face_pairs()
         if pairs.size:
@@ -104,24 +110,32 @@ class LocalExchange:
         self.flip = jnp.asarray(flip[..., None])          # (E, 4, 1)
 
         # ---- vertex numbering --------------------------------------------
-        vert_g = self.gather_hier[:, :4]
-        uniq, inv = np.unique(vert_g.ravel(), return_inverse=True)
-        self.n_vertices = uniq.size
+        # pad-row vertex copies get fresh singleton ids so they never join
+        # a real vertex's reduction or multiplicity
+        vert_g = self.gather_hier[:E, :4]
+        uniq, inv_real = np.unique(vert_g.ravel(), return_inverse=True)
+        self.n_vertices = uniq.size + 4 * (Ep - E)
+        inv = np.concatenate([
+            inv_real,
+            uniq.size + np.arange(4 * (Ep - E), dtype=inv_real.dtype),
+        ])
         self._vert_gid_np = inv.astype(np.int64)
-        self.vert_gid = jnp.asarray(inv.astype(np.int32))  # (E*4,)
+        self.vert_gid = jnp.asarray(inv.astype(np.int32))  # (Ep*4,)
 
         # ---- multiplicity weights (host-side: a device round-trip here
         # costs minutes through a remote-TPU tunnel) -----------------------
-        mult = np.ones((E, self.n_loc))
+        mult = np.ones((Ep, self.n_loc))
         if self.ne > 0:
             # edge-interior nodes of faces with a neighbor appear twice
             mult[:, 4:4 + self.n_edge_block] += np.repeat(
                 has_nb, self.ne, axis=1
             )
         vert_counts = np.bincount(inv, minlength=self.n_vertices)
-        mult[:, :4] = vert_counts[inv].reshape(E, 4)
+        mult[:, :4] = vert_counts[inv].reshape(Ep, 4)
         self.multiplicity = mult
-        self.weights = jnp.asarray(1.0 / mult)
+        weights = 1.0 / mult
+        weights[E:] = 0.0     # pad rows never contribute to inner products
+        self.weights = jnp.asarray(weights)
 
     # -- conversions -------------------------------------------------------
 
@@ -131,10 +145,10 @@ class LocalExchange:
 
     def global_from_local(self, uL) -> np.ndarray:
         """Consistent (E, n_loc[, k]) L-vector -> global (n_nodes[, k])."""
-        uL = np.asarray(uL)
+        uL = np.asarray(uL)[:self.E_real]
         out_shape = (self.disc.n_nodes,) + uL.shape[2:]
         out = np.zeros(out_shape, dtype=uL.dtype)
-        out[self.gather_hier.ravel()] = uL.reshape(
+        out[self.gather_hier[:self.E_real].ravel()] = uL.reshape(
             (-1,) + uL.shape[2:]
         )
         return out
@@ -207,8 +221,8 @@ class RollExchange(LocalExchange):
     #: least this fraction of faces/vertex-copies (else it joins the tail)
     MIN_CLASS_FRACTION = 0.02
 
-    def __init__(self, disc):
-        super().__init__(disc)
+    def __init__(self, disc, pad_to: int | None = None):
+        super().__init__(disc, pad_to=pad_to)
         E, ne = self.E, self.ne
         min_count = max(8, int(self.MIN_CLASS_FRACTION * E))
 
@@ -353,10 +367,12 @@ class RollExchange(LocalExchange):
         return vL[..., 0] if squeeze else vL
 
 
-def make_exchange(disc, threshold: float = 0.25):
+def make_exchange(disc, threshold: float = 0.25,
+                  pad_to: int | None = None):
     """Best exchange structure for ``disc``: roll classes when they cover
-    enough of the mesh, generic gather otherwise."""
-    ex = RollExchange(disc)
+    enough of the mesh, generic gather otherwise.  ``pad_to`` pads the
+    element axis with inert elements (for shard-divisible counts)."""
+    ex = RollExchange(disc, pad_to=pad_to)
     if ex.tail_fraction > threshold:
-        return LocalExchange(disc)
+        return LocalExchange(disc, pad_to=pad_to)
     return ex

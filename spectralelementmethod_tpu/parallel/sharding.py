@@ -151,3 +151,71 @@ def _dirichlet_rhs(problem, A_masked, b, u_d, free):
     """
     v = problem.apply_operator(u_d)  # raw single-device apply (setup only)
     return sumfac.masked(b - v, free)
+
+
+def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
+                                  backend: str = "xla"):
+    """Element-sharded **L-vector** CG setup — the production multi-chip path.
+
+    Unlike :func:`sharded_poisson_problem` (replicated global vector +
+    full-length psum), every iteration-state array here is (E_pad, n_loc)
+    sharded over the element axis:
+
+    * the operator matmuls are embarrassingly element-parallel;
+    * DSS roll classes (:class:`..ops.exchange.RollExchange`) become XLA
+      collective-permutes at shard boundaries under jit sharding
+      propagation — the domain's halo exchange riding ICI;
+    * inner products reduce over the sharded axis (XLA inserts the psum).
+
+    The element count is padded to a shard-divisible size with inert
+    elements (zero geometric factors, zero dot-weights).
+
+    Returns ``(A, r, M, u_dL, exchange, jmesh)``; solve with
+    ``cg(A, r, M=M, dot=exchange.dot)`` and recover the global solution via
+    ``exchange.global_from_local(u_dL + x)``.
+    """
+    from ..ops.exchange import make_exchange
+    from ..solver.cg import jacobi_preconditioner
+
+    if mesh is None:
+        mesh = device_mesh()
+    n_shards = mesh.devices.size
+    disc = problem.disc
+    E, n_loc = disc.E, disc.n_loc
+    Ep = pad_elements(E, n_shards)
+    ex = make_exchange(disc, pad_to=Ep)
+
+    dtype = problem.dtype
+    Gf = np.zeros((Ep, 3, n_loc), dtype=dtype)
+    Gf[:E] = np.asarray(problem._G, dtype=dtype).reshape(E, 3, -1)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(problem._D0), np.asarray(problem._D1)
+    )
+
+    free = np.zeros((Ep, n_loc), dtype=bool)
+    free[:E] = (~problem._dirichlet_mask)[ex.gather_hier[:E]]
+
+    b = np.asarray(problem._b) + problem._neumann
+    u_d = np.where(problem._dirichlet_mask, problem._dirichlet_vals, 0.0)
+    bL = ex.local_from_global(b).astype(dtype)
+    u_dL = ex.local_from_global(u_d).astype(dtype)
+    bL[E:] = 0.0
+    u_dL[E:] = 0.0
+
+    diagL = ex.local_from_global(
+        np.asarray(problem.operator_diagonal())).astype(dtype)
+    diagL[E:] = 1.0
+
+    sharding = NamedSharding(mesh, P(axis))
+    Gf_d, free_d, bL_d, u_dL_d, diag_d = (
+        jax.device_put(jnp.asarray(a), sharding)
+        for a in (Gf, free, bL, u_dL, diagL)
+    )
+
+    A = sumfac.make_local_laplacian_operator(
+        ex, Gf_d, Dhat, free_d, backend=backend)
+    A_raw = sumfac.make_local_laplacian_operator(
+        ex, Gf_d, Dhat, None, backend=backend)
+    r = jnp.where(free_d, bL_d - A_raw(u_dL_d), 0.0)
+    M = jacobi_preconditioner(diag_d, free_d)
+    return A, r, M, u_dL_d, ex, mesh

@@ -212,3 +212,57 @@ def test_subcell_nodes():
     assert sub.geometry.n_nodes == 4
     # south face nodes have y = min
     np.testing.assert_allclose(sub.nodes_lexicographic[1], -1.0)
+
+
+class TestMultiPatch:
+    def test_tube_mesh_conforming(self):
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh.generators import tube_mesh
+
+        mesh = tube_mesh(3)
+        assert set(mesh.boundary_names) == {"sphere", "symaxis", "shell"}
+        disc = Discretization(mesh, gll_basis_2d(3))
+        assert np.all(disc.detJ > 0)
+        # meridional-plane area: quarter head disc + tail box - half
+        # unit-sphere disc (isoparametric arcs converge fast in p)
+        area = disc.integrate(np.ones(disc.n_nodes))
+        exact = np.pi * 32.0**2 / 4 + 32.0 * 64.0 - np.pi / 2
+        assert abs(area - exact) / exact < 1e-6
+
+    def test_tube_mesh_dss_consistent(self):
+        """Multi-patch interfaces must behave like any conforming mesh."""
+        import jax.numpy as jnp
+
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh.generators import tube_mesh
+        from spectralelementmethod_tpu.ops.exchange import (
+            LocalExchange, RollExchange)
+
+        disc = Discretization(tube_mesh(3, n_theta=8, n_r=3, n_wake=2,
+                                        n_outer=3), gll_basis_2d(3))
+        exL, exR = LocalExchange(disc), RollExchange(disc)
+        v = jnp.asarray(np.random.RandomState(0).standard_normal(
+            (disc.E, disc.n_loc)))
+        np.testing.assert_allclose(np.asarray(exR.dss(v)),
+                                   np.asarray(exL.dss(v)), atol=1e-12)
+
+    def test_coons_patch_reproduces_boundaries(self):
+        from spectralelementmethod_tpu.mesh.generators import (
+            arc_curve, coons_patch, line_curve)
+
+        s = arc_curve(2.0, 0.0, np.pi / 2)
+        n = arc_curve(4.0, 0.0, np.pi / 2)
+        w = line_curve(s(0.0), n(0.0))
+        e = line_curve(s(1.0), n(1.0))
+        cmap = coons_patch(s, n, w, e)
+        t = np.linspace(0, 1, 7)
+        np.testing.assert_allclose(np.stack(cmap(t, 0 * t)),
+                                   np.stack(s(t)), atol=1e-13)
+        np.testing.assert_allclose(np.stack(cmap(t, 0 * t + 1)),
+                                   np.stack(n(t)), atol=1e-13)
+        np.testing.assert_allclose(np.stack(cmap(0 * t, t)),
+                                   np.stack(w(t)), atol=1e-13)

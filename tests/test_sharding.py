@@ -77,3 +77,34 @@ def test_various_mesh_sizes(problem, n_dev):
     A, r, M, u_d, _ = sh.sharded_poisson_problem(problem, mesh)
     v = np.asarray(A(r))
     assert np.all(np.isfinite(v))
+
+
+def test_sharded_local_cg_matches(problem):
+    """Element-sharded L-vector CG == single-device solve (production path)."""
+    sol_single = problem.solve(tol=1e-13, host_loop=True)
+
+    mesh = sh.device_mesh(8)
+    A, r, M, u_dL, ex, _ = sh.sharded_local_poisson_problem(problem, mesh)
+    assert ex.E % 8 == 0            # padded to the shard count
+    res = cg(A, r, M=M, tol=1e-13, max_iter=2000, dot=ex.dot)
+    assert bool(res.converged)
+    u = ex.global_from_local(np.asarray(u_dL + res.x))
+    np.testing.assert_allclose(u, sol_single.u, atol=1e-9)
+
+
+def test_padded_exchange_matches_unpadded(problem):
+    """pad_to adds inert elements: dss and dot results are unchanged."""
+    from spectralelementmethod_tpu.ops.exchange import LocalExchange
+
+    disc = problem.disc
+    ex0 = LocalExchange(disc)
+    exp = LocalExchange(disc, pad_to=disc.E + 5)
+    rng = np.random.RandomState(0)
+    v = rng.standard_normal((disc.E, disc.n_loc))
+    vp = np.concatenate([v, np.zeros((5, disc.n_loc))])
+    a = np.asarray(ex0.dss(jnp.asarray(v)))
+    b = np.asarray(exp.dss(jnp.asarray(vp)))
+    np.testing.assert_allclose(b[:disc.E], a, atol=1e-13)
+    d0 = float(ex0.dot(jnp.asarray(v), jnp.asarray(v)))
+    dp = float(exp.dot(jnp.asarray(vp), jnp.asarray(vp)))
+    assert abs(d0 - dp) < 1e-10 * max(abs(d0), 1.0)
