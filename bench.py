@@ -95,6 +95,8 @@ def main():
                          "pallas / xla-local force that backend; "
                          "fused/peraxis = global-vector gather/scatter "
                          "variants")
+    ap.add_argument("--precision", choices=["default", "high", "highest"],
+                    default="highest")
     ap.add_argument("--reps", type=int, default=50)
     args = ap.parse_args()
 
@@ -147,12 +149,12 @@ def main():
         ex = make_exchange(disc)
         t_setup += time.perf_counter() - t0
         one_apply = sumfac.make_local_laplacian_operator(
-            ex, Gf, Dhat, backend=backend)
+            ex, Gf, Dhat, backend=backend, precision=args.precision)
         vec0 = jnp.asarray(ex.local_from_global(u_global))
         dot = ex.dot
         free = jnp.asarray((~prob._dirichlet_mask)[ex.gather_hier])
         A_cg = sumfac.make_local_laplacian_operator(
-            ex, Gf, Dhat, free, backend=backend)
+            ex, Gf, Dhat, free, backend=backend, precision=args.precision)
         diagL = jnp.asarray(
             ex.local_from_global(np.asarray(prob.operator_diagonal()))
             .astype(dtype))
@@ -251,6 +253,7 @@ def main():
             "n_nodes": n_nodes,
             "device": str(jax.devices()[0]),
             "kernel": args.kernel,
+            "precision": args.precision,
             "setup_s": round(t_setup, 2),
             "baseline": "serial per-element numpy einsum apply "
                         f"(reference style), {n_sample}-element sample",

@@ -167,12 +167,17 @@ class Poisson(BoundaryConditionMixin):
         return PoissonSolution(u, res)
 
     def solve_local(self, tol: float = 1e-12, max_iter: int | None = None,
-                    host_loop: bool = False) -> PoissonSolution:
+                    host_loop: bool = False,
+                    precond: str = "jacobi") -> PoissonSolution:
         """Solve with CG on element-local (L-vector) storage.
 
         The production TPU path: no global gather/scatter in the iteration
         (structured neighbor exchange instead; :mod:`..ops.exchange`).
         Iterates are mathematically identical to :meth:`solve`.
+
+        ``precond``: "jacobi" (point diagonal) or "fdm" (element-local
+        fast-diagonalization additive Schwarz, ~2.7x fewer iterations at
+        ~1.5x cost per iteration; :mod:`..solver.fdm`).
         """
         from ..ops.exchange import make_exchange
 
@@ -201,9 +206,17 @@ class Poisson(BoundaryConditionMixin):
         A_raw = sumfac.make_local_laplacian_operator(ex, Gf, Dhat, None)
         r = jnp.where(free_local, bL - A_raw(u_dL), 0.0)
 
-        diag = np.asarray(self.operator_diagonal())
-        diagL = jnp.asarray(ex.local_from_global(diag).astype(self.dtype))
-        M = jacobi_preconditioner(diagL, free_local)
+        if precond == "fdm":
+            from ..solver.fdm import make_fdm_preconditioner
+
+            M = make_fdm_preconditioner(
+                ex, self._G, disc.basis, free_local, dtype=self.dtype
+            )
+        else:
+            diag = np.asarray(self.operator_diagonal())
+            diagL = jnp.asarray(
+                ex.local_from_global(diag).astype(self.dtype))
+            M = jacobi_preconditioner(diagL, free_local)
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))

@@ -153,7 +153,8 @@ def laplacian_apply_fused(u, gather_nodes, Gf, Dhat, n_nodes):
 
 
 def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
-                                  backend: str = "auto"):
+                                  backend: str = "auto",
+                                  precision: str = "highest"):
     """Weak Laplacian acting on hierarchical L-vectors (E, n).
 
     The production TPU formulation: no global vector in the loop —
@@ -165,6 +166,9 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
     optional (E, n) bool mask for symmetric Dirichlet elimination.
     ``backend``: 'auto' (fused Pallas kernel on TPU, XLA einsums
     elsewhere), 'pallas', 'pallas-interpret' (CPU testing), or 'xla'.
+    ``precision``: XLA dot precision for the derivative matmuls —
+    'highest' (6-pass f32 emulation, reference-grade), 'high' (3-pass),
+    or 'default' (fastest; bf16 inputs on the MXU, ~3 digits).
     """
     import numpy as np
 
@@ -174,14 +178,13 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
     n = Dhat_h.shape[1]
 
     if backend == "auto":
-        from . import pallas_kernels
-
-        # Pallas TPU kernels are compiled for f32/bf16; fall back to XLA
-        # einsums for float64 (x64 reference-matching mode) or other
-        # backends (CPU/virtual-device test meshes).
-        use_pallas = (pallas_kernels.supported()
-                      and jnp.asarray(Gf).dtype != jnp.float64)
-        backend = "pallas" if use_pallas else "xla"
+        # Measured on v5e (p=8, 100k elements): the Pallas kernel wins in
+        # isolation (0.58 vs 0.80 ms) but composing it with the DSS
+        # exchange forces layout copies at the pallas_call boundary
+        # (7.9 ms total vs 0.93 ms for pure-XLA apply+dss, which fuses
+        # end to end).  Until the kernel absorbs the exchange, auto = XLA;
+        # 'pallas' remains available explicitly.
+        backend = "xla"
 
     if backend in ("pallas", "pallas-interpret"):
         from . import pallas_kernels
@@ -197,13 +200,13 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
     elif backend == "xla":
         def local_apply(uL):
             grads = jnp.einsum("en,mn->em", uL, Dhat_h,
-                               precision="highest")      # (E, 2n) lex rows
+                               precision=precision)      # (E, 2n) lex rows
             ur, us = grads[:, :n], grads[:, n:]
             fr = Gf[:, 0] * ur + Gf[:, 1] * us
             fs = Gf[:, 1] * ur + Gf[:, 2] * us
             flux = jnp.concatenate([fr, fs], axis=1)
             return jnp.einsum("em,mn->en", flux, Dhat_h,
-                              precision="highest")
+                              precision=precision)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
