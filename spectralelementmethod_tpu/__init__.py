@@ -16,8 +16,21 @@ Unlike the reference (whose ``sem/__init__.py`` is an empty stub), this is a
 curated top-level API.
 """
 
+import importlib
+
 from . import basis, config
 
 __version__ = "0.1.0"
 
-__all__ = ["basis", "config", "__version__"]
+_SUBPACKAGES = ("mesh", "core", "ops", "solver", "models", "parallel",
+                "utils", "plot2d", "native")
+
+__all__ = ["basis", "config", "__version__", *_SUBPACKAGES]
+
+
+def __getattr__(name):
+    """Lazy subpackage access (keeps bare import light; matplotlib et al.
+    load only when their subpackage is touched)."""
+    if name in _SUBPACKAGES:
+        return importlib.import_module("." + name, __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,1 +1,18 @@
-"""Subpackage."""
+"""Application models: Poisson, Helmholtz, axisymmetric squirmer.
+
+The reference's examples layer (L6) as a first-class model family
+(``examples/poisson.py`` intent, ``examples/squirmer-axisymmetric.py``).
+"""
+
+from .helmholtz import Helmholtz
+from .poisson import Poisson, PoissonSolution
+from .squirmer import FixedSphere, Squirmer, SphereWithSlipVel
+
+__all__ = [
+    "Helmholtz",
+    "Poisson",
+    "PoissonSolution",
+    "FixedSphere",
+    "Squirmer",
+    "SphereWithSlipVel",
+]

@@ -1,1 +1,24 @@
-"""Subpackage."""
+"""Solvers: preconditioned CG, static condensation, FDM Schwarz, Newton.
+
+Replaces the reference's sparse direct pipeline (``sem/linalg.py``,
+``sem/discrete.py:283-528``) with matrix-free Krylov + batched dense
+condensation (SURVEY.md §2 table).
+"""
+
+from .cg import CGResult, cg, cg_host, jacobi_preconditioner
+from .condensation import CondensedSystem, schur_solve
+from .fdm import gll_fdm_eig, make_fdm_preconditioner
+from .rootfind import SolverFailure, newton
+
+__all__ = [
+    "CGResult",
+    "cg",
+    "cg_host",
+    "jacobi_preconditioner",
+    "CondensedSystem",
+    "schur_solve",
+    "gll_fdm_eig",
+    "make_fdm_preconditioner",
+    "SolverFailure",
+    "newton",
+]

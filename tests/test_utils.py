@@ -92,3 +92,42 @@ class TestLoggingAndCheckpoint:
             vec, attrs = ckpt.load_solution(f, label)
         np.testing.assert_array_equal(vec, np.arange(5.0))
         assert attrs["speed"] == 2.0
+
+
+class TestChecks:
+    def test_validate_discretization(self):
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh.generators import annulus_mesh
+        from spectralelementmethod_tpu.utils import checks
+
+        disc = Discretization(annulus_mesh(4, n_theta=5, n_r=6),
+                              gll_basis_2d(4))
+        report = checks.validate_discretization(disc)
+        assert report["detJ_min"] > 0
+        assert report["symmetry_rel_err"] < 1e-10
+
+    def test_checked_catches_nan(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from spectralelementmethod_tpu.utils import checks
+
+        def f(x):
+            return checks.assert_finite(jnp.log(x), "logx")
+
+        g = checks.checked(f)
+        g(jnp.asarray([1.0, 2.0]))  # fine
+        with pytest.raises(Exception):
+            g(jnp.asarray([-1.0, 2.0]))  # log(-1) = nan
+
+    def test_nan_debug_mode_restores(self):
+        import jax
+
+        from spectralelementmethod_tpu.utils import checks
+
+        before = jax.config.jax_debug_nans
+        with checks.nan_debug_mode():
+            assert jax.config.jax_debug_nans
+        assert jax.config.jax_debug_nans == before
