@@ -195,21 +195,29 @@ def main():
     reps = args.reps
 
     # Chain the applies inside ONE jitted loop: a timing that counts kernel
-    # throughput, not per-dispatch host/tunnel latency.
+    # throughput, not per-dispatch host/tunnel latency.  Closure-convert
+    # hoists captured arrays to runtime args (else they inline as HLO
+    # literals — GBs at 1M elements, overflowing remote compiles).
     def _dot(a, b):
         return jnp.vdot(a, b) if dot is None else dot(a, b)
 
+    A_pure, A_consts = jax.closure_convert(one_apply, vec0)
+    d_pure, d_consts = jax.closure_convert(_dot, vec0, vec0)
+
     @jax.jit
-    def apply_chain(u):
+    def apply_chain(u, A_c, d_c):
         def body(i, x):
-            y = one_apply(x)
-            return y * jax.lax.rsqrt(_dot(y, y).real.astype(y.dtype) + 1e-30)
+            y = A_pure(x, *A_c)
+            return y * jax.lax.rsqrt(
+                d_pure(y, y, *d_c).real.astype(y.dtype) + 1e-30)
 
         return jax.lax.fori_loop(0, reps, body, u)
 
-    apply_chain(vec0).block_until_ready()
+    A_consts = tuple(A_consts)
+    d_consts = tuple(d_consts)
+    apply_chain(vec0, A_consts, d_consts).block_until_ready()
     t0 = time.perf_counter()
-    apply_chain(vec0).block_until_ready()
+    apply_chain(vec0, A_consts, d_consts).block_until_ready()
     t_apply = (time.perf_counter() - t0) / reps
 
     flops = sumfac.element_apply_flops(E, p1, p1)

@@ -38,7 +38,8 @@ class LocalExchange:
     all square-shaped too).
     """
 
-    def __init__(self, disc, pad_to: int | None = None):
+    def __init__(self, disc, pad_to: int | None = None,
+                 layout: str = "edges-first"):
         geometry = disc.geometry
         m0, m1 = disc.shape
         if m0 != m1:
@@ -59,12 +60,31 @@ class LocalExchange:
         self.ne = m - 2                      # edge-interior nodes per face
         self.n_edge_block = 4 * self.ne
 
-        hier = geometry.hierarchical_node_order
-        self.hier = hier
-        #: (Ep, n_loc) global node ids in hierarchical local order
+        # local node order: blocks at lane-aligned offsets.  "edges-first"
+        # = [edge interiors | vertices | cell interior] so every exchange
+        # block slice starts at lane offset 0 or neb (the vertex-first
+        # hierarchical order forces offset-4 lane slices, which cost a
+        # cross-lane relayout per dss on TPU); "verts-first" keeps the
+        # reference hierarchical order (sem/geometry.py:197-212).
+        hier0 = geometry.hierarchical_node_order
+        neb = self.n_edge_block
+        if layout == "edges-first":
+            order = np.concatenate(
+                [hier0[4:4 + neb], hier0[:4], hier0[4 + neb:]])
+            self.off_edge, self.off_vert = 0, neb
+        elif layout == "verts-first":
+            order = np.asarray(hier0)
+            self.off_vert, self.off_edge = 0, 4
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
+        self.layout = layout
+        self.off_int = neb + 4
+        #: the active local node order (lex index -> L-vector column)
+        self.hier = order
+        #: (Ep, n_loc) global node ids in the local order
         #: (pad rows alias node 0; their values never enter any reduction)
         self.gather_hier = np.zeros((Ep, self.n_loc), dtype=np.int64)
-        self.gather_hier[:E] = disc.gather_nodes[:, hier]
+        self.gather_hier[:E] = disc.gather_nodes[:, order]
 
         # ---- edge pairing -------------------------------------------------
         nb_lin = np.arange(Ep * 4, dtype=np.int32)  # default: self
@@ -72,9 +92,9 @@ class LocalExchange:
         flip = np.zeros((Ep, 4), dtype=bool)
 
         if self.ne > 0:
-            edge_nodes = self.gather_hier[:, 4:4 + self.n_edge_block].reshape(
-                Ep, 4, self.ne
-            )
+            edge_nodes = self.gather_hier[
+                :, self.off_edge:self.off_edge + self.n_edge_block
+            ].reshape(Ep, 4, self.ne)
         else:
             edge_nodes = np.zeros((Ep, 4, 0), dtype=np.int64)
 
@@ -112,7 +132,7 @@ class LocalExchange:
         # ---- vertex numbering --------------------------------------------
         # pad-row vertex copies get fresh singleton ids so they never join
         # a real vertex's reduction or multiplicity
-        vert_g = self.gather_hier[:E, :4]
+        vert_g = self.gather_hier[:E, self.off_vert:self.off_vert + 4]
         uniq, inv_real = np.unique(vert_g.ravel(), return_inverse=True)
         self.n_vertices = uniq.size + 4 * (Ep - E)
         inv = np.concatenate([
@@ -127,11 +147,13 @@ class LocalExchange:
         mult = np.ones((Ep, self.n_loc))
         if self.ne > 0:
             # edge-interior nodes of faces with a neighbor appear twice
-            mult[:, 4:4 + self.n_edge_block] += np.repeat(
-                has_nb, self.ne, axis=1
+            mult[:, self.off_edge:self.off_edge + self.n_edge_block] += (
+                np.repeat(has_nb, self.ne, axis=1)
             )
         vert_counts = np.bincount(inv, minlength=self.n_vertices)
-        mult[:, :4] = vert_counts[inv].reshape(Ep, 4)
+        mult[:, self.off_vert:self.off_vert + 4] = (
+            vert_counts[inv].reshape(Ep, 4)
+        )
         self.multiplicity = mult
         weights = 1.0 / mult
         weights[E:] = 0.0     # pad rows never contribute to inner products
@@ -168,8 +190,9 @@ class LocalExchange:
         E, n, k = vL.shape
         ne, neb = self.ne, self.n_edge_block
 
+        oe, ov = self.off_edge, self.off_vert
         if ne > 0:
-            F = vL[:, 4:4 + neb].reshape(E * 4, ne, k)
+            F = vL[:, oe:oe + neb].reshape(E * 4, ne, k)
             recv = F[self.nb_lin]                       # (E*4, ne, k)
             recv = recv.reshape(E, 4, ne, k)
             recv = jnp.where(
@@ -177,13 +200,14 @@ class LocalExchange:
             )
             recv = jnp.where(self.has_nb[..., None], recv, 0.0)
             edges = F.reshape(E, 4, ne, k) + recv
-            vL = vL.at[:, 4:4 + neb].set(edges.reshape(E, neb, k))
+            vL = vL.at[:, oe:oe + neb].set(edges.reshape(E, neb, k))
 
-        verts = vL[:, :4].reshape(E * 4, k)
+        verts = vL[:, ov:ov + 4].reshape(E * 4, k)
         summed = jnp.zeros((self.n_vertices, k), vL.dtype).at[
             self.vert_gid
         ].add(verts)
-        vL = vL.at[:, :4].set(summed[self.vert_gid].reshape(E, 4, k))
+        vL = vL.at[:, ov:ov + 4].set(
+            summed[self.vert_gid].reshape(E, 4, k))
 
         return vL[..., 0] if squeeze else vL
 
@@ -221,8 +245,9 @@ class RollExchange(LocalExchange):
     #: least this fraction of faces/vertex-copies (else it joins the tail)
     MIN_CLASS_FRACTION = 0.02
 
-    def __init__(self, disc, pad_to: int | None = None):
-        super().__init__(disc, pad_to=pad_to)
+    def __init__(self, disc, pad_to: int | None = None,
+                 layout: str = "edges-first"):
+        super().__init__(disc, pad_to=pad_to, layout=layout)
         E, ne = self.E, self.ne
         min_count = max(8, int(self.MIN_CLASS_FRACTION * E))
 
@@ -328,9 +353,10 @@ class RollExchange(LocalExchange):
         E, n, k = vL.shape
         ne, neb = self.ne, self.n_edge_block
 
+        oe, ov = self.off_edge, self.off_vert
         # ---- edges -------------------------------------------------------
         if ne > 0:
-            F = vL[:, 4:4 + neb].reshape(E, 4, ne, k)
+            F = vL[:, oe:oe + neb].reshape(E, 4, ne, k)
             recv = [jnp.zeros((E, ne, k), vL.dtype) for _ in range(4)]
             for d_f, s_f, delta, flip, mask in self.edge_classes:
                 src = jnp.roll(F[:, s_f], -delta, axis=0)
@@ -347,11 +373,12 @@ class RollExchange(LocalExchange):
                     jnp.flip(tr, axis=1), tr)
                 recv = recv.reshape(E * 4, ne, k).at[
                     self.edge_tail_dst].add(tr).reshape(E, 4, ne, k)
-            edges = F + recv
-            vL = vL.at[:, 4:4 + neb].set(edges.reshape(E, neb, k))
+            edges = (F + recv).reshape(E, neb, k)
+        else:
+            edges = None
 
         # ---- vertices ----------------------------------------------------
-        V = vL[:, :4]                                  # (E, 4, k)
+        V = vL[:, ov:ov + 4]                           # (E, 4, k)
         vsum = V
         for d_s, s_s, delta, mask in self.vert_classes:
             src = jnp.roll(V[:, s_s], -delta, axis=0)  # (E, k)
@@ -362,17 +389,26 @@ class RollExchange(LocalExchange):
             add = jnp.zeros((E * 4, k), vL.dtype).at[
                 self.vert_tail_dst].add(Vf[self.vert_tail_src])
             vsum = vsum + add.reshape(E, 4, k)
-        vL = vL.at[:, :4].set(vsum)
+
+        if self.layout == "edges-first" and edges is not None:
+            # single lane-concat rebuild: [edges | verts | interior]
+            vL = jnp.concatenate([edges, vsum, vL[:, self.off_int:]],
+                                 axis=1)
+        else:
+            if edges is not None:
+                vL = vL.at[:, oe:oe + neb].set(edges)
+            vL = vL.at[:, ov:ov + 4].set(vsum)
 
         return vL[..., 0] if squeeze else vL
 
 
 def make_exchange(disc, threshold: float = 0.25,
-                  pad_to: int | None = None):
+                  pad_to: int | None = None,
+                  layout: str = "edges-first"):
     """Best exchange structure for ``disc``: roll classes when they cover
     enough of the mesh, generic gather otherwise.  ``pad_to`` pads the
     element axis with inert elements (for shard-divisible counts)."""
-    ex = RollExchange(disc, pad_to=pad_to)
+    ex = RollExchange(disc, pad_to=pad_to, layout=layout)
     if ex.tail_fraction > threshold:
-        return LocalExchange(disc, pad_to=pad_to)
+        return LocalExchange(disc, pad_to=pad_to, layout=layout)
     return ex

@@ -78,7 +78,6 @@ def cg_host(
     )
 
 
-@partial(jax.jit, static_argnames=("A", "M", "max_iter", "dot"))
 def cg(
     A: Callable,
     b: jax.Array,
@@ -98,6 +97,13 @@ def cg(
     L-vectors, :meth:`..ops.exchange.LocalExchange.dot`); defaults to the
     Euclidean one.  Stops when ||r|| <= max(tol * ||b||, atol) in the
     ``dot``-induced norm.
+
+    The operator/preconditioner closures are converted to explicit
+    runtime arguments (``jax.closure_convert``) before the jitted
+    ``while_loop``: arrays captured in closures would otherwise be
+    lowered as *inline HLO literals*, which bloats compile payloads by
+    the full operator data size (gigabytes at 1M elements — it overflows
+    remote-compile transports and slows every compile).
     """
     if M is None:
         M = lambda r: r  # noqa: E731
@@ -106,15 +112,30 @@ def cg(
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
+    A_p, A_c = jax.closure_convert(A, b)
+    M_p, M_c = jax.closure_convert(M, b)
+    dot_p, dot_c = jax.closure_convert(dot, b, b)
+
+    return _cg_jit(
+        A_p, M_p, dot_p, b, x0,
+        jnp.asarray(tol, dtype=jnp.result_type(float)),
+        jnp.asarray(atol, dtype=jnp.result_type(float)),
+        max_iter, tuple(A_c), tuple(M_c), tuple(dot_c),
+    )
+
+
+@partial(jax.jit, static_argnames=("A", "M", "dot", "max_iter"))
+def _cg_jit(A, M, dot, b, x0, tol, atol, max_iter, A_c, M_c, dot_c
+            ) -> CGResult:
     def norm(v):
-        return jnp.sqrt(jnp.real(dot(v, v)))
+        return jnp.sqrt(jnp.real(dot(v, v, *dot_c)))
 
     bnorm = norm(b)
     stop = jnp.maximum(tol * bnorm, atol)
 
-    r0 = b - A(x0)
-    z0 = M(r0)
-    rz0 = dot(r0, z0)
+    r0 = b - A(x0, *A_c)
+    z0 = M(r0, *M_c)
+    rz0 = dot(r0, z0, *dot_c)
 
     def cond(state):
         x, r, z, p, rz, k = state
@@ -122,12 +143,12 @@ def cg(
 
     def body(state):
         x, r, z, p, rz, k = state
-        Ap = A(p)
-        alpha = rz / dot(p, Ap)
+        Ap = A(p, *A_c)
+        alpha = rz / dot(p, Ap, *dot_c)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = M(r)
-        rz_new = dot(r, z)
+        z = M(r, *M_c)
+        rz_new = dot(r, z, *dot_c)
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
