@@ -201,8 +201,9 @@ def main():
     def _dot(a, b):
         return jnp.vdot(a, b) if dot is None else dot(a, b)
 
-    A_pure, A_consts = jax.closure_convert(one_apply, vec0)
-    d_pure, d_consts = jax.closure_convert(_dot, vec0, vec0)
+    from spectralelementmethod_tpu.utils.hoist import hoist_closure
+    A_pure, A_consts = hoist_closure(one_apply, vec0)
+    d_pure, d_consts = hoist_closure(_dot, vec0, vec0)
 
     @jax.jit
     def apply_chain(u, A_c, d_c):

@@ -336,8 +336,7 @@ class SphereWithSlipVel:
         ldof_perm = self._ldof_perm
         csys = self.csys
 
-        @partial(jax.jit, static_argnums=())
-        def step(soln_global, n_rey, cint, free_ext):
+        def step_raw(soln_global, n_rey, cint, free_ext):
             # gather to (E, p1, p1, 2) lex layout
             xe = soln_global[gather].reshape(-1, p1, p1, 2)
             x_flat = xe.reshape(-1, nd)
@@ -359,6 +358,25 @@ class SphereWithSlipVel:
                 lmat, lrhs, csys, free_ext, rhs_extra=cint
             )
             return x_ext, x_loc
+
+        # hoist closure-captured arrays (operators, Schur factors) to jit
+        # arguments so they ship as parameters, not inline HLO literals
+        # (see utils/hoist.py; matters for large meshes / remote compile)
+        from ..utils.hoist import hoist_closure
+
+        example = (
+            jnp.asarray(self.soln, dtype=self.dtype),
+            jnp.asarray(1.0, dtype=self.dtype),
+            jnp.asarray(self.cint, dtype=self.dtype),
+            self._free_ext,
+        )
+        pure, consts = hoist_closure(step_raw, *example)
+        jitted = jax.jit(pure)
+        consts = tuple(consts)
+
+        def step(soln_global, n_rey, cint, free_ext):
+            return jitted(soln_global, jnp.asarray(n_rey, self.dtype),
+                          cint, free_ext, *consts)
 
         return step
 

@@ -99,12 +99,13 @@ def cg(
     ``dot``-induced norm.
 
     The operator/preconditioner closures are converted to explicit
-    runtime arguments (``jax.closure_convert``) before the jitted
-    ``while_loop``: arrays captured in closures would otherwise be
+    runtime arguments (:func:`..utils.hoist.hoist_closure`) before the
+    jitted ``while_loop``: arrays captured in closures would otherwise be
     lowered as *inline HLO literals*, which bloats compile payloads by
     the full operator data size (gigabytes at 1M elements — it overflows
     remote-compile transports and slows every compile).
     """
+    from ..utils.hoist import hoist_closure
     if M is None:
         M = lambda r: r  # noqa: E731
     if dot is None:
@@ -112,9 +113,9 @@ def cg(
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
-    A_p, A_c = jax.closure_convert(A, b)
-    M_p, M_c = jax.closure_convert(M, b)
-    dot_p, dot_c = jax.closure_convert(dot, b, b)
+    A_p, A_c = hoist_closure(A, b)
+    M_p, M_c = hoist_closure(M, b)
+    dot_p, dot_c = hoist_closure(dot, b, b)
 
     return _cg_jit(
         A_p, M_p, dot_p, b, x0,
