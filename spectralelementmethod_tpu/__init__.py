@@ -18,7 +18,11 @@ curated top-level API.
 
 import importlib
 
-from . import basis, config
+from .utils.hostmem import tune_host_allocator as _tune
+
+_tune()  # reuse heap for large numpy temporaries (see utils/hostmem.py)
+
+from . import basis, config  # noqa: E402
 
 __version__ = "0.1.0"
 

@@ -79,13 +79,11 @@ class Discretization:
         )
 
         # ---- batched geometry precompute (host, float64) ----
-        # cell nodes: (E, ndim_phys, *shape), equispaced in parametric space
-        cell_nodes = mesh.nodes[:, node_maps].transpose(1, 0, 2, 3)
-        #: mapping coefficients == physical coords of the GLL nodes
-        self.x_coeffs = mp.mapping_coeffs(self.map_basis, cell_nodes)
-        #: (E, 2, 2, *shape) J[i, a] = dx_i/dxi_a at GLL nodes
-        self.J = mp.jacobian(self.map_basis, self.x_coeffs)
-        self.detJ, self.invJ = mp.det_inv_2x2(self.J)
+        # fused GEMM pipeline (equispaced parametric cell nodes -> GLL
+        # mapping coefficients -> Jacobians); see mp.batched_geometry_2d
+        self.x_coeffs, self.J, self.detJ, self.invJ = (
+            mp.batched_geometry_2d(self.map_basis, mesh.nodes, node_maps)
+        )
         if not np.all(self.detJ > 0):
             bad = np.argwhere(~(self.detJ > 0))
             raise ValueError(
