@@ -97,6 +97,8 @@ def main():
                          "variants")
     ap.add_argument("--precision", choices=["default", "high", "highest"],
                     default="highest")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 matmul inputs (f32 accumulate)")
     ap.add_argument("--reps", type=int, default=50)
     args = ap.parse_args()
 
@@ -148,13 +150,16 @@ def main():
         t0 = time.perf_counter()
         ex = make_exchange(disc)
         t_setup += time.perf_counter() - t0
+        cdt = jnp.bfloat16 if args.bf16 else None
         one_apply = sumfac.make_local_laplacian_operator(
-            ex, Gf, Dhat, backend=backend, precision=args.precision)
+            ex, Gf, Dhat, backend=backend, precision=args.precision,
+            compute_dtype=cdt)
         vec0 = jnp.asarray(ex.local_from_global(u_global))
         dot = ex.dot
         free = jnp.asarray((~prob._dirichlet_mask)[ex.gather_hier])
         A_cg = sumfac.make_local_laplacian_operator(
-            ex, Gf, Dhat, free, backend=backend, precision=args.precision)
+            ex, Gf, Dhat, free, backend=backend, precision=args.precision,
+            compute_dtype=cdt)
         diagL = jnp.asarray(
             ex.local_from_global(np.asarray(prob.operator_diagonal()))
             .astype(dtype))
@@ -263,6 +268,7 @@ def main():
             "device": str(jax.devices()[0]),
             "kernel": args.kernel,
             "precision": args.precision,
+            "bf16": bool(args.bf16),
             "setup_s": round(t_setup, 2),
             "baseline": "serial per-element numpy einsum apply "
                         f"(reference style), {n_sample}-element sample",

@@ -152,9 +152,34 @@ def laplacian_apply_fused(u, gather_nodes, Gf, Dhat, n_nodes):
     ].add(ve.reshape(-1))
 
 
+def affine_factorization(Gf, W, rel_tol: float | None = None):
+    """Rank-1 factorization ``G_i(e) = a_i(e) * W`` of geometric factors.
+
+    For affine cells (parallelograms: constant Jacobian) each factor field
+    is exactly the quadrature weight grid scaled per element; the apply
+    then never reads the (E, 3, n) factor arrays from HBM (~40% of its
+    traffic at p=8).  Returns ``(a (E, 3), exact: bool)`` where ``exact``
+    is True when every element satisfies the factorization to ``rel_tol``.
+    """
+    import numpy as np
+
+    Gf = np.asarray(Gf)
+    if rel_tol is None:
+        rel_tol = 100 * np.finfo(Gf.dtype).eps
+    W = np.asarray(W).reshape(-1)
+    sumWW = float(W @ W)
+    a = Gf @ W / sumWW                       # (E, 3) least-squares scales
+    resid = Gf - a[..., None] * W
+    scale = np.abs(Gf).max() + 1e-300
+    exact = bool(np.abs(resid).max() <= rel_tol * scale)
+    return a, exact
+
+
 def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
                                   backend: str = "auto",
-                                  precision: str = "highest"):
+                                  precision: str = "highest",
+                                  compute_dtype=None,
+                                  structure: str = "auto"):
     """Weak Laplacian acting on hierarchical L-vectors (E, n).
 
     The production TPU formulation: no global vector in the loop —
@@ -169,6 +194,14 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
     ``precision``: XLA dot precision for the derivative matmuls —
     'highest' (6-pass f32 emulation, reference-grade), 'high' (3-pass),
     or 'default' (fastest; bf16 inputs on the MXU, ~3 digits).
+    ``compute_dtype``: optional reduced dtype (e.g. ``jnp.bfloat16``) for
+    the matmul inputs; accumulation stays float32 and the result is cast
+    back to the vector dtype.  Halves matmul HBM traffic and uses
+    single-pass MXU — for preconditioner applies and tolerance-limited
+    solves.
+    ``structure``: 'auto' detects all-affine meshes and uses the rank-1
+    compressed factors (:func:`affine_factorization`); 'general' forces
+    the full (E, 3, n) factor read; 'affine' requires affinity.
     """
     import numpy as np
 
@@ -176,6 +209,17 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
     Dhat_h = jnp.asarray(np.asarray(Dhat)[:, exchange.hier],
                          dtype=jnp.asarray(Gf).dtype)
     n = Dhat_h.shape[1]
+
+    affine_a = None
+    if structure in ("auto", "affine"):
+        Wgrid = exchange.disc.basis.weight_grid().reshape(-1)  # lex order
+        a, exact = affine_factorization(np.asarray(Gf), Wgrid)
+        if exact:
+            dt = jnp.asarray(Gf).dtype
+            affine_a = (jnp.asarray(a, dtype=dt),
+                        jnp.asarray(Wgrid, dtype=dt))
+        elif structure == "affine":
+            raise ValueError("mesh is not affine but structure='affine'")
 
     if backend == "auto":
         # Measured on v5e (p=8, 100k elements): the Pallas kernel wins in
@@ -197,16 +241,76 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
             return pallas_kernels.fused_laplacian_local(
                 uL, g0, g1, g2, Dhat_h, interpret=interp
             )
+    elif backend == "xla" and affine_a is not None:
+        a_d, W_lex = affine_a
+        a0, a1, a2 = a_d[:, 0:1], a_d[:, 1:2], a_d[:, 2:3]   # (E, 1)
+        if compute_dtype is not None:
+            import jax
+
+            cd = jnp.dtype(compute_dtype)
+            Dhat_b = Dhat_h.astype(cd)
+
+            def local_apply(uL):
+                out_dtype = uL.dtype
+                grads = jax.lax.dot_general(
+                    uL.astype(cd), Dhat_b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ur, us = grads[:, :n], grads[:, n:]
+                wur, wus = W_lex * ur, W_lex * us
+                fr = (a0 * wur + a1 * wus).astype(cd)
+                fs = (a1 * wur + a2 * wus).astype(cd)
+                flux = jnp.concatenate([fr, fs], axis=1)
+                return jax.lax.dot_general(
+                    flux, Dhat_b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(out_dtype)
+        else:
+            def local_apply(uL):
+                grads = jnp.einsum("en,mn->em", uL, Dhat_h,
+                                   precision=precision)
+                ur, us = grads[:, :n], grads[:, n:]
+                wur, wus = W_lex * ur, W_lex * us
+                fr = a0 * wur + a1 * wus
+                fs = a1 * wur + a2 * wus
+                flux = jnp.concatenate([fr, fs], axis=1)
+                return jnp.einsum("em,mn->en", flux, Dhat_h,
+                                  precision=precision)
     elif backend == "xla":
-        def local_apply(uL):
-            grads = jnp.einsum("en,mn->em", uL, Dhat_h,
-                               precision=precision)      # (E, 2n) lex rows
-            ur, us = grads[:, :n], grads[:, n:]
-            fr = Gf[:, 0] * ur + Gf[:, 1] * us
-            fs = Gf[:, 1] * ur + Gf[:, 2] * us
-            flux = jnp.concatenate([fr, fs], axis=1)
-            return jnp.einsum("em,mn->en", flux, Dhat_h,
-                              precision=precision)
+        if compute_dtype is not None:
+            import jax
+
+            cd = jnp.dtype(compute_dtype)
+            Dhat_b = Dhat_h.astype(cd)
+            g0 = jnp.asarray(Gf)[:, 0].astype(cd)
+            g1 = jnp.asarray(Gf)[:, 1].astype(cd)
+            g2 = jnp.asarray(Gf)[:, 2].astype(cd)
+
+            def local_apply(uL):
+                out_dtype = uL.dtype
+                ub = uL.astype(cd)
+                grads = jax.lax.dot_general(
+                    ub, Dhat_b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                         # (E, 2n) f32
+                ur, us = grads[:, :n], grads[:, n:]
+                fr = (g0 * ur + g1 * us).astype(cd)
+                fs = (g1 * ur + g2 * us).astype(cd)
+                flux = jnp.concatenate([fr, fs], axis=1)
+                return jax.lax.dot_general(
+                    flux, Dhat_b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(out_dtype)
+        else:
+            def local_apply(uL):
+                grads = jnp.einsum("en,mn->em", uL, Dhat_h,
+                                   precision=precision)  # (E, 2n) lex rows
+                ur, us = grads[:, :n], grads[:, n:]
+                fr = Gf[:, 0] * ur + Gf[:, 1] * us
+                fs = Gf[:, 1] * ur + Gf[:, 2] * us
+                flux = jnp.concatenate([fr, fs], axis=1)
+                return jnp.einsum("em,mn->en", flux, Dhat_h,
+                                  precision=precision)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
