@@ -168,7 +168,9 @@ class Poisson(BoundaryConditionMixin):
 
     def solve_local(self, tol: float = 1e-12, max_iter: int | None = None,
                     host_loop: bool = False,
-                    precond: str = "jacobi") -> PoissonSolution:
+                    precond: str = "jacobi",
+                    structure: str = "auto",
+                    compute_dtype=None) -> PoissonSolution:
         """Solve with CG on element-local (L-vector) storage.
 
         The production TPU path: no global gather/scatter in the iteration
@@ -178,6 +180,9 @@ class Poisson(BoundaryConditionMixin):
         ``precond``: "jacobi" (point diagonal) or "fdm" (element-local
         fast-diagonalization additive Schwarz, ~2.7x fewer iterations at
         ~1.5x cost per iteration; :mod:`..solver.fdm`).
+        ``structure``/``compute_dtype`` forward to
+        :func:`..ops.sumfac.make_local_laplacian_operator` (affine factor
+        compression; bf16 matmul inputs).
         """
         from ..ops.exchange import make_exchange
 
@@ -194,7 +199,8 @@ class Poisson(BoundaryConditionMixin):
             (~self._dirichlet_mask)[ex.gather_hier]
         )
         A = sumfac.make_local_laplacian_operator(
-            ex, Gf, Dhat, free_local
+            ex, Gf, Dhat, free_local, structure=structure,
+            compute_dtype=compute_dtype,
         )
 
         # rhs and Dirichlet lift in local form
@@ -203,7 +209,10 @@ class Poisson(BoundaryConditionMixin):
         bL = jnp.asarray(ex.local_from_global(b).astype(self.dtype))
         u_dL = jnp.asarray(ex.local_from_global(u_d).astype(self.dtype))
 
-        A_raw = sumfac.make_local_laplacian_operator(ex, Gf, Dhat, None)
+        A_raw = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, None, structure=structure,
+            compute_dtype=compute_dtype,
+        )
         r = jnp.where(free_local, bL - A_raw(u_dL), 0.0)
 
         if precond == "fdm":

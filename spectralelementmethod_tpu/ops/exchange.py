@@ -214,10 +214,21 @@ class LocalExchange:
     def dot(self, uL, vL):
         """Global inner product from consistent L-vectors (1/mult weights)."""
         prod = uL * vL
-        w = self.weights.astype(prod.dtype)
+        w = self._weights_as(prod.dtype)
         if prod.ndim == 3:
             w = w[..., None]
         return jnp.sum(prod * w)
+
+    def _weights_as(self, dtype):
+        """Dtype-cast weights, cached (a fresh cast per dot costs a full
+        array pass inside every CG iteration)."""
+        cache = getattr(self, "_w_cache", None)
+        if cache is None:
+            cache = self._w_cache = {}
+        key = jnp.dtype(dtype).name
+        if key not in cache:
+            cache[key] = self.weights.astype(dtype)
+        return cache[key]
 
     def norm(self, uL):
         return jnp.sqrt(self.dot(uL, uL))

@@ -128,36 +128,40 @@ def cg(
 @partial(jax.jit, static_argnames=("A", "M", "dot", "max_iter"))
 def _cg_jit(A, M, dot, b, x0, tol, atol, max_iter, A_c, M_c, dot_c
             ) -> CGResult:
-    def norm(v):
-        return jnp.sqrt(jnp.real(dot(v, v, *dot_c)))
+    # the residual norm is computed inside the body (fused with the other
+    # vector work) and carried, so the loop condition reads a scalar
+    # instead of re-reducing the full residual every iteration
+    def norm2(v):
+        return jnp.real(dot(v, v, *dot_c))
 
-    bnorm = norm(b)
-    stop = jnp.maximum(tol * bnorm, atol)
+    stop2 = jnp.maximum(tol * tol * norm2(b), atol * atol)
 
     r0 = b - A(x0, *A_c)
     z0 = M(r0, *M_c)
     rz0 = dot(r0, z0, *dot_c)
+    rn0 = norm2(r0)
 
     def cond(state):
-        x, r, z, p, rz, k = state
-        return (norm(r) > stop) & (k < max_iter)
+        x, r, z, p, rz, rn2, k = state
+        return (rn2 > stop2) & (k < max_iter)
 
     def body(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, rn2, k = state
         Ap = A(p, *A_c)
         alpha = rz / dot(p, Ap, *dot_c)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r, *M_c)
         rz_new = dot(r, z, *dot_c)
+        rn2_new = norm2(r)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        return (x, r, z, p, rz_new, rn2_new, k + 1)
 
-    state = (x0, r0, z0, z0, rz0, jnp.array(0, dtype=jnp.int32))
-    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, state)
-    rnorm = norm(r)
-    return CGResult(x, k, rnorm, rnorm <= stop)
+    state = (x0, r0, z0, z0, rz0, rn0, jnp.array(0, dtype=jnp.int32))
+    x, r, z, p, rz, rn2, k = jax.lax.while_loop(cond, body, state)
+    rnorm = jnp.sqrt(rn2)
+    return CGResult(x, k, rnorm, rnorm * rnorm <= stop2)
 
 
 def jacobi_preconditioner(diag: jax.Array, free_mask: jax.Array | None = None):
