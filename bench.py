@@ -243,10 +243,12 @@ def main():
     # CG wall-clock (Dirichlet "ebc" system, Jacobi preconditioner)
     cg_tol = 1e-5 if dtype == np.float32 else 1e-10
     cg_iters = 100 if args.smoke else 1000
-    res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot)
+    res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot,
+             block=cg_iters)
     res.x.block_until_ready()
     t0 = time.perf_counter()
-    res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot)
+    res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot,
+             block=cg_iters)
     res.x.block_until_ready()
     t_cg = time.perf_counter() - t0
 

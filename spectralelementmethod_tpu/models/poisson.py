@@ -140,8 +140,8 @@ class Poisson(BoundaryConditionMixin):
         """Solve with Jacobi-preconditioned CG.
 
         ``host_loop=True`` iterates on the host (fast start, small
-        problems/tests); the default compiles the whole solve as one fused
-        ``lax.while_loop`` (production TPU path).
+        problems/tests); the default runs jitted fixed-size CG blocks
+        (production TPU path).
         """
         disc = self.disc
         free = jnp.asarray(~self._dirichlet_mask)
