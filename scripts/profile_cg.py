@@ -42,17 +42,20 @@ def main():
 
     N = 300
 
-    # --- while_loop cg (tol=0 so it always runs max_iter) ---
+    # --- block-ladder cg, single dispatch (block=N) ---
     t0 = time.perf_counter()
-    res = cg(A, r0, M=M, tol=0.0, atol=1e-30, max_iter=N, dot=ex.dot)
+    res = cg(A, r0, M=M, tol=0.0, atol=1e-30, max_iter=N, dot=ex.dot,
+             block=N)
     res.x.block_until_ready()
-    print("while cg compile+run", time.perf_counter() - t0, flush=True)
-    t0 = time.perf_counter()
-    res = cg(A, r0, M=M, tol=0.0, atol=1e-30, max_iter=N, dot=ex.dot)
-    res.x.block_until_ready()
-    tw = time.perf_counter() - t0
-    print(f"while_loop: {tw:.3f}s total, {tw/N*1e3:.3f} ms/iter "
-          f"({int(res.iterations)} its)", flush=True)
+    print("block cg compile+run", time.perf_counter() - t0, flush=True)
+    for rep in range(3):
+        t0 = time.perf_counter()
+        res = cg(A, r0, M=M, tol=0.0, atol=1e-30, max_iter=N, dot=ex.dot,
+                 block=N)
+        res.x.block_until_ready()
+        tw = time.perf_counter() - t0
+        print(f"block cg: {tw:.3f}s total, {tw/N*1e3:.3f} ms/iter "
+              f"({int(res.iterations)} its)", flush=True)
 
     # --- fori_loop fixed-iteration version of the same body ---
     A_p, A_c = hoist_closure(A, r0)
@@ -82,11 +85,13 @@ def main():
 
     Ac, Mc, dc = tuple(A_c), tuple(M_c), tuple(d_c)
     cg_fori(r0, Ac, Mc, dc)[0].block_until_ready()
-    t0 = time.perf_counter()
-    out = cg_fori(r0, Ac, Mc, dc)
-    out[0].block_until_ready()
-    tf = time.perf_counter() - t0
-    print(f"fori_loop:  {tf:.3f}s total, {tf/N*1e3:.3f} ms/iter", flush=True)
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = cg_fori(r0, Ac, Mc, dc)
+        out[0].block_until_ready()
+        tf = time.perf_counter() - t0
+        print(f"fori_loop:  {tf:.3f}s total, {tf/N*1e3:.3f} ms/iter",
+              flush=True)
 
 
 if __name__ == "__main__":

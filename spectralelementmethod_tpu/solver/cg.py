@@ -12,11 +12,19 @@ iteration on remote backends); per-iteration cost is one operator apply
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _identity_M(r):
+    return r
+
+
+def _euclidean_dot(u, v):
+    return jnp.vdot(u, v)
 
 
 class CGResult(NamedTuple):
@@ -112,9 +120,9 @@ def cg(
     """
     from ..utils.hoist import hoist_closure
     if M is None:
-        M = lambda r: r  # noqa: E731
-    if dot is None:
-        dot = lambda u, v: jnp.vdot(u, v)  # noqa: E731
+        M = _identity_M          # stable objects: fresh lambdas would be
+    if dot is None:              # jit static-arg cache misses every call
+        dot = _euclidean_dot
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
@@ -127,8 +135,10 @@ def cg(
     tol = jnp.asarray(tol, dtype=ftype)
     atol = jnp.asarray(atol, dtype=ftype)
 
-    state = _cg_init(A_p, M_p, dot_p, b, x0, tol, atol, max_iter,
-                     A_c, M_c, dot_c)
+    init_k, block_k = _cg_kernels(A_p, M_p, dot_p)
+    state = init_k(b, x0, tol, atol,
+                   jnp.asarray(max_iter, dtype=jnp.int32),
+                   A_c, M_c, dot_c)
 
     # Fixed-ladder fori blocks with one host convergence check per block:
     # a lax.while_loop's data-dependent trip count forces a host round
@@ -146,7 +156,7 @@ def cg(
         # the <=63 surplus iterations run frozen
         remaining = -(-(max_iter - issued) // 64) * 64
         n = min(block, remaining)
-        state = _cg_block(A_p, M_p, dot_p, n, state, A_c, M_c, dot_c)
+        state = block_k(n, state, A_c, M_c, dot_c)
         issued += n
         if bool(state[5] <= state[7]):
             break
@@ -157,23 +167,38 @@ def cg(
     return CGResult(x, k_dev, rnorm, rn2 <= stop2)
 
 
-@partial(jax.jit, static_argnames=("A", "M", "dot"))
-def _cg_init(A, M, dot, b, x0, tol, atol, max_iter, A_c, M_c, dot_c):
-    def norm2(v):
-        return jnp.real(dot(v, v, *dot_c))
+@lru_cache(maxsize=64)
+def _cg_kernels(A, M, dot):
+    """Jitted (init, block) kernels for one (A, M, dot) triple.
 
-    stop2 = jnp.maximum(tol * tol * norm2(b), atol * atol)
-    r0 = b - A(x0, *A_c)
-    z0 = M(r0, *M_c)
-    rz0 = dot(r0, z0, *dot_c)
-    rn0 = norm2(r0)
-    return (x0, r0, z0, z0, rz0, rn0,
-            jnp.array(0, dtype=jnp.int32), stop2,
-            jnp.asarray(max_iter, dtype=jnp.int32))
+    The callables are *closure-captured*, not jit static arguments:
+    function-typed static args push dispatch onto a slow path measured at
+    ~3 s per warm call on the remote backend, vs milliseconds for
+    closure capture.  The lru_cache keeps kernel identity stable across
+    repeated solves with the same operator (jit executable reuse).
+    """
+
+    @jax.jit
+    def init(b, x0, tol, atol, max_iter, A_c, M_c, dot_c):
+        def norm2(v):
+            return jnp.real(dot(v, v, *dot_c))
+
+        stop2 = jnp.maximum(tol * tol * norm2(b), atol * atol)
+        r0 = b - A(x0, *A_c)
+        z0 = M(r0, *M_c)
+        rz0 = dot(r0, z0, *dot_c)
+        rn0 = norm2(r0)
+        return (x0, r0, z0, z0, rz0, rn0,
+                jnp.array(0, dtype=jnp.int32), stop2, max_iter)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(n, state, A_c, M_c, dot_c):
+        return _cg_block_body(A, M, dot, n, state, A_c, M_c, dot_c)
+
+    return init, block
 
 
-@partial(jax.jit, static_argnames=("A", "M", "dot", "n"))
-def _cg_block(A, M, dot, n, state, A_c, M_c, dot_c):
+def _cg_block_body(A, M, dot, n, state, A_c, M_c, dot_c):
     def norm2(v):
         return jnp.real(dot(v, v, *dot_c))
 

@@ -15,8 +15,17 @@ arguments — which jit then lowers as ordinary parameters.
 
 from __future__ import annotations
 
+import weakref
+
 import jax
 from jax import core as jcore
+
+#: weak per-function cache: fn -> {aval signature -> (pure, consts)}.
+#: Returning the *same* pure-function object for repeated calls is what
+#: lets jit reuse its compiled executable — a fresh wrapper per call is a
+#: static-argument cache miss, i.e. a full recompile per solve (~seconds
+#: through a remote-compile tunnel).
+_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def hoist_closure(fn, *example_args):
@@ -25,7 +34,28 @@ def hoist_closure(fn, *example_args):
     ``consts`` is a list of arrays the closure captured; pass them as
     dynamic arguments to the jitted caller.  The returned function is
     traceable (usable inside jit/while_loop/grad).
+
+    Results are cached per (fn, argument avals): calling again with the
+    same function object returns the *identical* pure function, so jits
+    keyed on it (static argument) hit their compilation cache.  The
+    cached consts reflect the closure contents at first trace.
     """
+    key = tuple((tuple(a.shape), str(a.dtype))
+                for a in map(jnp_aval, example_args))
+    # bound methods are fresh objects on every attribute access; key them
+    # by their owner instead (with the method in the subkey), else the
+    # cache misses every call and downstream jits recompile per solve
+    owner = fn
+    if hasattr(fn, "__self__") and hasattr(fn, "__func__"):
+        owner = fn.__self__
+        key = (fn.__func__, key)
+    try:
+        per_fn = _cache.setdefault(owner, {})
+        if key in per_fn:
+            return per_fn[key]
+    except TypeError:       # owner not weak-referenceable
+        per_fn = None
+
     closed = jax.make_jaxpr(fn)(*example_args)
     jaxpr, consts = closed.jaxpr, closed.consts
     n_args = len(jaxpr.invars)
@@ -36,4 +66,16 @@ def hoist_closure(fn, *example_args):
         out = jcore.eval_jaxpr(jaxpr, list(cvals), *args)
         return out[0] if len(out) == 1 else tuple(out)
 
-    return pure, list(consts)
+    result = (pure, list(consts))
+    if per_fn is not None:
+        per_fn[key] = result
+    return result
+
+
+def jnp_aval(x):
+    """Shape/dtype view of a value (jax.Array, numpy array, or scalar)."""
+    import numpy as np
+
+    if hasattr(x, "aval"):
+        return x.aval
+    return np.asarray(x)
