@@ -190,6 +190,7 @@ class Poisson(BoundaryConditionMixin):
         ex = getattr(self, "_exchange", None)
         if ex is None:
             ex = self._exchange = make_exchange(disc)
+            self._op_cache = {}
 
         Gf = self._G.reshape(disc.E, 3, -1)
         Dhat = sumfac.make_stacked_derivative(
@@ -198,10 +199,16 @@ class Poisson(BoundaryConditionMixin):
         free_local = jnp.asarray(
             (~self._dirichlet_mask)[ex.gather_hier]
         )
-        A = sumfac.make_local_laplacian_operator(
-            ex, Gf, Dhat, free_local, structure=structure,
-            compute_dtype=compute_dtype,
-        )
+        # cache operator closures per mode: repeated solves (continuation,
+        # parameter sweeps) then reuse the same function objects, which is
+        # what lets the CG kernel/jit caches hit instead of recompiling
+        op_key = ("A", structure, str(compute_dtype))
+        A = self._op_cache.get(op_key)
+        if A is None:
+            A = self._op_cache[op_key] = sumfac.make_local_laplacian_operator(
+                ex, Gf, Dhat, free_local, structure=structure,
+                compute_dtype=compute_dtype,
+            )
 
         # rhs and Dirichlet lift in local form
         b = np.asarray(self._b) + self._neumann
@@ -209,23 +216,32 @@ class Poisson(BoundaryConditionMixin):
         bL = jnp.asarray(ex.local_from_global(b).astype(self.dtype))
         u_dL = jnp.asarray(ex.local_from_global(u_d).astype(self.dtype))
 
-        A_raw = sumfac.make_local_laplacian_operator(
-            ex, Gf, Dhat, None, structure=structure,
-            compute_dtype=compute_dtype,
-        )
+        raw_key = ("A_raw", structure, str(compute_dtype))
+        A_raw = self._op_cache.get(raw_key)
+        if A_raw is None:
+            A_raw = self._op_cache[raw_key] = (
+                sumfac.make_local_laplacian_operator(
+                    ex, Gf, Dhat, None, structure=structure,
+                    compute_dtype=compute_dtype,
+                ))
         r = jnp.where(free_local, bL - A_raw(u_dL), 0.0)
 
         if precond == "fdm":
             from ..solver.fdm import make_fdm_preconditioner
 
-            M = make_fdm_preconditioner(
-                ex, self._G, disc.basis, free_local, dtype=self.dtype
-            )
+            M = self._op_cache.get(("M", "fdm"))
+            if M is None:
+                M = self._op_cache[("M", "fdm")] = make_fdm_preconditioner(
+                    ex, self._G, disc.basis, free_local, dtype=self.dtype
+                )
         else:
-            diag = np.asarray(self.operator_diagonal())
-            diagL = jnp.asarray(
-                ex.local_from_global(diag).astype(self.dtype))
-            M = jacobi_preconditioner(diagL, free_local)
+            M = self._op_cache.get(("M", "jacobi"))
+            if M is None:
+                diag = np.asarray(self.operator_diagonal())
+                diagL = jnp.asarray(
+                    ex.local_from_global(diag).astype(self.dtype))
+                M = self._op_cache[("M", "jacobi")] = (
+                    jacobi_preconditioner(diagL, free_local))
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
