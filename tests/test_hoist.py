@@ -59,3 +59,32 @@ def test_hoist_traceable_in_while_loop():
 
     out, k = run(u, tuple(consts))
     np.testing.assert_allclose(np.asarray(out), 0.125)
+
+
+def test_hoist_cache_stable_for_bound_methods():
+    """exchange.dot-style bound methods must hit the cache across accesses
+    (attribute access creates a fresh bound-method object each time)."""
+
+    class Holder:
+        w = jnp.asarray([2.0, 1.0])
+
+        def dot(self, a, b):
+            return jnp.vdot(a * self.w, b)
+
+    h = Holder()
+    a = jnp.asarray([1.0, 2.0])
+    p1, c1 = hoist_closure(h.dot, a, a)
+    p2, c2 = hoist_closure(h.dot, a, a)   # fresh bound method object
+    assert p1 is p2
+    assert float(p1(a, a, *c1)) == float(h.dot(a, a))
+
+
+def test_hoist_cache_distinguishes_shapes():
+    big = jnp.asarray(np.ones((4, 4), np.float32))
+
+    def f(u):
+        return u * big[: u.shape[0], : u.shape[1]]
+
+    p1, _ = hoist_closure(f, jnp.ones((4, 4), jnp.float32))
+    p2, _ = hoist_closure(f, jnp.ones((2, 4), jnp.float32))
+    assert p1 is not p2

@@ -216,3 +216,38 @@ class TestCurvedMesh:
         exact = lambda x, y: np.log(np.sqrt(x**2 + y**2)) / np.log(R)  # noqa
         err = prob.l2_error(sol.u, exact)
         assert err < 1e-7
+
+
+def test_cg_block_param_matches_default():
+    """Single-dispatch CG (block >= max_iter) == default ladder == host."""
+    import jax.numpy as jnp
+
+    from spectralelementmethod_tpu.ops import sumfac
+    from spectralelementmethod_tpu.ops.exchange import make_exchange
+    from spectralelementmethod_tpu.solver.cg import (
+        cg, cg_host, jacobi_preconditioner)
+
+    disc = Discretization(rectangle_mesh(4, 4, 4), gll_basis_2d(4))
+    prob = Poisson(disc)
+    prob.set_dirichlet("ebc", 0.0)
+    ex = make_exchange(disc)
+    Gf = prob._G.reshape(disc.E, 3, -1)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    free = jnp.asarray((~prob._dirichlet_mask)[ex.gather_hier])
+    A = sumfac.make_local_laplacian_operator(ex, Gf, Dhat, free)
+    diagL = jnp.asarray(ex.local_from_global(
+        np.asarray(prob.operator_diagonal())))
+    M = jacobi_preconditioner(diagL, free)
+    b = jnp.asarray(ex.local_from_global(np.asarray(prob._b)))
+    r = jnp.where(free, b, 0.0)
+
+    kw = dict(M=M, tol=1e-11, max_iter=500, dot=ex.dot)
+    r1 = cg(A, r, **kw)
+    r2 = cg(A, r, block=500, **kw)
+    r3 = cg_host(A, r, **kw)
+    assert int(r1.iterations) == int(r2.iterations) == int(r3.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r3.x),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r3.x),
+                               atol=1e-10)
