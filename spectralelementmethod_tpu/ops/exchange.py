@@ -157,7 +157,10 @@ class LocalExchange:
         self.multiplicity = mult
         weights = 1.0 / mult
         weights[E:] = 0.0     # pad rows never contribute to inner products
-        self.weights = jnp.asarray(weights)
+        # kept host-side; device copies materialize lazily per dtype in
+        # _weights_as (an eager f64 copy is a 648MB transfer at 1M
+        # elements that f32 solves never use)
+        self._weights_np = weights
 
     # -- conversions -------------------------------------------------------
 
@@ -219,15 +222,26 @@ class LocalExchange:
             w = w[..., None]
         return jnp.sum(prod * w)
 
+    @property
+    def weights(self):
+        """(E, n_loc) inverse-multiplicity dot weights (float64 view)."""
+        return self._weights_as(np.float64)
+
     def _weights_as(self, dtype):
-        """Dtype-cast weights, cached (a fresh cast per dot costs a full
-        array pass inside every CG iteration)."""
+        """Dtype-cast device weights, cached (a fresh cast per dot costs a
+        full array pass inside every CG iteration; an uncached host
+        transfer costs far more)."""
         cache = getattr(self, "_w_cache", None)
         if cache is None:
             cache = self._w_cache = {}
         key = jnp.dtype(dtype).name
         if key not in cache:
-            cache[key] = self.weights.astype(dtype)
+            import jax
+
+            # materialize OUTSIDE any active trace: jnp.asarray inside a
+            # jit trace returns a tracer, which must not be cached
+            with jax.ensure_compile_time_eval():
+                cache[key] = jnp.asarray(self._weights_np.astype(dtype))
         return cache[key]
 
     def norm(self, uL):
