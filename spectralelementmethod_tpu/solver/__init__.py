@@ -6,6 +6,7 @@ condensation (SURVEY.md §2 table).
 """
 
 from .cg import CGResult, cg, cg_host, jacobi_preconditioner
+from .gmres import GMRESResult, gmres
 from .condensation import CondensedSystem, schur_solve
 from .fdm import gll_fdm_eig, make_fdm_preconditioner
 from .rootfind import SolverFailure, newton
@@ -15,6 +16,8 @@ __all__ = [
     "cg",
     "cg_host",
     "jacobi_preconditioner",
+    "GMRESResult",
+    "gmres",
     "CondensedSystem",
     "schur_solve",
     "gll_fdm_eig",

@@ -1,0 +1,186 @@
+"""Matrix-free restarted GMRES (device Arnoldi, host restart loop).
+
+Completes the Krylov suite next to :mod:`.cg` (SPD): GMRES handles the
+nonsymmetric operators of this domain — advection-dominated transport and
+the linearized Navier-Stokes systems of the squirmer path (SURVEY.md §7
+item 4, "Newton-Krylov": JVP the residual instead of hand-assembling
+Jacobians; the JVP of an einsum chain is an einsum chain, and GMRES is
+the matching solver).
+
+One restart cycle (m Arnoldi steps + least-squares + update) runs as a
+single jitted kernel — the Krylov basis (m+1, *vec) lives on device and
+the small (m+1, m) Hessenberg least-squares problem is solved with
+Givens rotations inside the kernel.  Host code only drives restarts and
+checks convergence (one sync per cycle; the same remote-backend dispatch
+economics as :func:`.cg.cg`).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _identity_M(r):
+    return r
+
+
+def _euclidean_dot(u, v):
+    return jnp.vdot(u, v)
+
+
+class GMRESResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array
+    residual_norm: jax.Array
+    converged: jax.Array
+
+
+def gmres(
+    A: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-10,
+    atol: float = 0.0,
+    restart: int = 30,
+    max_restarts: int = 50,
+    dot: Callable | None = None,
+) -> GMRESResult:
+    """Solve ``A x = b`` (A nonsymmetric OK) with left-preconditioned
+    restarted GMRES(restart).
+
+    ``M`` approximates A^-1 (applied to residuals); ``dot`` defines the
+    inner product (e.g. multiplicity-weighted for L-vectors).  Stops when
+    the preconditioned residual norm <= max(tol * ||M b||, atol).
+    """
+    from ..utils.hoist import hoist_closure
+
+    if M is None:
+        M = _identity_M
+    if dot is None:
+        dot = _euclidean_dot
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    A_p, A_c = hoist_closure(A, b)
+    M_p, M_c = hoist_closure(M, b)
+    dot_p, dot_c = hoist_closure(dot, b, b)
+    A_c, M_c, dot_c = tuple(A_c), tuple(M_c), tuple(dot_c)
+
+    cycle = _gmres_cycle(A_p, M_p, dot_p, int(restart))
+
+    ftype = jnp.result_type(b.dtype, jnp.float32)
+    Mb = M_p(b, *M_c)
+    bnorm = jnp.sqrt(jnp.real(dot_p(Mb, Mb, *dot_c)))
+    stop = jnp.maximum(jnp.asarray(tol, ftype) * bnorm,
+                       jnp.asarray(atol, ftype))
+
+    x = x0
+    total_its = 0
+    rnorm = None
+    for outer in range(max_restarts):
+        x, rnorm, its = cycle(x, b, stop, A_c, M_c, dot_c)
+        total_its += int(its)
+        if bool(rnorm <= stop):
+            break
+    return GMRESResult(
+        x, jnp.asarray(total_its, jnp.int32), rnorm, rnorm <= stop
+    )
+
+
+@lru_cache(maxsize=64)
+def _gmres_cycle(A, M, dot, m: int):
+    """One jitted GMRES(m) cycle: Arnoldi + Givens + solution update."""
+
+    @jax.jit
+    def cycle(x, b, stop, A_c, M_c, dot_c):
+        def pdot(u, v):
+            return dot(u, v, *dot_c)
+
+        def norm(v):
+            return jnp.sqrt(jnp.real(pdot(v, v)))
+
+        r = M(b - A(x, *A_c), *M_c)
+        beta = norm(r)
+        ftype = beta.dtype
+
+        shape = r.shape
+        V = jnp.zeros((m + 1,) + shape, r.dtype)
+        V = V.at[0].set(r / jnp.where(beta != 0, beta, 1.0))
+        H = jnp.zeros((m + 1, m), ftype)
+        # Givens-rotated rhs of the least-squares problem
+        g = jnp.zeros(m + 1, ftype).at[0].set(beta)
+        cs = jnp.zeros(m, ftype)
+        sn = jnp.zeros(m, ftype)
+
+        def body(j, carry):
+            V, H, g, cs, sn, done, k = carry
+            w = M(A(V[j], *A_c), *M_c)
+            # modified Gram-Schmidt
+            def mgs(i, wh):
+                w, h = wh
+                hij = pdot(V[i], w)
+                mask = (i <= j).astype(w.dtype)
+                hij = hij * mask
+                w = w - hij * V[i]
+                h = h.at[i].set(jnp.real(hij))
+                return (w, h)
+
+            w, h = jax.lax.fori_loop(0, m + 1, mgs,
+                                     (w, jnp.zeros(m + 1, ftype)))
+            hnext = norm(w)
+            h = h.at[j + 1].set(hnext)
+            V2 = V.at[j + 1].set(w / jnp.where(hnext != 0, hnext, 1.0))
+
+            # apply previous Givens rotations to the new column
+            def rot(i, h):
+                mask = (i < j).astype(ftype)
+                hi = cs[i] * h[i] + sn[i] * h[i + 1]
+                hi1 = -sn[i] * h[i] + cs[i] * h[i + 1]
+                h = h.at[i].set(jnp.where(mask > 0, hi, h[i]))
+                h = h.at[i + 1].set(jnp.where(mask > 0, hi1, h[i + 1]))
+                return h
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            denom = jnp.where(denom != 0, denom, 1.0)
+            c, s = h[j] / denom, h[j + 1] / denom
+            h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
+            gj = g[j]
+            g2 = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+
+            # freeze once converged (same trick as cg: skip the update)
+            new_done = done | (jnp.abs(g2[j + 1]) <= stop)
+            sel = lambda new, old: jnp.where(done, old, new)  # noqa: E731
+            return (sel(V2, V), sel(H.at[:, j].set(h), H), sel(g2, g),
+                    sel(cs.at[j].set(c), cs), sel(sn.at[j].set(s), sn),
+                    new_done,
+                    k + jnp.where(done, 0, 1).astype(k.dtype))
+
+        done0 = beta <= stop
+        V, H, g, cs, sn, done, k = jax.lax.fori_loop(
+            0, m, body,
+            (V, H, g, cs, sn, done0, jnp.array(0, jnp.int32)),
+        )
+
+        # back-substitute the k x k triangular system (masked full loop)
+        def back(row, y):
+            i = m - 1 - row
+            active = (i < k).astype(ftype)
+            num = g[i] - jnp.dot(H[i], y)
+            hii = jnp.where(H[i, i] != 0, H[i, i], 1.0)
+            return y.at[i].set(active * num / hii)
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, ftype))
+        dx = jnp.tensordot(y.astype(V.dtype), V[:m], axes=1)
+        x = x + dx
+
+        rnorm = jnp.abs(g[jnp.minimum(k, m)])
+        return x, rnorm, k
+
+    return cycle
