@@ -187,32 +187,34 @@ class LocalExchange:
         returns the consistent summed L-vector (every copy of a shared DOF
         holds the total).  Jit-compatible.
         """
-        squeeze = vL.ndim == 2
-        if squeeze:
-            vL = vL[..., None]
-        E, n, k = vL.shape
+        if vL.ndim == 2:
+            return self._dss_2d(vL)
+        return jnp.stack(
+            [self._dss_2d(vL[..., c]) for c in range(vL.shape[-1])],
+            axis=-1,
+        )
+
+    def _dss_2d(self, vL):
+        E, n = vL.shape
         ne, neb = self.ne, self.n_edge_block
 
         oe, ov = self.off_edge, self.off_vert
         if ne > 0:
-            F = vL[:, oe:oe + neb].reshape(E * 4, ne, k)
-            recv = F[self.nb_lin]                       # (E*4, ne, k)
-            recv = recv.reshape(E, 4, ne, k)
-            recv = jnp.where(
-                self.flip[..., None], jnp.flip(recv, axis=2), recv
-            )
-            recv = jnp.where(self.has_nb[..., None], recv, 0.0)
-            edges = F.reshape(E, 4, ne, k) + recv
-            vL = vL.at[:, oe:oe + neb].set(edges.reshape(E, neb, k))
+            F = vL[:, oe:oe + neb].reshape(E * 4, ne)
+            recv = F[self.nb_lin]                       # (E*4, ne)
+            recv = recv.reshape(E, 4, ne)
+            recv = jnp.where(self.flip, jnp.flip(recv, axis=2), recv)
+            recv = jnp.where(self.has_nb, recv, 0.0)
+            edges = F.reshape(E, 4, ne) + recv
+            vL = vL.at[:, oe:oe + neb].set(edges.reshape(E, neb))
 
-        verts = vL[:, ov:ov + 4].reshape(E * 4, k)
-        summed = jnp.zeros((self.n_vertices, k), vL.dtype).at[
+        verts = vL[:, ov:ov + 4].reshape(E * 4)
+        summed = jnp.zeros((self.n_vertices,), vL.dtype).at[
             self.vert_gid
         ].add(verts)
-        vL = vL.at[:, ov:ov + 4].set(
-            summed[self.vert_gid].reshape(E, 4, k))
+        vL = vL.at[:, ov:ov + 4].set(summed[self.vert_gid].reshape(E, 4))
 
-        return vL[..., 0] if squeeze else vL
+        return vL
 
     def dot(self, uL, vL):
         """Global inner product from consistent L-vectors (1/mult weights)."""
@@ -372,59 +374,63 @@ class RollExchange(LocalExchange):
         return (self.n_edge_tail + self.n_vert_tail) / total
 
     def dss(self, vL):
-        squeeze = vL.ndim == 2
-        if squeeze:
-            vL = vL[..., None]
-        E, n, k = vL.shape
+        # 2D fast path: keep (E, n) arrays 2D throughout.  A trailing
+        # size-1 component axis forces XLA into 1-lane layouts on every
+        # roll/slice (measured ~1.5x slower at p=8, 100k elements).
+        if vL.ndim == 2:
+            return self._dss_2d(vL)
+        return jnp.stack(
+            [self._dss_2d(vL[..., c]) for c in range(vL.shape[-1])],
+            axis=-1,
+        )
+
+    def _dss_2d(self, vL):
+        E, n = vL.shape
         ne, neb = self.ne, self.n_edge_block
 
         oe, ov = self.off_edge, self.off_vert
         # ---- edges -------------------------------------------------------
         if ne > 0:
-            F = vL[:, oe:oe + neb].reshape(E, 4, ne, k)
-            recv = [jnp.zeros((E, ne, k), vL.dtype) for _ in range(4)]
+            F = vL[:, oe:oe + neb]                     # (E, 4*ne)
+            recv = jnp.zeros_like(F)
             for d_f, s_f, delta, flip, mask in self.edge_classes:
-                src = jnp.roll(F[:, s_f], -delta, axis=0)
+                src = jnp.roll(
+                    vL[:, oe + s_f * ne: oe + (s_f + 1) * ne], -delta,
+                    axis=0)
                 if flip:
                     src = jnp.flip(src, axis=1)
-                recv[d_f] = recv[d_f] + jnp.where(
-                    mask[:, None, None], src, 0.0)
-            recv = jnp.stack(recv, axis=1)            # (E, 4, ne, k)
+                src = jnp.where(mask[:, None], src, 0.0)
+                recv = recv.at[:, d_f * ne:(d_f + 1) * ne].add(src)
             if self.n_edge_tail:
-                Ff = F.reshape(E * 4, ne, k)
+                Ff = F.reshape(E * 4, ne)
                 tr = Ff[self.edge_tail_src]
-                tr = jnp.where(
-                    self.edge_tail_flip[..., None],
-                    jnp.flip(tr, axis=1), tr)
-                recv = recv.reshape(E * 4, ne, k).at[
-                    self.edge_tail_dst].add(tr).reshape(E, 4, ne, k)
-            edges = (F + recv).reshape(E, neb, k)
+                tr = jnp.where(self.edge_tail_flip, jnp.flip(tr, axis=1),
+                               tr)
+                recv = recv.reshape(E * 4, ne).at[
+                    self.edge_tail_dst].add(tr).reshape(E, neb)
+            edges = F + recv
         else:
             edges = None
 
         # ---- vertices ----------------------------------------------------
-        V = vL[:, ov:ov + 4]                           # (E, 4, k)
+        V = vL[:, ov:ov + 4]                           # (E, 4)
         vsum = V
         for d_s, s_s, delta, mask in self.vert_classes:
-            src = jnp.roll(V[:, s_s], -delta, axis=0)  # (E, k)
-            vsum = vsum.at[:, d_s].add(
-                jnp.where(mask[:, None], src, 0.0))
+            src = jnp.roll(V[:, s_s], -delta, axis=0)  # (E,)
+            vsum = vsum.at[:, d_s].add(jnp.where(mask, src, 0.0))
         if self.n_vert_tail:
-            Vf = V.reshape(E * 4, k)
-            add = jnp.zeros((E * 4, k), vL.dtype).at[
+            Vf = V.reshape(E * 4)
+            add = jnp.zeros((E * 4,), vL.dtype).at[
                 self.vert_tail_dst].add(Vf[self.vert_tail_src])
-            vsum = vsum + add.reshape(E, 4, k)
+            vsum = vsum + add.reshape(E, 4)
 
         if self.layout == "edges-first" and edges is not None:
             # single lane-concat rebuild: [edges | verts | interior]
-            vL = jnp.concatenate([edges, vsum, vL[:, self.off_int:]],
-                                 axis=1)
-        else:
-            if edges is not None:
-                vL = vL.at[:, oe:oe + neb].set(edges)
-            vL = vL.at[:, ov:ov + 4].set(vsum)
-
-        return vL[..., 0] if squeeze else vL
+            return jnp.concatenate([edges, vsum, vL[:, self.off_int:]],
+                                   axis=1)
+        if edges is not None:
+            vL = vL.at[:, oe:oe + neb].set(edges)
+        return vL.at[:, ov:ov + 4].set(vsum)
 
 
 def make_exchange(disc, threshold: float = 0.25,

@@ -175,6 +175,37 @@ def affine_factorization(Gf, W, rel_tol: float | None = None):
     return a, exact
 
 
+def make_affine_element_matrices(Dhat, W, order=None):
+    """Assembled reference-element stiffness blocks for affine meshes.
+
+    For an affine cell the local weak Laplacian collapses to
+    ``A_e = a0(e) K0 + a1(e) K1 + a2(e) K2`` with three FIXED (n, n)
+    matrices ``K0 = Dr^T diag(W) Dr``, ``K1 = Dr^T W Ds + Ds^T W Dr``,
+    ``K2 = Ds^T diag(W) Ds`` and the per-element scales from
+    :func:`affine_factorization`.  One (E, n) @ (n, 3n) matmul replaces
+    the grad -> weight -> grad^T two-dot pipeline: ~25% fewer FLOPs and
+    one less (E, 2n) HBM round-trip.
+
+    Returns ``Kcat`` of shape (n, 3n) = [K0 | K1 | K2] (symmetric blocks),
+    rows/columns permuted by ``order`` if given (L-vector node order).
+    Built in float64 regardless of input dtype; cast at use site.
+    """
+    import numpy as np
+
+    Dhat = np.asarray(Dhat, dtype=np.float64)
+    W = np.asarray(W, dtype=np.float64).reshape(-1)
+    n = Dhat.shape[1]
+    Dr, Ds = Dhat[:n], Dhat[n:]
+    WDr, WDs = W[:, None] * Dr, W[:, None] * Ds
+    K0 = Dr.T @ WDr
+    K1 = Dr.T @ WDs + Ds.T @ WDr
+    K2 = Ds.T @ WDs
+    if order is not None:
+        ix = np.ix_(order, order)
+        K0, K1, K2 = K0[ix], K1[ix], K2[ix]
+    return np.concatenate([K0, K1, K2], axis=1)
+
+
 def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
                                   backend: str = "auto",
                                   precision: str = "highest",
@@ -242,40 +273,34 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
                 uL, g0, g1, g2, Dhat_h, interpret=interp
             )
     elif backend == "xla" and affine_a is not None:
-        a_d, W_lex = affine_a
+        # assembled-K form: out = a0 (u K0) + a1 (u K1) + a2 (u K2) with
+        # one (E, n) @ (n, 3n) matmul (K blocks are symmetric, fixed).
+        a_d, _ = affine_a
         a0, a1, a2 = a_d[:, 0:1], a_d[:, 1:2], a_d[:, 2:3]   # (E, 1)
+        Kcat = make_affine_element_matrices(
+            np.asarray(Dhat), exchange.disc.basis.weight_grid(),
+            order=exchange.hier)
+        Kcat_d = jnp.asarray(Kcat, dtype=jnp.asarray(Gf).dtype)
         if compute_dtype is not None:
             import jax
 
             cd = jnp.dtype(compute_dtype)
-            Dhat_b = Dhat_h.astype(cd)
+            Kcat_b = Kcat_d.astype(cd)
 
             def local_apply(uL):
                 out_dtype = uL.dtype
-                grads = jax.lax.dot_general(
-                    uL.astype(cd), Dhat_b, (((1,), (1,)), ((), ())),
+                V = jax.lax.dot_general(
+                    uL.astype(cd), Kcat_b, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                ur, us = grads[:, :n], grads[:, n:]
-                wur, wus = W_lex * ur, W_lex * us
-                fr = (a0 * wur + a1 * wus).astype(cd)
-                fs = (a1 * wur + a2 * wus).astype(cd)
-                flux = jnp.concatenate([fr, fs], axis=1)
-                return jax.lax.dot_general(
-                    flux, Dhat_b, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(out_dtype)
+                )                                            # (E, 3n) f32
+                return (a0 * V[:, :n] + a1 * V[:, n:2 * n]
+                        + a2 * V[:, 2 * n:]).astype(out_dtype)
         else:
             def local_apply(uL):
-                grads = jnp.einsum("en,mn->em", uL, Dhat_h,
-                                   precision=precision)
-                ur, us = grads[:, :n], grads[:, n:]
-                wur, wus = W_lex * ur, W_lex * us
-                fr = a0 * wur + a1 * wus
-                fs = a1 * wur + a2 * wus
-                flux = jnp.concatenate([fr, fs], axis=1)
-                return jnp.einsum("em,mn->en", flux, Dhat_h,
-                                  precision=precision)
+                V = jnp.einsum("en,nm->em", uL, Kcat_d,
+                               precision=precision)          # (E, 3n)
+                return (a0 * V[:, :n] + a1 * V[:, n:2 * n]
+                        + a2 * V[:, 2 * n:])
     elif backend == "xla":
         if compute_dtype is not None:
             import jax
