@@ -97,6 +97,11 @@ def main():
                          "variants")
     ap.add_argument("--precision", choices=["default", "high", "highest"],
                     default="highest")
+    ap.add_argument("--layout", choices=["auto", "en", "ne"], default="auto",
+                    help="L-vector storage: en = (E, n) elements in "
+                         "sublanes; ne = transposed (n, E) elements in "
+                         "lanes (less lane padding; auto = ne for the "
+                         "local kernels)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 matmul inputs (f32 accumulate)")
     ap.add_argument("--reps", type=int, default=50)
@@ -147,28 +152,39 @@ def main():
     if args.kernel in ("local", "pallas", "xla-local"):
         backend = {"local": "auto", "pallas": "pallas",
                    "xla-local": "xla"}[args.kernel]
+        layout = args.layout
+        if layout == "auto":
+            # transposed (n, E) storage is the measured-fastest XLA path;
+            # the explicit pallas backend only supports (E, n)
+            layout = "en" if args.kernel == "pallas" else "ne"
+        transposed = layout == "ne"
+        vlayout = "ne" if transposed else "en"
         t0 = time.perf_counter()
         ex = make_exchange(disc)
         t_setup += time.perf_counter() - t0
+
+        def to_local(u):
+            lv = ex.local_from_global(np.asarray(u)).astype(dtype)
+            return jnp.asarray(np.ascontiguousarray(lv.T) if transposed
+                               else lv)
+
         cdt = jnp.bfloat16 if args.bf16 else None
         one_apply = sumfac.make_local_laplacian_operator(
             ex, Gf, Dhat, backend=backend, precision=args.precision,
-            compute_dtype=cdt)
-        vec0 = jnp.asarray(ex.local_from_global(u_global))
-        dot = ex.dot
-        free = jnp.asarray((~prob._dirichlet_mask)[ex.gather_hier])
+            compute_dtype=cdt, vector_layout=vlayout)
+        vec0 = to_local(u_global)
+        dot = ex.dot_T if transposed else ex.dot
+        free_np = (~prob._dirichlet_mask)[ex.gather_hier]
+        free = jnp.asarray(np.ascontiguousarray(free_np.T) if transposed
+                           else free_np)
         A_cg = sumfac.make_local_laplacian_operator(
             ex, Gf, Dhat, free, backend=backend, precision=args.precision,
-            compute_dtype=cdt)
-        diagL = jnp.asarray(
-            ex.local_from_global(np.asarray(prob.operator_diagonal()))
-            .astype(dtype))
+            compute_dtype=cdt, vector_layout=vlayout)
+        diagL = to_local(prob.operator_diagonal())
         M = jacobi_preconditioner(diagL, free)
-        u_dL = jnp.asarray(ex.local_from_global(
-            np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0)
-        ).astype(dtype))
-        bL = jnp.asarray(ex.local_from_global(
-            np.asarray(prob._b)).astype(dtype))
+        u_dL = to_local(
+            np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0))
+        bL = to_local(prob._b)
         r_cg = jnp.where(free, bL - one_apply(u_dL), 0.0)
     else:
         dot = None
@@ -211,20 +227,32 @@ def main():
     d_pure, d_consts = hoist_closure(_dot, vec0, vec0)
 
     @jax.jit
-    def apply_chain(u, A_c, d_c):
+    def apply_chain(u, n_reps, A_c, d_c):
         def body(i, x):
             y = A_pure(x, *A_c)
             return y * jax.lax.rsqrt(
                 d_pure(y, y, *d_c).real.astype(y.dtype) + 1e-30)
 
-        return jax.lax.fori_loop(0, reps, body, u)
+        return jax.lax.fori_loop(0, n_reps, body, u)
 
     A_consts = tuple(A_consts)
     d_consts = tuple(d_consts)
-    apply_chain(vec0, A_consts, d_consts).block_until_ready()
-    t0 = time.perf_counter()
-    apply_chain(vec0, A_consts, d_consts).block_until_ready()
-    t_apply = (time.perf_counter() - t0) / reps
+    # Difference two rep counts: one dispatch carries a fixed host/link
+    # latency (tens of ms through a TPU tunnel) that would otherwise be
+    # billed to the kernel; (t_2N - t_N)/N is pure device throughput.
+    def time_chain(n_reps, tries=3):
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            apply_chain(vec0, n_reps, A_consts, d_consts).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    apply_chain(vec0, reps, A_consts, d_consts).block_until_ready()
+    t_n = time_chain(reps)
+    t_2n = time_chain(2 * reps)
+    t_apply = max(t_2n - t_n, 1e-9) / reps
+    t_dispatch = max(2 * t_n - t_2n, 0.0)
 
     flops = sumfac.element_apply_flops(E, p1, p1)
     gflops = flops / t_apply / 1e9
@@ -259,6 +287,7 @@ def main():
         "vs_baseline": round(vs_baseline, 1),
         "extras": {
             "apply_ms": round(t_apply * 1e3, 3),
+            "dispatch_overhead_ms": round(t_dispatch * 1e3, 2),
             "effective_GB_s": round(gbps, 1),
             "cg_wallclock_s": round(t_cg, 3),
             "cg_iters": int(res.iterations),
@@ -269,6 +298,7 @@ def main():
             "n_nodes": n_nodes,
             "device": str(jax.devices()[0]),
             "kernel": args.kernel,
+            "layout": args.layout,
             "precision": args.precision,
             "bf16": bool(args.bf16),
             "setup_s": round(t_setup, 2),

@@ -170,7 +170,8 @@ class Poisson(BoundaryConditionMixin):
                     host_loop: bool = False,
                     precond: str = "jacobi",
                     structure: str = "auto",
-                    compute_dtype=None) -> PoissonSolution:
+                    compute_dtype=None,
+                    vector_layout: str = "auto") -> PoissonSolution:
         """Solve with CG on element-local (L-vector) storage.
 
         The production TPU path: no global gather/scatter in the iteration
@@ -183,8 +184,13 @@ class Poisson(BoundaryConditionMixin):
         ``structure``/``compute_dtype`` forward to
         :func:`..ops.sumfac.make_local_laplacian_operator` (affine factor
         compression; bf16 matmul inputs).
+        ``vector_layout``: 'en' iterates on (E, n) L-vectors, 'ne' on
+        transposed (n, E) storage (elements in lanes — less lane padding,
+        measured ~1.4x faster apply+DSS on v5e), 'auto' picks 'ne' when
+        the mesh has a structured roll exchange and the point-Jacobi
+        preconditioner is in use.
         """
-        from ..ops.exchange import make_exchange
+        from ..ops.exchange import RollExchange, make_exchange
 
         disc = self.disc
         ex = getattr(self, "_exchange", None)
@@ -192,64 +198,82 @@ class Poisson(BoundaryConditionMixin):
             ex = self._exchange = make_exchange(disc)
             self._op_cache = {}
 
+        if vector_layout == "auto":
+            vector_layout = (
+                "ne" if isinstance(ex, RollExchange) and precond == "jacobi"
+                else "en")
+        transposed = vector_layout == "ne"
+
+        def to_local(u_global):
+            lv = ex.local_from_global(u_global).astype(self.dtype)
+            return jnp.asarray(np.ascontiguousarray(lv.T) if transposed
+                               else lv)
+
         Gf = self._G.reshape(disc.E, 3, -1)
         Dhat = sumfac.make_stacked_derivative(
             np.asarray(self._D0), np.asarray(self._D1)
         )
+        free_np = (~self._dirichlet_mask)[ex.gather_hier]
         free_local = jnp.asarray(
-            (~self._dirichlet_mask)[ex.gather_hier]
-        )
+            np.ascontiguousarray(free_np.T) if transposed else free_np)
         # cache operator closures per mode: repeated solves (continuation,
         # parameter sweeps) then reuse the same function objects, which is
         # what lets the CG kernel/jit caches hit instead of recompiling
-        op_key = ("A", structure, str(compute_dtype))
+        op_key = ("A", structure, str(compute_dtype), vector_layout)
         A = self._op_cache.get(op_key)
         if A is None:
             A = self._op_cache[op_key] = sumfac.make_local_laplacian_operator(
                 ex, Gf, Dhat, free_local, structure=structure,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, vector_layout=vector_layout,
             )
 
         # rhs and Dirichlet lift in local form
         b = np.asarray(self._b) + self._neumann
         u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
-        bL = jnp.asarray(ex.local_from_global(b).astype(self.dtype))
-        u_dL = jnp.asarray(ex.local_from_global(u_d).astype(self.dtype))
+        bL = to_local(b)
+        u_dL = to_local(u_d)
 
-        raw_key = ("A_raw", structure, str(compute_dtype))
+        raw_key = ("A_raw", structure, str(compute_dtype), vector_layout)
         A_raw = self._op_cache.get(raw_key)
         if A_raw is None:
             A_raw = self._op_cache[raw_key] = (
                 sumfac.make_local_laplacian_operator(
                     ex, Gf, Dhat, None, structure=structure,
                     compute_dtype=compute_dtype,
+                    vector_layout=vector_layout,
                 ))
         r = jnp.where(free_local, bL - A_raw(u_dL), 0.0)
 
         if precond == "fdm":
             from ..solver.fdm import make_fdm_preconditioner
 
+            if transposed:
+                raise NotImplementedError(
+                    "fdm preconditioner requires vector_layout='en'")
             M = self._op_cache.get(("M", "fdm"))
             if M is None:
                 M = self._op_cache[("M", "fdm")] = make_fdm_preconditioner(
                     ex, self._G, disc.basis, free_local, dtype=self.dtype
                 )
         else:
-            M = self._op_cache.get(("M", "jacobi"))
+            M = self._op_cache.get(("M", "jacobi", vector_layout))
             if M is None:
                 diag = np.asarray(self.operator_diagonal())
-                diagL = jnp.asarray(
-                    ex.local_from_global(diag).astype(self.dtype))
-                M = self._op_cache[("M", "jacobi")] = (
+                diagL = to_local(diag)
+                M = self._op_cache[("M", "jacobi", vector_layout)] = (
                     jacobi_preconditioner(diagL, free_local))
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
         solver = cg_host if host_loop else cg
-        res = solver(A, r, M=M, tol=tol, max_iter=max_iter, dot=ex.dot)
+        dot = ex.dot_T if transposed else ex.dot
+        res = solver(A, r, M=M, tol=tol, max_iter=max_iter, dot=dot)
 
         uL = u_dL + res.x
-        u = ex.global_from_local(np.asarray(uL))
+        if transposed:
+            u = ex.global_from_local_T(np.asarray(uL))
+        else:
+            u = ex.global_from_local(np.asarray(uL))
         return PoissonSolution(u, res)
 
     # -- post-processing -----------------------------------------------------------

@@ -224,26 +224,59 @@ class LocalExchange:
             w = w[..., None]
         return jnp.sum(prod * w)
 
+    # -- transposed (n_loc, E) storage ------------------------------------
+    #
+    # Elements-in-lanes layout: an (E, n_loc) f32 array pads its minor dim
+    # 81 -> 128 at p=8 (58% wasted bandwidth on every elementwise op);
+    # (n_loc, E) pads only sublanes (81 -> 88, 9%), and the affine apply
+    # becomes accumulating (n, n) @ (n, E) matmuls.  Measured ~1.4x faster
+    # apply+DSS at p=8 / 100k elements on v5e.
+
+    def local_T_from_global(self, u_global) -> np.ndarray:
+        """(n_nodes,) -> (n_loc, E) consistent transposed L-vector."""
+        return np.ascontiguousarray(self.local_from_global(u_global).T)
+
+    def global_from_local_T(self, uT) -> np.ndarray:
+        """Consistent (n_loc, E) transposed L-vector -> global (n_nodes,)."""
+        return self.global_from_local(np.asarray(uT).T)
+
+    def dss_T(self, vT):
+        """DSS on a transposed (n_loc, E) L-vector.
+
+        Generic fallback: transpose-wraps :meth:`dss` (two relayout
+        copies); :class:`RollExchange` overrides with a native transposed
+        exchange.
+        """
+        return self.dss(vT.T).T
+
+    def dot_T(self, uT, vT):
+        """Global inner product from consistent transposed L-vectors."""
+        prod = uT * vT
+        return jnp.sum(prod * self._weights_as(prod.dtype, transposed=True))
+
     @property
     def weights(self):
         """(E, n_loc) inverse-multiplicity dot weights (float64 view)."""
         return self._weights_as(np.float64)
 
-    def _weights_as(self, dtype):
+    def _weights_as(self, dtype, transposed: bool = False):
         """Dtype-cast device weights, cached (a fresh cast per dot costs a
         full array pass inside every CG iteration; an uncached host
         transfer costs far more)."""
         cache = getattr(self, "_w_cache", None)
         if cache is None:
             cache = self._w_cache = {}
-        key = jnp.dtype(dtype).name
+        key = (jnp.dtype(dtype).name, transposed)
         if key not in cache:
             import jax
 
+            w = self._weights_np.astype(dtype)
+            if transposed:
+                w = np.ascontiguousarray(w.T)
             # materialize OUTSIDE any active trace: jnp.asarray inside a
             # jit trace returns a tracer, which must not be cached
             with jax.ensure_compile_time_eval():
-                cache[key] = jnp.asarray(self._weights_np.astype(dtype))
+                cache[key] = jnp.asarray(w)
         return cache[key]
 
     def norm(self, uL):
@@ -431,6 +464,66 @@ class RollExchange(LocalExchange):
         if edges is not None:
             vL = vL.at[:, oe:oe + neb].set(edges)
         return vL.at[:, ov:ov + 4].set(vsum)
+
+    def dss_T(self, vT):
+        """Native transposed-layout DSS: rolls run along the lane
+        (element) axis of (n_loc, E) arrays; see :meth:`LocalExchange.dss_T`.
+        """
+        if vT.ndim == 2:
+            return self._dss_T_2d(vT)
+        return jnp.stack(
+            [self._dss_T_2d(vT[..., c]) for c in range(vT.shape[-1])],
+            axis=-1,
+        )
+
+    def _dss_T_2d(self, vT):
+        n, E = vT.shape
+        ne, neb = self.ne, self.n_edge_block
+        oe, ov = self.off_edge, self.off_vert
+
+        if ne > 0:
+            F = vT[oe:oe + neb]                        # (4*ne, E)
+            recv = jnp.zeros_like(F)
+            for d_f, s_f, delta, flip, mask in self.edge_classes:
+                src = jnp.roll(vT[oe + s_f * ne: oe + (s_f + 1) * ne],
+                               -delta, axis=1)
+                if flip:
+                    src = src[::-1, :]
+                src = jnp.where(mask[None, :], src, 0.0)
+                recv = recv.at[d_f * ne:(d_f + 1) * ne].add(src)
+            if self.n_edge_tail:
+                # residual pairs: lane gathers are slow — go through the
+                # (E*4, ne) row form for the tail only (small by class
+                # construction)
+                Ff = F.reshape(4, ne, E).transpose(2, 0, 1).reshape(
+                    E * 4, ne)
+                tr = Ff[self.edge_tail_src]
+                tr = jnp.where(self.edge_tail_flip, jnp.flip(tr, axis=1),
+                               tr)
+                add = jnp.zeros_like(Ff).at[self.edge_tail_dst].add(tr)
+                recv = recv + add.reshape(E, 4, ne).transpose(
+                    1, 2, 0).reshape(neb, E)
+            edges = F + recv
+        else:
+            edges = None
+
+        V = vT[ov:ov + 4]                              # (4, E)
+        vsum = V
+        for d_s, s_s, delta, mask in self.vert_classes:
+            src = jnp.roll(V[s_s], -delta)
+            vsum = vsum.at[d_s].add(jnp.where(mask, src, 0.0))
+        if self.n_vert_tail:
+            Vf = V.T.reshape(E * 4)
+            add = jnp.zeros((E * 4,), vT.dtype).at[
+                self.vert_tail_dst].add(Vf[self.vert_tail_src])
+            vsum = vsum + add.reshape(E, 4).T
+
+        if self.layout == "edges-first" and edges is not None:
+            return jnp.concatenate([edges, vsum, vT[self.off_int:]],
+                                   axis=0)
+        if edges is not None:
+            vT = vT.at[oe:oe + neb].set(edges)
+        return vT.at[ov:ov + 4].set(vsum)
 
 
 def make_exchange(disc, threshold: float = 0.25,

@@ -210,7 +210,8 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
                                   backend: str = "auto",
                                   precision: str = "highest",
                                   compute_dtype=None,
-                                  structure: str = "auto"):
+                                  structure: str = "auto",
+                                  vector_layout: str = "en"):
     """Weak Laplacian acting on hierarchical L-vectors (E, n).
 
     The production TPU formulation: no global vector in the loop —
@@ -233,8 +234,20 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
     ``structure``: 'auto' detects all-affine meshes and uses the rank-1
     compressed factors (:func:`affine_factorization`); 'general' forces
     the full (E, 3, n) factor read; 'affine' requires affinity.
+    ``vector_layout``: 'en' operates on (E, n) L-vectors; 'ne' on
+    transposed (n, E) storage — elements in lanes, which cuts the f32
+    lane padding from 81->128 to a 9% sublane pad at p=8 and turns the
+    affine apply into accumulating (n, n) @ (n, E) matmuls (~1.4x faster
+    apply+DSS on v5e).  ``free_local`` must be given in the same layout.
     """
     import numpy as np
+
+    if vector_layout == "ne":
+        return _make_local_laplacian_operator_T(
+            exchange, Gf, Dhat, free_local, precision=precision,
+            compute_dtype=compute_dtype, structure=structure)
+    if vector_layout != "en":
+        raise ValueError(f"unknown vector_layout {vector_layout!r}")
 
     # operate in Gf's dtype (Dhat often arrives float64 from numpy setup)
     Dhat_h = jnp.asarray(np.asarray(Dhat)[:, exchange.hier],
@@ -347,6 +360,111 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
         if free_local is not None:
             ve = jnp.where(free_local, ve, 0.0)
         return ve
+
+    return apply
+
+
+def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
+                                     precision: str = "highest",
+                                     compute_dtype=None,
+                                     structure: str = "auto"):
+    """Transposed (n, E) variant of :func:`make_local_laplacian_operator`.
+
+    Affine meshes: ``S = sum_c Kc @ (a_c * u)`` — the assembled per-term
+    element matrices ``Kc`` are symmetric, so the transposed apply is three
+    accumulating ``(n, n) @ (n, E)`` matmuls with the per-element affine
+    scalars fused into the operand.  General meshes: left-applied stacked
+    derivative matmuls with (3, n, E) geometric factors.  XLA backend only
+    (it fuses this end to end; measured faster than any Pallas composition
+    so far).
+    """
+    import jax
+    import numpy as np
+
+    dt = jnp.asarray(Gf).dtype
+    Dhat_h = jnp.asarray(np.asarray(Dhat)[:, exchange.hier], dtype=dt)
+    n = Dhat_h.shape[1]
+
+    affine_a = None
+    if structure in ("auto", "affine"):
+        Wgrid = exchange.disc.basis.weight_grid().reshape(-1)
+        a, exact = affine_factorization(np.asarray(Gf), Wgrid)
+        if exact:
+            affine_a = a
+        elif structure == "affine":
+            raise ValueError("mesh is not affine but structure='affine'")
+
+    if affine_a is not None:
+        Kcat = make_affine_element_matrices(
+            np.asarray(Dhat), exchange.disc.basis.weight_grid(),
+            order=exchange.hier)
+        Ks = [jnp.asarray(Kcat[:, c * n:(c + 1) * n], dtype=dt)
+              for c in range(3)]
+        aT = jnp.asarray(np.ascontiguousarray(np.asarray(affine_a).T),
+                         dtype=dt)                      # (3, E)
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            Ks_c = [K.astype(cd) for K in Ks]
+
+            def local_apply(uT):
+                out_dtype = uT.dtype
+                S = None
+                for c in range(3):
+                    X = (uT * aT[c]).astype(cd)
+                    T = jax.lax.dot_general(
+                        Ks_c[c], X, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    S = T if S is None else S + T
+                return S.astype(out_dtype)
+        else:
+            def local_apply(uT):
+                S = None
+                for c in range(3):
+                    T = jnp.einsum("nm,me->ne", Ks[c], uT * aT[c],
+                                   precision=precision)
+                    S = T if S is None else S + T
+                return S
+    else:
+        # general path: gT[c] = (n, E) factor slabs
+        Gf_np = np.asarray(Gf)                          # (E, 3, n)
+        gT = jnp.asarray(
+            np.ascontiguousarray(Gf_np.transpose(1, 2, 0)), dtype=dt)
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            Dhat_c = Dhat_h.astype(cd)
+
+            def local_apply(uT):
+                out_dtype = uT.dtype
+                grads = jax.lax.dot_general(
+                    Dhat_c, uT.astype(cd), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (2n, E) f32
+                ur, us = grads[:n], grads[n:]
+                fr = (gT[0] * ur + gT[1] * us).astype(cd)
+                fs = (gT[1] * ur + gT[2] * us).astype(cd)
+                flux = jnp.concatenate([fr, fs], axis=0)
+                return jax.lax.dot_general(
+                    Dhat_c, flux, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(out_dtype)
+        else:
+            def local_apply(uT):
+                grads = jnp.einsum("mn,ne->me", Dhat_h, uT,
+                                   precision=precision)  # (2n, E)
+                ur, us = grads[:n], grads[n:]
+                fr = gT[0] * ur + gT[1] * us
+                fs = gT[1] * ur + gT[2] * us
+                flux = jnp.concatenate([fr, fs], axis=0)
+                return jnp.einsum("mn,me->ne", Dhat_h, flux,
+                                  precision=precision)
+
+    def apply(uT):
+        if free_local is not None:
+            uT = jnp.where(free_local, uT, 0.0)
+        vT = local_apply(uT)
+        vT = exchange.dss_T(vT)
+        if free_local is not None:
+            vT = jnp.where(free_local, vT, 0.0)
+        return vT
 
     return apply
 

@@ -181,3 +181,108 @@ class TestRollExchange:
 
         disc = Discretization(rectangle_mesh(4, 4, 4), gll_basis_2d(4))
         assert isinstance(make_exchange(disc), RollExchange)
+
+
+class TestTransposedLayout:
+    """Transposed (n, E) storage: dss_T / dot_T / operator equivalence."""
+
+    @pytest.mark.parametrize("name,mk,p", MESHES)
+    def test_dss_T_matches_dss(self, name, mk, p):
+        from spectralelementmethod_tpu.ops.exchange import make_exchange
+
+        disc = Discretization(mk(), gll_basis_2d(p))
+        ex = make_exchange(disc)
+        rng = np.random.RandomState(2)
+        vL = rng.randn(ex.E, ex.n_loc)
+        expected = np.asarray(ex.dss(jnp.asarray(vL))).T
+        got = np.asarray(ex.dss_T(jnp.asarray(np.ascontiguousarray(vL.T))))
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_dss_T_with_tail(self):
+        """Permuted mesh -> roll tail active in the transposed path too."""
+        from spectralelementmethod_tpu.mesh.mesh import Mesh
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        base = rectangle_mesh(4, 4, 3)
+        (geometry, nums, node_maps), = base.cell_blocks()
+        perm = np.random.RandomState(7).permutation(len(nums))
+        mesh = Mesh(2)
+        mesh.set_nodes(base.nodes)
+        gid = mesh.add_geometry(geometry)
+        rid = mesh.new_region("interior")
+        mesh.add_cells(node_maps[perm], gid, rid)
+        mesh.find_neighbors()
+        disc = Discretization(mesh, gll_basis_2d(3))
+        ex = RollExchange(disc)
+        assert ex.n_edge_tail > 0 or ex.n_vert_tail > 0
+        rng = np.random.RandomState(3)
+        vL = rng.randn(ex.E, ex.n_loc)
+        expected = np.asarray(ex.dss(jnp.asarray(vL))).T
+        got = np.asarray(ex.dss_T(jnp.asarray(np.ascontiguousarray(vL.T))))
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_dot_T_matches_dot(self):
+        from spectralelementmethod_tpu.ops.exchange import make_exchange
+
+        disc = Discretization(rectangle_mesh(4, 3, 4), gll_basis_2d(4))
+        ex = make_exchange(disc)
+        rng = np.random.RandomState(4)
+        u = ex.local_from_global(rng.randn(disc.n_nodes))
+        v = ex.local_from_global(rng.randn(disc.n_nodes))
+        d0 = float(ex.dot(jnp.asarray(u), jnp.asarray(v)))
+        dT = float(ex.dot_T(jnp.asarray(np.ascontiguousarray(u.T)),
+                            jnp.asarray(np.ascontiguousarray(v.T))))
+        np.testing.assert_allclose(dT, d0, rtol=1e-12)
+
+    @pytest.mark.parametrize("structure", ["affine", "general"])
+    def test_transposed_operator_matches(self, structure):
+        from spectralelementmethod_tpu.ops.exchange import make_exchange
+
+        disc = Discretization(rectangle_mesh(4, 3, 4), gll_basis_2d(4))
+        ex = make_exchange(disc)
+        prob = Poisson(disc)
+        Gf = prob._G.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        A = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, backend="xla", structure=structure)
+        AT = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, structure=structure, vector_layout="ne")
+        rng = np.random.RandomState(5)
+        uL = rng.randn(ex.E, ex.n_loc)
+        expected = np.asarray(A(jnp.asarray(uL)))
+        got = np.asarray(AT(jnp.asarray(np.ascontiguousarray(uL.T)))).T
+        np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+    def test_transposed_operator_general_curved(self):
+        """Non-affine (curved annulus) mesh exercises the general path."""
+        from spectralelementmethod_tpu.ops.exchange import make_exchange
+
+        disc = Discretization(
+            annulus_mesh(order=3, n_theta=5, n_r=4, r_outer=8.0),
+            gll_basis_2d(3))
+        ex = make_exchange(disc)
+        prob = Poisson(disc)
+        Gf = prob._G.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        A = sumfac.make_local_laplacian_operator(ex, Gf, Dhat, backend="xla")
+        AT = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne")
+        rng = np.random.RandomState(6)
+        uL = rng.randn(ex.E, ex.n_loc)
+        expected = np.asarray(A(jnp.asarray(uL)))
+        got = np.asarray(AT(jnp.asarray(np.ascontiguousarray(uL.T)))).T
+        np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+    def test_solve_local_layouts_agree(self):
+        mesh = rectangle_mesh(4, 3, 4)
+        disc = Discretization(mesh, gll_basis_2d(4))
+        prob = Poisson(disc)
+        prob.set_dirichlet("ebc", lambda x, y: 0.2 * ((x + 1) + (y + 1)))
+        sol_en = prob.solve_local(tol=1e-13, host_loop=True,
+                                  vector_layout="en")
+        sol_ne = prob.solve_local(tol=1e-13, host_loop=True,
+                                  vector_layout="ne")
+        assert bool(sol_ne.cg.converged)
+        np.testing.assert_allclose(sol_ne.u, sol_en.u, atol=1e-10)
