@@ -142,7 +142,7 @@ def main():
 
     D = np.asarray(prob._D0)
     Dhat = sumfac.make_stacked_derivative(D, D)
-    Gf = prob._G.reshape(E, 3, -1)
+    Gf = prob._G_host.reshape(E, 3, -1)
     gix_d, G_d = prob._gix, prob._G
     D_d, Dhat_d = prob._D0, jnp.asarray(Dhat.astype(dtype))
 
@@ -160,7 +160,7 @@ def main():
         transposed = layout == "ne"
         vlayout = "ne" if transposed else "en"
         t0 = time.perf_counter()
-        ex = make_exchange(disc)
+        ex = make_exchange(disc, fused_pad=True)
         t_setup += time.perf_counter() - t0
 
         def to_local(u):
@@ -263,7 +263,7 @@ def main():
     n_sample = min(E, 256)
     t_np = numpy_reference_apply(
         u_global, disc.gather_nodes,
-        np.asarray(prob._G, dtype=dtype), D.astype(dtype),
+        prob._G_host.astype(dtype), D.astype(dtype),
         n_nodes, n_sample)
     t_np_full = t_np * E / n_sample
     vs_baseline = t_np_full / t_apply

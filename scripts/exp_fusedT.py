@@ -21,21 +21,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def chain(f, x0, reps=50):
+    """Device time per call via (t_2N - t_N)/N, min of 3."""
     @jax.jit
-    def run(x):
+    def run(x, m):
         def body(i, x):
             y = f(x)
             return y * jax.lax.rsqrt(jnp.vdot(y, y).astype(y.dtype) + 1e-30)
-        return jax.lax.fori_loop(0, reps, body, x)
+        return jax.lax.fori_loop(0, m, body, x)
 
-    run(x0).block_until_ready()
-    t0 = time.perf_counter()
-    run(x0).block_until_ready()
-    return (time.perf_counter() - t0) / reps
+    run(x0, reps).block_until_ready()
+
+    def t(m, tries=3):
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            run(x0, m).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max(t(2 * reps) - t(reps), 1e-9) / reps
 
 
 def build_kernel(n, ne, oe, ov, off_int, TE, H, edge_classes, vert_classes,
-                 precision=jax.lax.Precision.HIGHEST, do_dss=True):
+                 precision=jax.lax.Precision.HIGHEST, do_dss=True,
+                 halo_mode=False):
     n_e = len(edge_classes)
 
     assert oe == 0 and ov == 4 * ne and off_int == 4 * ne + 4, \
@@ -43,7 +52,13 @@ def build_kernel(n, ne, oe, ov, off_int, TE, H, edge_classes, vert_classes,
 
     def kernel(uL_ref, uC_ref, uR_ref, aL_ref, aC_ref, aR_ref, K_ref,
                m_ref, out_ref):
-        if H > 0:
+        if halo_mode:
+            # halo refs are (n, H) blocks adjacent to the center block
+            u_win = jnp.concatenate(
+                [uL_ref[:], uC_ref[:], uR_ref[:]], axis=1)
+            a_win = jnp.concatenate(
+                [aL_ref[:], aC_ref[:], aR_ref[:]], axis=1)
+        elif H > 0:
             u_win = jnp.concatenate(
                 [uL_ref[:, TE - H:], uC_ref[:], uR_ref[:, :H]], axis=1)
             a_win = jnp.concatenate(
@@ -90,7 +105,6 @@ def main():
     from spectralelementmethod_tpu.basis import gll_basis_2d
     from spectralelementmethod_tpu.core.discretization import Discretization
     from spectralelementmethod_tpu.mesh import rectangle_mesh
-    from spectralelementmethod_tpu.models.poisson import Poisson
     from spectralelementmethod_tpu.ops import sumfac
     from spectralelementmethod_tpu.ops.exchange import RollExchange
 
@@ -99,7 +113,6 @@ def main():
     TE = 2048
     mesh = rectangle_mesh(nx, ny, p)
     disc = Discretization(mesh, gll_basis_2d(p))
-    prob = Poisson(disc, dtype=np.float32)
     E0 = disc.E
     G = -(-E0 // TE)
     Epad = G * TE
@@ -111,10 +124,12 @@ def main():
     print(f"E={E0} pad={Epad} n={n} classes: {len(ex.edge_classes)}e "
           f"{len(ex.vert_classes)}v", flush=True)
 
-    # assembled-K pieces
+    # assembled-K pieces (all host-side: device round-trips through the
+    # tunnel cost minutes at this size)
     Gf = np.zeros((Epad, 3, n), np.float32)
-    Gf[:E0] = np.asarray(prob._G, np.float32).reshape(E0, 3, -1)
-    D = np.asarray(prob._D0)
+    Gf[:E0] = np.asarray(disc.laplacian_factors(None),
+                         np.float32).reshape(E0, 3, -1)
+    D = np.asarray(disc.basis.subbases[0].D1)
     Dhat = sumfac.make_stacked_derivative(D, D)
     W = disc.basis.weight_grid().reshape(-1)
     a, exact = sumfac.affine_factorization(Gf[:E0], W)
@@ -205,16 +220,81 @@ def main():
     err = np.abs(vT[:E0] - vR[:E0]).max() / scale
     print(f"fusedT vs xla rel err: {err:.3e}", flush=True)
 
+    # ---- halo-block variant: small (n, Hb) halo refs instead of full
+    # TE-blocks (cuts the 3x u-read amplification to (TE+2Hb)/TE) --------
+    def make_fused_halo(TEh, Hb, precision):
+        assert Hb >= H and TEh % Hb == 0
+        Gh = -(-E0 // TEh)
+        Eph = Gh * TEh
+        if Eph != Epad:
+            exh = RollExchange(disc, pad_to=Eph)
+            masks_h, edge_h, vert_h = [], [], []
+            for d_f, s_f, delta, flip, mask in exh.edge_classes:
+                edge_h.append((d_f, s_f, int(delta), bool(flip)))
+                masks_h.append(np.asarray(mask, np.float32))
+            for d_s, s_s, delta, mask in exh.vert_classes:
+                vert_h.append((d_s, s_s, int(delta)))
+                masks_h.append(np.asarray(mask, np.float32))
+            Mh = jnp.asarray(np.stack(masks_h, axis=0))
+            a_h = np.zeros((Eph, 3), np.float32)
+            a_h[:E0] = a
+            aTh = jnp.asarray(a_h.T)
+        else:
+            Mh, aTh, edge_h, vert_h = M, aT, edge_classes, vert_classes
+        k = TEh // Hb
+        kernel = build_kernel(n, ne, oe, ov, ex.off_int, TEh, Hb,
+                              edge_h, vert_h, precision=precision,
+                              do_dss=True, halo_mode=True)
+        uspec_c = pl.BlockSpec((n, TEh), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        uspec_l = pl.BlockSpec((n, Hb),
+                               lambda i: (0, jnp.maximum(i * k - 1, 0)),
+                               memory_space=pltpu.VMEM)
+        uspec_r = pl.BlockSpec(
+            (n, Hb), lambda i: (0, jnp.minimum((i + 1) * k, Gh * k - 1)),
+            memory_space=pltpu.VMEM)
+        aspec_c = pl.BlockSpec((3, TEh), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        aspec_l = pl.BlockSpec((3, Hb),
+                               lambda i: (0, jnp.maximum(i * k - 1, 0)),
+                               memory_space=pltpu.VMEM)
+        aspec_r = pl.BlockSpec(
+            (3, Hb), lambda i: (0, jnp.minimum((i + 1) * k, Gh * k - 1)),
+            memory_space=pltpu.VMEM)
+        kspec = pl.BlockSpec((3 * n, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((Mh.shape[0], TEh), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+
+        @jax.jit
+        def fused_T(uT):
+            if uT.shape[1] != Eph:
+                uT = jnp.pad(uT, ((0, 0), (0, Eph - uT.shape[1])))
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((n, Eph), uT.dtype),
+                grid=(Gh,),
+                in_specs=[uspec_l, uspec_c, uspec_r,
+                          aspec_l, aspec_c, aspec_r, kspec, mspec],
+                out_specs=uspec_c,
+            )(uT, uT, uT, aTh, aTh, aTh, KT, Mh)
+            return out[:, :Epad]
+        return fused_T
+
+    fh = make_fused_halo(1920, 384, lax.Precision.HIGHEST)
+    vH = np.asarray(fh(uT)).T
+    err = np.abs(vH[:E0] - vR[:E0]).max() / scale
+    print(f"fused halo vs xla rel err: {err:.3e}", flush=True)
+
     variants = {
         "fused TE=2048 HIGHEST": fused_main,
-        "fused TE=2048 nodss": make_fused(2048, H, lax.Precision.HIGHEST,
-                                          False),
-        "fused TE=2048 H=0": make_fused(2048, 0, lax.Precision.HIGHEST,
-                                        True),
-        "fused TE=2048 DEFAULT": make_fused(2048, H, lax.Precision.DEFAULT, True),
-        "fused TE=1024": make_fused(1024, H, lax.Precision.HIGHEST, True),
-        "fused TE=4096": make_fused(4096, H, lax.Precision.HIGHEST, True),
-        "fused TE=512 H=0": make_fused(512, 0, lax.Precision.HIGHEST, True),
+        "fusedhalo 1920 HIGHEST": fh,
+        "fusedhalo 1920 DEFAULT": make_fused_halo(1920, 384,
+                                                  lax.Precision.DEFAULT),
+        "fusedhalo 3840 HIGHEST": make_fused_halo(3840, 384,
+                                                  lax.Precision.HIGHEST),
+        "fusedhalo 3840 DEFAULT": make_fused_halo(3840, 384,
+                                                  lax.Precision.DEFAULT),
     }
     for name, f in variants.items():
         t = chain(f, uT)

@@ -62,6 +62,7 @@ class AdvectionDiffusion(BoundaryConditionMixin):
         eps = _as_callable(diffusivity)(xe, ye)
         G = disc.laplacian_factors(np.broadcast_to(np.asarray(eps, float),
                                                    xe.shape))
+        self._G_host = np.asarray(G, dtype=dtype)
         self._G = jnp.asarray(G, dtype=dtype)
 
         # advection weights: detJxW * (c . invJ^T e_a) per parametric axis
@@ -96,7 +97,7 @@ class AdvectionDiffusion(BoundaryConditionMixin):
 
         disc = self.disc
         ex = make_exchange(disc)
-        Gf = self._G.reshape(disc.E, 3, -1)
+        Gf = self._G_host.reshape(disc.E, 3, -1)
         Dhat = sumfac.make_stacked_derivative(
             np.asarray(disc.basis.subbases[0].D1),
             np.asarray(disc.basis.subbases[1].D1))

@@ -101,8 +101,11 @@ class Poisson(BoundaryConditionMixin):
             coeff = cfun(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
         G = disc.laplacian_factors(coeff)
 
-        # device arrays
+        # device arrays (+ host copy of G: operator setup inspects factors
+        # host-side — reading a device array back costs a full HBM->host
+        # transfer, minutes through a remote-TPU tunnel at 100k elements)
         self._gix = jnp.asarray(disc.gather_nodes)
+        self._G_host = np.asarray(G, dtype=dtype)
         self._G = jnp.asarray(G, dtype=dtype)
         self._D0 = jnp.asarray(disc.basis.subbases[0].D1, dtype=dtype)
         self._D1 = jnp.asarray(disc.basis.subbases[1].D1, dtype=dtype)
@@ -195,7 +198,7 @@ class Poisson(BoundaryConditionMixin):
         disc = self.disc
         ex = getattr(self, "_exchange", None)
         if ex is None:
-            ex = self._exchange = make_exchange(disc)
+            ex = self._exchange = make_exchange(disc, fused_pad=True)
             self._op_cache = {}
 
         if vector_layout == "auto":
@@ -209,7 +212,7 @@ class Poisson(BoundaryConditionMixin):
             return jnp.asarray(np.ascontiguousarray(lv.T) if transposed
                                else lv)
 
-        Gf = self._G.reshape(disc.E, 3, -1)
+        Gf = self._G_host.reshape(disc.E, 3, -1)
         Dhat = sumfac.make_stacked_derivative(
             np.asarray(self._D0), np.asarray(self._D1)
         )

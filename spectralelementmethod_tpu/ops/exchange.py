@@ -528,11 +528,32 @@ class RollExchange(LocalExchange):
 
 def make_exchange(disc, threshold: float = 0.25,
                   pad_to: int | None = None,
-                  layout: str = "edges-first"):
+                  layout: str = "edges-first",
+                  fused_pad: bool = False,
+                  fused_pad_min_e: int = 20000):
     """Best exchange structure for ``disc``: roll classes when they cover
     enough of the mesh, generic gather otherwise.  ``pad_to`` pads the
-    element axis with inert elements (for shard-divisible counts)."""
+    element axis with inert elements (for shard-divisible counts).
+
+    ``fused_pad=True`` re-pads a tail-free roll exchange so the fused
+    transposed Pallas apply+DSS kernel
+    (:func:`..ops.pallas_kernels.make_fused_affine_laplacian_T`) has an
+    admissible lane tiling; only applied at ``E >= fused_pad_min_e``
+    (the kernel targets ~4k-lane tiles — padding tiny meshes to that
+    size would dwarf them, and the XLA path is fine there).
+    """
     ex = RollExchange(disc, pad_to=pad_to, layout=layout)
     if ex.tail_fraction > threshold:
         return LocalExchange(disc, pad_to=pad_to, layout=layout)
+    if (fused_pad and pad_to is None and ex.E >= fused_pad_min_e
+            and not (ex.n_edge_tail or ex.n_vert_tail)):
+        from .pallas_kernels import (fused_affine_pad,
+                                     fused_affine_tile_shape)
+
+        deltas = ([abs(c[2]) for c in ex.edge_classes]
+                  + [abs(c[2]) for c in ex.vert_classes])
+        H = max(deltas) if deltas else 1
+        if fused_affine_tile_shape(ex.E, H) is None:
+            ex = RollExchange(disc, pad_to=fused_affine_pad(ex.E, H),
+                              layout=layout)
     return ex

@@ -244,8 +244,9 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
 
     if vector_layout == "ne":
         return _make_local_laplacian_operator_T(
-            exchange, Gf, Dhat, free_local, precision=precision,
-            compute_dtype=compute_dtype, structure=structure)
+            exchange, Gf, Dhat, free_local, backend=backend,
+            precision=precision, compute_dtype=compute_dtype,
+            structure=structure)
     if vector_layout != "en":
         raise ValueError(f"unknown vector_layout {vector_layout!r}")
 
@@ -365,6 +366,7 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
 
 
 def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
+                                     backend: str = "auto",
                                      precision: str = "highest",
                                      compute_dtype=None,
                                      structure: str = "auto"):
@@ -373,10 +375,16 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
     Affine meshes: ``S = sum_c Kc @ (a_c * u)`` — the assembled per-term
     element matrices ``Kc`` are symmetric, so the transposed apply is three
     accumulating ``(n, n) @ (n, E)`` matmuls with the per-element affine
-    scalars fused into the operand.  General meshes: left-applied stacked
-    derivative matmuls with (3, n, E) geometric factors.  XLA backend only
-    (it fuses this end to end; measured faster than any Pallas composition
-    so far).
+    scalars fused into the operand; on TPU the matmuls AND the roll-class
+    DSS fuse into one Pallas kernel when the exchange structure admits it
+    (:func:`..ops.pallas_kernels.make_fused_affine_laplacian_T` — measured
+    0.30 vs 0.40 ms at p=8 / 100k elements f32 ``highest`` on v5e).
+    General meshes: left-applied stacked derivative XLA matmuls with
+    (3, n, E) geometric factors.
+
+    ``backend``: 'auto' (fused Pallas kernel when admissible, else XLA),
+    'fused' (require the fused kernel), 'fused-interpret' (CPU testing),
+    or 'xla'.
     """
     import jax
     import numpy as np
@@ -393,6 +401,45 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
             affine_a = a
         elif structure == "affine":
             raise ValueError("mesh is not affine but structure='affine'")
+
+    if backend in ("fused", "fused-interpret", "auto"):
+        from . import pallas_kernels
+
+        fused_ok = (
+            affine_a is not None
+            and compute_dtype is None
+            and precision in ("highest", "default")
+            and dt == jnp.float32
+            and exchange.layout == "edges-first"
+            and hasattr(exchange, "edge_classes")
+            and not (exchange.n_edge_tail or exchange.n_vert_tail)
+        )
+        if backend == "auto":
+            fused_ok = fused_ok and pallas_kernels.supported()
+        if affine_a is None and backend != "auto":
+            raise ValueError("fused-T backend requires an affine mesh")
+        if fused_ok or backend != "auto":
+            try:
+                Kcat = make_affine_element_matrices(
+                    np.asarray(Dhat), Wgrid, order=exchange.hier)
+                local_dss = pallas_kernels.make_fused_affine_laplacian_T(
+                    exchange, Kcat, affine_a, precision=precision,
+                    interpret=backend == "fused-interpret")
+            except ValueError:
+                if backend != "auto":   # explicit request: surface it
+                    raise
+            else:
+                def apply_fused(uT):
+                    if free_local is not None:
+                        uT = jnp.where(free_local, uT, 0.0)
+                    vT = local_dss(uT)
+                    if free_local is not None:
+                        vT = jnp.where(free_local, vT, 0.0)
+                    return vT
+
+                return apply_fused
+    elif backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
 
     if affine_a is not None:
         Kcat = make_affine_element_matrices(

@@ -113,3 +113,75 @@ def test_auto_backend_on_cpu_is_xla(problem):
     prob.set_dirichlet("ebc", lambda x, y: 0.0)
     sol = prob.solve_local(tol=1e-6)
     assert np.all(np.isfinite(sol.u))
+
+
+class TestFusedAffineT:
+    """Fused transposed apply+DSS kernel == XLA transposed path."""
+
+    def _compare(self, nx, ny, p, target_te):
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        mesh = rectangle_mesh(nx, ny, p)
+        disc = Discretization(mesh, gll_basis_2d(p))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        fused = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_te=target_te, interpret=True)
+
+        rng = np.random.RandomState(11)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        expected = np.asarray(A_xla(uT))
+        got = np.asarray(fused(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < 1e-5
+
+    def test_single_block(self):
+        self._compare(16, 8, 3, target_te=3840)   # E=128 -> one block
+
+    def test_multi_block_halo(self):
+        self._compare(16, 16, 3, target_te=128)   # E=256 -> 2 blocks, k=1
+
+    def test_four_blocks(self):
+        self._compare(32, 16, 3, target_te=128)   # E=512 -> 4 blocks
+
+    def test_inadmissible_tiling_raises(self):
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        mesh = rectangle_mesh(5, 5, 2)            # E=25: no 128-multiple
+        disc = Discretization(mesh, gll_basis_2d(2))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        W = disc.basis.weight_grid().reshape(-1)
+        a, _ = sumfac.affine_factorization(Gf, W)
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        with pytest.raises(ValueError, match="tiling"):
+            make_fused_affine_laplacian_T(ex, Kcat, a)
+
+    def test_auto_backend_falls_back_on_cpu(self):
+        """backend='auto' on CPU must return the XLA path (supported()
+        is False), still correct end to end."""
+        mesh = rectangle_mesh(4, 4, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc)
+        prob.set_dirichlet("ebc", 0.0)
+        sol = prob.solve_local(tol=1e-10, host_loop=True,
+                               vector_layout="ne")
+        assert bool(sol.cg.converged)
