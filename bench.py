@@ -185,7 +185,9 @@ def main():
         u_dL = to_local(
             np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0))
         bL = to_local(prob._b)
-        r_cg = jnp.where(free, bL - one_apply(u_dL), 0.0)
+        r_cg = jax.jit(
+            lambda f, b, u: jnp.where(f, b - one_apply(u), 0.0))(
+                free, bL, u_dL)
     else:
         dot = None
         free = jnp.asarray(~prob._dirichlet_mask)

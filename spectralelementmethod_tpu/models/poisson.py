@@ -245,7 +245,12 @@ class Poisson(BoundaryConditionMixin):
                     compute_dtype=compute_dtype,
                     vector_layout=vector_layout,
                 ))
-        r = jnp.where(free_local, bL - A_raw(u_dL), 0.0)
+        # jit the residual so a Pallas-backed A_raw runs with captured
+        # operands (eager pallas dispatch aborts; utils.hoist docstring)
+        import jax
+
+        r = jax.jit(lambda f, b, u: jnp.where(f, b - A_raw(u), 0.0))(
+            free_local, bL, u_dL)
 
         if precond == "fdm":
             from ..solver.fdm import make_fdm_preconditioner

@@ -254,22 +254,41 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
         axis=0).astype(np.float32))                      # (3n, n)
     aT = jnp.asarray(
         np.ascontiguousarray(np.asarray(a, np.float32).T))  # (3, E)
+    if precision not in ("highest", "high", "default"):
+        raise ValueError(f"unknown precision {precision!r}")
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}.get(precision)
-    if prec is None:
-        raise ValueError(
-            f"fused-T kernel supports precision 'highest' or 'default', "
-            f"got {precision!r} (Mosaic has no 3-pass dot)")
+    if precision == "high":
+        # Mosaic has no native 3-pass dot; split K = K_hi + K_lo in bf16
+        # host-side and run the standard bf16x3 decomposition in-kernel
+        # (K_hi u_hi + K_hi u_lo + K_lo u_hi, f32 accumulation) — ~21
+        # mantissa bits at half the passes of the 6-pass 'highest'.
+        KT_np = np.asarray(KT)
+        K_hi = KT_np.astype(jnp.bfloat16)
+        K_lo = (KT_np - K_hi.astype(np.float32)).astype(jnp.bfloat16)
+        KT = jnp.asarray(np.concatenate([K_hi, K_lo], axis=0))  # (6n, n)
 
     def kernel(uL_ref, uC_ref, uR_ref, aL_ref, aC_ref, aR_ref, K_ref,
                m_ref, out_ref):
         u_win = jnp.concatenate([uL_ref[:], uC_ref[:], uR_ref[:]], axis=1)
         a_win = jnp.concatenate([aL_ref[:], aC_ref[:], aR_ref[:]], axis=1)
-        V = jax.lax.dot_general(
-            K_ref[:], u_win, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )                                                # (3n, TE + 2Hb)
+        if precision == "high":
+            u_hi = u_win.astype(jnp.bfloat16)
+            u_lo = (u_win - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            K_hi, K_lo = K_ref[:3 * n], K_ref[3 * n:]
+            dn = (((1,), (0,)), ((), ()))
+            V = jax.lax.dot_general(
+                K_hi, u_hi, dn, preferred_element_type=jnp.float32)
+            V = V + jax.lax.dot_general(
+                K_hi, u_lo, dn, preferred_element_type=jnp.float32)
+            V = V + jax.lax.dot_general(
+                K_lo, u_hi, dn, preferred_element_type=jnp.float32)
+        else:
+            V = jax.lax.dot_general(
+                K_ref[:], u_win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )                                            # (3n, TE + 2Hb)
         S = (a_win[0:1] * V[:n] + a_win[1:2] * V[n:2 * n]
              + a_win[2:3] * V[2 * n:])
         # per-dst-slot accumulation, then one sublane concat (no scatters)
@@ -307,7 +326,7 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
         pl.BlockSpec(
             (3, Hb), lambda i: (0, jnp.minimum((i + 1) * k, G * k - 1)),
             memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * n, n), lambda i: (0, 0),
+        pl.BlockSpec((KT.shape[0], n), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((M.shape[0], TE), lambda i: (0, i),
                      memory_space=pltpu.VMEM),

@@ -206,6 +206,27 @@ def make_affine_element_matrices(Dhat, W, order=None):
     return np.concatenate([K0, K1, K2], axis=1)
 
 
+def _pad_factors_to_exchange(Gf, exchange):
+    """Zero-pad (E_real, ...) per-element factors to the exchange's padded
+    element count.  Pad rows are inert (zero factors -> zero local
+    contributions; the exchange's masks/weights already exclude them) —
+    without this, operators built against a padded exchange read
+    short arrays, which on the Pallas path is an out-of-bounds DMA
+    (observed as a fatal TPU runtime abort on v5e)."""
+    import numpy as np
+
+    E_ex = exchange.E
+    if int(Gf.shape[0]) == E_ex:
+        return Gf
+    if int(Gf.shape[0]) > E_ex:
+        raise ValueError(
+            f"factors have {Gf.shape[0]} rows > exchange E={E_ex}")
+    pad = [(0, E_ex - int(Gf.shape[0]))] + [(0, 0)] * (Gf.ndim - 1)
+    if isinstance(Gf, np.ndarray):
+        return np.pad(Gf, pad)
+    return jnp.pad(jnp.asarray(Gf), pad)
+
+
 def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
                                   backend: str = "auto",
                                   precision: str = "highest",
@@ -242,6 +263,7 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
     """
     import numpy as np
 
+    Gf = _pad_factors_to_exchange(Gf, exchange)
     if vector_layout == "ne":
         return _make_local_laplacian_operator_T(
             exchange, Gf, Dhat, free_local, backend=backend,
@@ -408,7 +430,7 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
         fused_ok = (
             affine_a is not None
             and compute_dtype is None
-            and precision in ("highest", "default")
+            and precision in ("highest", "high", "default")
             and dt == jnp.float32
             and exchange.layout == "edges-first"
             and hasattr(exchange, "edge_classes")
@@ -437,6 +459,9 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
                         vT = jnp.where(free_local, vT, 0.0)
                     return vT
 
+                # keep kernel operands as inline literals when callers
+                # hoist closures (see utils.hoist.hoist_closure)
+                apply_fused._no_hoist = True
                 return apply_fused
     elif backend != "xla":
         raise ValueError(f"unknown backend {backend!r}")

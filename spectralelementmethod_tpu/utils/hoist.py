@@ -39,7 +39,15 @@ def hoist_closure(fn, *example_args):
     same function object returns the *identical* pure function, so jits
     keyed on it (static argument) hit their compilation cache.  The
     cached consts reflect the closure contents at first trace.
+
+    Functions tagged ``fn._no_hoist = True`` are returned as-is with no
+    consts — their captures then lower as inline literals.  Pallas-backed
+    operators set this: passing kernel operands as runtime jit parameters
+    aborts the TPU runtime (observed on v5e via the remote-compile path),
+    while the same kernel with captured-literal operands runs fine.
     """
+    if getattr(fn, "_no_hoist", False):
+        return fn, []
     key = tuple((tuple(a.shape), str(a.dtype))
                 for a in map(jnp_aval, example_args))
     # bound methods are fresh objects on every attribute access; key them

@@ -286,3 +286,42 @@ class TestTransposedLayout:
                                   vector_layout="ne")
         assert bool(sol_ne.cg.converged)
         np.testing.assert_allclose(sol_ne.u, sol_en.u, atol=1e-10)
+
+    def test_padded_exchange_operator_all_paths(self):
+        """Operators built on a padded exchange must zero-pad per-element
+        factors (short arrays were an OOB DMA / device abort on the
+        Pallas path).  Checks xla en/ne and interpret-fused vs unpadded."""
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        mesh = rectangle_mesh(16, 16, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+
+        ex0 = RollExchange(disc)
+        A0 = sumfac.make_local_laplacian_operator(
+            ex0, Gf, Dhat, backend="xla")
+        rng = np.random.RandomState(21)
+        uL = rng.randn(disc.E, disc.n_loc).astype(np.float32)
+        ref = np.asarray(A0(jnp.asarray(uL)))
+
+        exp = RollExchange(disc, pad_to=disc.E + 128)
+        uLp = np.zeros((exp.E, disc.n_loc), np.float32)
+        uLp[:disc.E] = uL
+        A_en = sumfac.make_local_laplacian_operator(
+            exp, Gf, Dhat, backend="xla")
+        got = np.asarray(A_en(jnp.asarray(uLp)))[:disc.E]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+        uTp = jnp.asarray(np.ascontiguousarray(uLp.T))
+        A_ne = sumfac.make_local_laplacian_operator(
+            exp, Gf, Dhat, backend="xla", vector_layout="ne")
+        got = np.asarray(A_ne(uTp)).T[:disc.E]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+        A_f = sumfac.make_local_laplacian_operator(
+            exp, Gf, Dhat, backend="fused-interpret", vector_layout="ne")
+        got = np.asarray(A_f(uTp)).T[:disc.E]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

@@ -185,3 +185,33 @@ class TestFusedAffineT:
         sol = prob.solve_local(tol=1e-10, host_loop=True,
                                vector_layout="ne")
         assert bool(sol.cg.converged)
+
+    def test_high_precision_bf16x3(self):
+        """'high' = in-kernel bf16x3 decomposition: ~1e-6 relative error
+        vs the f32 'highest' result."""
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        mesh = rectangle_mesh(16, 16, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        W = disc.basis.weight_grid().reshape(-1)
+        a, _ = sumfac.affine_factorization(Gf, W)
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        hi = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_te=128, precision="highest", interpret=True)
+        h3 = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_te=128, precision="high", interpret=True)
+        rng = np.random.RandomState(13)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        v_hi = np.asarray(hi(uT))
+        v_h3 = np.asarray(h3(uT))
+        scale = np.abs(v_hi).max()
+        rel = np.abs(v_h3 - v_hi).max() / scale
+        assert rel < 5e-5, rel
