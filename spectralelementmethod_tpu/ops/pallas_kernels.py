@@ -163,20 +163,24 @@ def fused_vector_laplacian_local(uL, g0, g1, g2, dhat, *,
 
 
 def fused_affine_tile_shape(E: int, H: int,
-                            target_te: int = 3840) -> tuple[int, int] | None:
+                            target_win: int = 4608) -> tuple[int, int] | None:
     """(TE, Hb) for :func:`make_fused_affine_laplacian_T`, or None.
 
     ``Hb`` is the lane-aligned halo-block width (>= H, multiple of 128);
-    ``TE`` the largest multiple of ``Hb`` near ``target_te`` that divides
-    ``E``.  Returns None when no admissible tiling exists — callers then
-    pad the exchange (``pad_to=fused_affine_pad(E, H)``) or fall back to
-    the XLA path.
+    ``TE`` a multiple of ``Hb`` dividing ``E`` chosen so the kernel's
+    VMEM *window* ``TE + 2 Hb`` stays near ``target_win`` lanes (the
+    window bounds scoped-vmem use; 4608 lanes of p=8 f32 state fits the
+    16 MB stack with room to spare).  Returns None when no admissible
+    tiling exists — callers then pad the exchange
+    (``pad_to=fused_affine_pad(E, H)``) or fall back to the XLA path.
     """
     if H <= 0:
         return None
     Hb = -(-H // 128) * 128
+    if 3 * Hb > 6912:
+        return None       # minimum window (k=1) would blow scoped vmem
     best = None
-    k = max(1, round(target_te / Hb))
+    k = max(1, round(target_win / Hb) - 2)
     for kk in sorted(range(1, 4 * k + 1), key=lambda x: abs(x - k)):
         TE = kk * Hb
         if E % TE == 0:
@@ -185,16 +189,16 @@ def fused_affine_tile_shape(E: int, H: int,
     return best
 
 
-def fused_affine_pad(E: int, H: int, target_te: int = 3840) -> int:
+def fused_affine_pad(E: int, H: int, target_win: int = 4608) -> int:
     """Padded element count making the fused-T tiling admissible."""
     Hb = -(-max(H, 1) // 128) * 128
-    TE = max(1, round(target_te / Hb)) * Hb
+    TE = max(1, round(target_win / Hb) - 2) * Hb
     return -(-E // TE) * TE
 
 
 def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
                                   precision: str = "highest",
-                                  target_te: int = 3840,
+                                  target_win: int = 4608,
                                   interpret: bool = False):
     """Fully-fused transposed-storage apply+DSS kernel (affine meshes).
 
@@ -236,11 +240,15 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
     n_e = len(edge_classes)
     H = max([abs(c[2]) for c in edge_classes]
             + [abs(c[2]) for c in vert_classes] + [1])
-    tile = fused_affine_tile_shape(E, H, target_te)
+    if precision == "high":
+        # bf16x3 splits u into hi/lo copies in VMEM; the default window
+        # overflows the 16 MB scoped-vmem stack by a hair at p=8
+        target_win = int(target_win * 0.9)
+    tile = fused_affine_tile_shape(E, H, target_win)
     if tile is None:
         raise ValueError(
             f"no admissible (TE, Hb) tiling for E={E}, H={H}; pad the "
-            f"exchange to {fused_affine_pad(E, H, target_te)} elements")
+            f"exchange to {fused_affine_pad(E, H, target_win)} elements")
     TE, Hb = tile
     G = E // TE
     k = TE // Hb

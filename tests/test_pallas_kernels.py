@@ -118,7 +118,7 @@ def test_auto_backend_on_cpu_is_xla(problem):
 class TestFusedAffineT:
     """Fused transposed apply+DSS kernel == XLA transposed path."""
 
-    def _compare(self, nx, ny, p, target_te):
+    def _compare(self, nx, ny, p, target_win):
         from spectralelementmethod_tpu.ops.exchange import RollExchange
         from spectralelementmethod_tpu.ops.pallas_kernels import (
             make_fused_affine_laplacian_T)
@@ -138,7 +138,7 @@ class TestFusedAffineT:
         assert exact
         Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
         fused = make_fused_affine_laplacian_T(
-            ex, Kcat, a, target_te=target_te, interpret=True)
+            ex, Kcat, a, target_win=target_win, interpret=True)
 
         rng = np.random.RandomState(11)
         uT = jnp.asarray(
@@ -149,13 +149,13 @@ class TestFusedAffineT:
         assert np.abs(got - expected).max() / scale < 1e-5
 
     def test_single_block(self):
-        self._compare(16, 8, 3, target_te=3840)   # E=128 -> one block
+        self._compare(16, 8, 3, target_win=3840)   # E=128 -> one block
 
     def test_multi_block_halo(self):
-        self._compare(16, 16, 3, target_te=128)   # E=256 -> 2 blocks, k=1
+        self._compare(16, 16, 3, target_win=128)   # E=256 -> 2 blocks, k=1
 
     def test_four_blocks(self):
-        self._compare(32, 16, 3, target_te=128)   # E=512 -> 4 blocks
+        self._compare(32, 16, 3, target_win=128)   # E=512 -> 4 blocks
 
     def test_inadmissible_tiling_raises(self):
         from spectralelementmethod_tpu.ops.exchange import RollExchange
@@ -204,9 +204,9 @@ class TestFusedAffineT:
         a, _ = sumfac.affine_factorization(Gf, W)
         Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
         hi = make_fused_affine_laplacian_T(
-            ex, Kcat, a, target_te=128, precision="highest", interpret=True)
+            ex, Kcat, a, target_win=128, precision="highest", interpret=True)
         h3 = make_fused_affine_laplacian_T(
-            ex, Kcat, a, target_te=128, precision="high", interpret=True)
+            ex, Kcat, a, target_win=128, precision="high", interpret=True)
         rng = np.random.RandomState(13)
         uT = jnp.asarray(
             rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
