@@ -179,7 +179,8 @@ def main():
                            else free_np)
         A_cg = sumfac.make_local_laplacian_operator(
             ex, Gf, Dhat, free, backend=backend, precision=args.precision,
-            compute_dtype=cdt, vector_layout=vlayout)
+            compute_dtype=cdt, vector_layout=vlayout,
+            assume_masked_input=True)
         diagL = to_local(prob.operator_diagonal())
         M = jacobi_preconditioner(diagL, free)
         u_dL = to_local(
@@ -273,12 +274,15 @@ def main():
     # CG wall-clock (Dirichlet "ebc" system, Jacobi preconditioner)
     cg_tol = 1e-5 if dtype == np.float32 else 1e-10
     cg_iters = 100 if args.smoke else 1000
+    dw = None
+    if args.kernel in ("local", "pallas", "xla-local"):
+        dw = ex._weights_as(np.dtype(dtype), transposed=transposed)
     res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot,
-             block=cg_iters)
+             dot_weight=dw, block=cg_iters)
     res.x.block_until_ready()
     t0 = time.perf_counter()
     res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot,
-             block=cg_iters)
+             dot_weight=dw, block=cg_iters)
     res.x.block_until_ready()
     t_cg = time.perf_counter() - t0
 

@@ -225,9 +225,12 @@ class Poisson(BoundaryConditionMixin):
         op_key = ("A", structure, str(compute_dtype), vector_layout)
         A = self._op_cache.get(op_key)
         if A is None:
+            # CG iterates are masked by induction (M masks its output,
+            # x0 = 0): skip the apply's input-mask pass
             A = self._op_cache[op_key] = sumfac.make_local_laplacian_operator(
                 ex, Gf, Dhat, free_local, structure=structure,
                 compute_dtype=compute_dtype, vector_layout=vector_layout,
+                assume_masked_input=True,
             )
 
         # rhs and Dirichlet lift in local form
@@ -273,9 +276,12 @@ class Poisson(BoundaryConditionMixin):
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
-        solver = cg_host if host_loop else cg
         dot = ex.dot_T if transposed else ex.dot
-        res = solver(A, r, M=M, tol=tol, max_iter=max_iter, dot=dot)
+        if host_loop:
+            res = cg_host(A, r, M=M, tol=tol, max_iter=max_iter, dot=dot)
+        else:
+            w = ex._weights_as(np.dtype(self.dtype), transposed=transposed)
+            res = cg(A, r, M=M, tol=tol, max_iter=max_iter, dot_weight=w)
 
         uL = u_dL + res.x
         if transposed:

@@ -325,3 +325,16 @@ class TestTransposedLayout:
             exp, Gf, Dhat, backend="fused-interpret", vector_layout="ne")
         got = np.asarray(A_f(uTp)).T[:disc.E]
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_cg_dot_weight_matches_dot(self):
+        """cg(dot_weight=w) == cg(dot=weighted) == host solve."""
+        from spectralelementmethod_tpu.solver.cg import cg
+
+        mesh = rectangle_mesh(4, 4, 4)
+        disc = Discretization(mesh, gll_basis_2d(4))
+        prob = Poisson(disc)
+        prob.set_dirichlet("ebc", lambda x, y: 0.1 * x + 0.2 * y)
+        sol_h = prob.solve_local(tol=1e-12, host_loop=True)
+        sol_d = prob.solve_local(tol=1e-12)   # device path: dot_weight CG
+        assert bool(sol_d.cg.converged)
+        np.testing.assert_allclose(sol_d.u, sol_h.u, atol=1e-9)
