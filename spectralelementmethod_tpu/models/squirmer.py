@@ -106,8 +106,22 @@ class SphereWithSlipVel:
 
     DPN = 2  # dofs per node: (psi, omega)
 
-    def __init__(self, mesh, order: int = 8, dtype=np.float64):
+    def __init__(self, mesh, order: int = 8, dtype=np.float64,
+                 linear_solver: str = "auto"):
         self.dtype = dtype
+        if linear_solver == "auto":
+            # TPU XLA implements batched LU decomposition only for f32 —
+            # the f64 Newton correction there runs as f64 GMRES
+            # preconditioned by the f32 condensation solve (GMRES-IR;
+            # the SURVEY §7 "condensation as preconditioner" design)
+            linear_solver = (
+                "gmres-ir"
+                if np.dtype(dtype) == np.float64
+                and jax.default_backend() == "tpu"
+                else "direct")
+        if linear_solver not in ("direct", "gmres-ir"):
+            raise ValueError(f"unknown linear_solver {linear_solver!r}")
+        self.linear_solver = linear_solver
         basis = gll_basis_2d(order)
         self.disc = disc = Discretization(mesh, basis, dofs_per_node=2)
         self.phys_params: dict = {}
@@ -285,16 +299,11 @@ class SphereWithSlipVel:
 
     # -- residual / Jacobian --------------------------------------------------
 
-    def _make_step(self):
-        """Compile the Newton step: residual + autodiff Jacobian + batched
-        static-condensation solve."""
-        disc = self.disc
+    def _local_system_fns(self):
+        """(local_residual, jac_fn) for one element (autodiff Jacobian)."""
         p1 = self.p1
-        n = disc.n_loc
-        nd = 2 * n
+        nd = 2 * self.disc.n_loc
         D0, D1 = self._D0, self._D1
-        rho = self._rho
-        rho_sq_JxW = rho * rho * self._JxW  # Me diagonal (squirmer:253-254)
 
         def local_residual(x_flat, Grho_e, JxW_e, inv_rho_e, invJ_e,
                            rsJxW_e, n_rey):
@@ -331,7 +340,17 @@ class SphereWithSlipVel:
             r_d = stiff_rho(psi) + 2.0 * JxW_e * psi_rho - rsJxW_e * w
             return jnp.stack([r_w, r_d], axis=-1).reshape(nd)
 
-        jac_fn = jax.jacfwd(local_residual)
+        return local_residual, jax.jacfwd(local_residual)
+
+    def _make_step(self):
+        """Compile the Newton step: residual + autodiff Jacobian + batched
+        static-condensation solve."""
+        disc = self.disc
+        p1 = self.p1
+        nd = 2 * disc.n_loc
+        rho = self._rho
+        rho_sq_JxW = rho * rho * self._JxW  # Me diagonal (squirmer:253-254)
+        local_residual, jac_fn = self._local_system_fns()
         gather = jnp.asarray(disc.gather_nodes)
         ldof_perm = self._ldof_perm
         csys = self.csys
@@ -380,6 +399,108 @@ class SphereWithSlipVel:
 
         return step
 
+    def _make_step_mixed(self, gmres_tol: float = 1e-12, restart: int = 30,
+                         max_restarts: int = 40):
+        """Newton correction by f64 GMRES + f32 condensation preconditioner.
+
+        TPU XLA's LuDecomposition is f32-only, so the direct batched
+        Schur pipeline cannot run in float64 there; instead the
+        correction system J dx = -R is solved with GMRES in float64
+        (batched Jacobian matvecs + scatter assembly — plain dot_generals,
+        fully supported) preconditioned by one full float32
+        static-condensation solve per Krylov vector.  With M accurate to
+        ~f32 roundoff the preconditioned system is within O(1e-7 cond(J))
+        of identity, so a handful of iterations reach f64 accuracy.
+        Returns the assembled global Newton update (n_nodes, 2).
+        """
+        from ..solver.gmres import _euclidean_dot, _gmres_cycle
+
+        disc = self.disc
+        p1, nd = self.p1, 2 * disc.n_loc
+        rho = self._rho
+        rho_sq_JxW = rho * rho * self._JxW
+        local_residual, jac_fn = self._local_system_fns()
+        gather = jnp.asarray(disc.gather_nodes)
+        ldof_perm = self._ldof_perm
+        csys = self.csys
+        n_dofs = disc.n_nodes * 2
+        ne_ldof = csys.n_ext_ldof
+
+        gdof_np = (self._gather_hier[:, :, None] * 2
+                   + np.arange(2)[None, None, :]).reshape(disc.E, nd)
+        gdof = jnp.asarray(gdof_np.astype(np.int32))
+        mult = np.bincount(gdof_np.ravel(),
+                           minlength=n_dofs).astype(np.float64)
+        wdof = jnp.asarray(1.0 / np.maximum(mult[gdof_np], 1.0))
+        ext_gdof = jnp.asarray(
+            ((self._ext_global_nodes[:, None] * 2
+              + np.arange(2)[None, :]).reshape(-1)).astype(np.int32))
+        int_gdof = jnp.asarray(
+            ((self._int_global_nodes[:, :, None] * 2
+              + np.arange(2)[None, None, :]).reshape(-1)).astype(np.int32))
+
+        @jax.jit
+        def assemble(soln_global, n_rey, cint, free_ext):
+            xe = soln_global[gather].reshape(-1, p1, p1, 2)
+            x_flat = xe.reshape(-1, nd)
+            args = (self._Grho, self._JxW, self._inv_rho, self._invJ,
+                    rho_sq_JxW, n_rey)
+            res = jax.vmap(local_residual,
+                           in_axes=(0, 0, 0, 0, 0, 0, None))(x_flat, *args)
+            jac = jax.vmap(jac_fn,
+                           in_axes=(0, 0, 0, 0, 0, 0, None))(x_flat, *args)
+            lrhs = -res[:, ldof_perm]
+            lmat = jac[:, ldof_perm][:, :, ldof_perm]
+            # non-finite entries live only on constrained axis rows/cols
+            # (reference check_finite=False semantics) — zero them; the
+            # pinning below restores an identity system there
+            lmat = jnp.where(jnp.isfinite(lmat), lmat, 0.0)
+            lrhs = jnp.where(jnp.isfinite(lrhs), lrhs, 0.0)
+            free_dof = jnp.ones(n_dofs, bool).at[ext_gdof].set(free_ext)
+            bg = jnp.zeros(n_dofs, lrhs.dtype).at[gdof.reshape(-1)].add(
+                lrhs.reshape(-1)).at[ext_gdof].add(cint)
+            bg = jnp.where(free_dof, bg, 0.0)
+            return lmat, bg, free_dof
+
+        def Jv(v, lmat, free_dof):
+            vm = jnp.where(free_dof, v, 0.0)
+            vl = vm[gdof]                                  # (E, nd)
+            Av = jnp.einsum("eij,ej->ei", lmat, vl)
+            out = jnp.zeros_like(v).at[gdof.reshape(-1)].add(Av.reshape(-1))
+            return jnp.where(free_dof, out, v)
+
+        def Mpre(r, lmat32, free_ext, free_dof):
+            # local rhs whose DSS assembly equals r (1/multiplicity split)
+            rl = (r[gdof] * wdof).astype(jnp.float32)
+            x_ext, x_loc = sc.schur_solve(lmat32, rl, csys, free_ext)
+            dx = jnp.zeros(r.shape, jnp.float32).at[ext_gdof].set(x_ext)
+            dx = dx.at[int_gdof].set(x_loc[:, ne_ldof:].reshape(-1))
+            return jnp.where(free_dof, dx.astype(r.dtype), r)
+
+        cycle = _gmres_cycle(Jv, Mpre, _euclidean_dot, int(restart))
+
+        @jax.jit
+        def prelude(bg, lmat32, free_ext, free_dof):
+            Mb = Mpre(bg, lmat32, free_ext, free_dof)
+            return jnp.sqrt(jnp.real(jnp.vdot(Mb, Mb)))
+
+        def step(soln_global, n_rey, cint, free_ext):
+            lmat, bg, free_dof = assemble(
+                soln_global, jnp.asarray(n_rey, self.dtype), cint, free_ext)
+            lmat32 = lmat.astype(jnp.float32)
+            A_c = (lmat, free_dof)
+            M_c = (lmat32, free_ext, free_dof)
+            stop = gmres_tol * float(prelude(bg, *M_c))
+            stop_d = jnp.asarray(stop, bg.dtype)
+            x = jnp.zeros_like(bg)
+            for _ in range(max_restarts):
+                x, rnorm, _its = cycle(x, bg, stop_d, A_c, M_c, ())
+                if float(rnorm) <= stop:
+                    break
+            return np.asarray(x).reshape(disc.n_nodes, 2)
+
+        return step
+
     # -- Newton solve --------------------------------------------------------
 
     def solve(self, it_max: int = 10, tol: float = 1e-6,
@@ -390,7 +511,9 @@ class SphereWithSlipVel:
         ``||d vorticity||``.
         """
         if self._step_fn is None:
-            self._step_fn = self._make_step()
+            self._step_fn = (self._make_step_mixed()
+                             if self.linear_solver == "gmres-ir"
+                             else self._make_step())
         disc = self.disc
         n_rey = float(self.phys_params["N_Re"])
         cint = jnp.asarray(self.cint, dtype=self.dtype)
@@ -400,13 +523,17 @@ class SphereWithSlipVel:
         du_norm_last = np.inf
 
         for itn in range(it_max):
-            x_ext, x_loc = self._step_fn(
+            out = self._step_fn(
                 jnp.asarray(self.soln, dtype=self.dtype), n_rey, cint,
                 free_ext,
             )
-            dsoln = self._dsoln_to_global(
-                np.asarray(x_ext), np.asarray(x_loc)
-            )
+            if self.linear_solver == "gmres-ir":
+                dsoln = out
+            else:
+                x_ext, x_loc = out
+                dsoln = self._dsoln_to_global(
+                    np.asarray(x_ext), np.asarray(x_loc)
+                )
             self.soln += dsoln
 
             du_norm = float(np.linalg.norm(dsoln[:, 1]))

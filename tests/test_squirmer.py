@@ -152,3 +152,20 @@ def test_reference_api_names():
                  "set_boundary_conditions", "compute_operators",
                  "pre_assembly"):
         assert hasattr(sq_cls, name), name
+
+
+class TestMixedPrecisionSolver:
+    """gmres-ir (f64 GMRES + f32 condensation preconditioner) must match
+    the direct f64 Schur solve — the TPU path, where XLA's batched LU is
+    f32-only."""
+
+    def test_gmres_ir_matches_direct(self):
+        mesh = annulus_mesh(order=6, n_theta=6, n_r=10, r_outer=100.0,
+                            progression=1.6)
+        sq_d = sqm.Squirmer(mesh, order=6, linear_solver="direct")
+        sq_m = sqm.Squirmer(mesh, order=6, linear_solver="gmres-ir")
+        for sq in (sq_d, sq_m):
+            sq.run(n_rey=0.5, beta=0.5, speed=0.95, verbose=False)
+        np.testing.assert_allclose(sq_m.soln, sq_d.soln, atol=1e-8)
+        f_d, f_m = sq_d.calc_force(), sq_m.calc_force()
+        assert abs(f_m - f_d) < 1e-8
