@@ -165,6 +165,7 @@ def cg(
     # and the ladder uses only a handful of static block sizes (one
     # compile each); oversized final blocks run inert frozen iterations.
     issued = 0
+    best_state, best_rn2 = state, float("inf")
     while issued < max_iter:
         # round the remaining budget up to a multiple of 64 so tail
         # blocks reuse a small set of static sizes (one compile each);
@@ -173,11 +174,17 @@ def cg(
         n = min(block, remaining)
         state = block_k(n, state, A_c, M_c, dot_c)
         issued += n
-        if bool(state[5] <= state[7]):
+        rn2_now = float(state[5])
+        if rn2_now <= best_rn2:
+            best_state, best_rn2 = state, rn2_now
+        if bool(state[5] <= state[7]) or bool(state[5] > 1e6 * state[9]):
             break
         block = min(block * 2, 4096)
 
-    x, r, z, p, rz, rn2, k_dev, stop2, _ = state
+    # on breakdown/divergence, fall back to the best block-boundary state
+    # (the device-side guard bounds in-block drift to 1000x; this recovers
+    # the plateau iterate without tracking x_best per iteration)
+    x, r, z, p, rz, rn2, k_dev, stop2, _, _rn2_min = best_state
     rnorm = jnp.sqrt(rn2)
     return CGResult(x, k_dev, rnorm, rn2 <= stop2)
 
@@ -204,7 +211,7 @@ def _cg_kernels(A, M, dot, weight_fold: bool = False):
         rz0 = dot(r0, z0, *dot_c)
         rn0 = norm2(r0)
         return (x0, r0, z0, z0, rz0, rn0,
-                jnp.array(0, dtype=jnp.int32), stop2, max_iter)
+                jnp.array(0, dtype=jnp.int32), stop2, max_iter, rn0)
 
     @partial(jax.jit, static_argnames=("n",))
     def block(n, state, A_c, M_c, dot_c):
@@ -220,13 +227,18 @@ def _cg_block_body(A, M, dot, n, state, A_c, M_c, dot_c,
         return jnp.real(dot(v, v, *dot_c))
 
     def body(i, state):
-        x, r, z, p, rz, rn2, k, stop2, max_it = state
-        # freeze converged/budget-exhausted state by zeroing the step
-        # length (a scalar select): x, r, rz, rn2 then stay fixed, so
+        x, r, z, p, rz, rn2, k, stop2, max_it, rn2_min = state
+        # freeze converged/budget-exhausted/diverged state by zeroing the
+        # step length (a scalar select): x, r, rz, rn2 then stay fixed, so
         # `done` remains true for the rest of the block; p drifts to
         # z + beta p, which is harmless while frozen.  Cheaper than
-        # selecting every state array.
-        done = (rn2 <= stop2) | (k >= max_it)
+        # selecting every state array.  The divergence guard freezes when
+        # the residual grows 1000x past its best (f32 CG on
+        # ill-conditioned systems can lose conjugacy after stagnating and
+        # blow up — without the guard a fixed iteration budget rides the
+        # blow-up; observed |r| 6e-7 -> 4.5 over 5000 iterations at p=6 /
+        # 37k f32 DOFs).
+        done = (rn2 <= stop2) | (k >= max_it) | (rn2 > 1e6 * rn2_min)
         Ap = A(p, *A_c)
         if weight_fold:
             # diagonal-weight dots: weight each vector once per pass and
@@ -250,7 +262,8 @@ def _cg_block_body(A, M, dot, n, state, A_c, M_c, dot_c,
         beta = rz_n / jnp.where(rz != 0, rz, 1.0)
         p = z + beta * p
         k = k + jnp.where(done, 0, 1).astype(k.dtype)
-        return (x, r, z, p, rz_n, rn2, k, stop2, max_it)
+        rn2_min = jnp.where(done, rn2_min, jnp.minimum(rn2_min, rn2))
+        return (x, r, z, p, rz_n, rn2, k, stop2, max_it, rn2_min)
 
     return jax.lax.fori_loop(0, n, body, state)
 
