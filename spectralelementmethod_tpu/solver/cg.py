@@ -117,7 +117,8 @@ def cg(
     (elementwise-weight) inner products <u, v> = sum(w u v) — the body
     then folds the weight into each vector pass once (w*Ap, w*z) instead
     of re-reading it inside every reduction, which removes one full HBM
-    read per dot (measured ~10%% per CG iteration at p=8/100k).  Stops when ||r|| <= max(tol * ||b||, atol) in the
+    read per dot (measured ~10% per CG iteration at p=8/100k).
+    Stops when ||r|| <= max(tol * ||b||, atol) in the
     ``dot``-induced norm.  ``block`` sets the first jitted iteration
     block; pass ``block >= max_iter`` for a single-dispatch solve with no
     mid-solve host syncs (when the iteration count is known).
