@@ -254,6 +254,16 @@ def main():
     apply_chain(vec0, reps, A_consts, d_consts).block_until_ready()
     t_n = time_chain(reps)
     t_2n = time_chain(2 * reps)
+    # if the differenced time is within timing noise of zero (a few % of
+    # t_n), the GFLOP/s would be absurdly inflated — grow reps until the
+    # device time dominates the noise floor
+    timing_reliable = True
+    while t_2n - t_n < 0.05 * t_n and reps < 4096:
+        reps *= 4
+        t_n = time_chain(reps)
+        t_2n = time_chain(2 * reps)
+    if t_2n - t_n < 0.05 * t_n:
+        timing_reliable = False
     t_apply = max(t_2n - t_n, 1e-9) / reps
     t_dispatch = max(2 * t_n - t_2n, 0.0)
 
@@ -308,6 +318,7 @@ def main():
             "precision": args.precision,
             "bf16": bool(args.bf16),
             "setup_s": round(t_setup, 2),
+            "timing_reliable": timing_reliable,
             "baseline": "serial per-element numpy einsum apply "
                         f"(reference style), {n_sample}-element sample",
         },

@@ -18,19 +18,41 @@ Jacobi-preconditioned CG.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.discretization import Discretization
 from ..ops import sumfac
 from ..solver.cg import CGResult, cg, cg_host, jacobi_preconditioner
+from ..utils.hoist import hoist_closure
 
 
 class PoissonSolution(NamedTuple):
     u: np.ndarray          # (n_nodes,) nodal solution (GLL nodal values)
     cg: CGResult
+
+
+@partial(jax.jit, static_argnums=0)
+def _residual_kernel(A_pure, free, b, u, *consts):
+    return jnp.where(free, b - A_pure(u, *consts), 0.0)
+
+
+def _masked_residual(A_raw, free, b, u):
+    """free ? (b - A_raw(u)) : 0, jitted without closure-literal bloat.
+
+    ``hoist_closure`` passes the operator's captured element arrays as
+    runtime jit parameters (kept as inline literals only for Pallas-backed
+    operators tagged ``_no_hoist``, whose operands must stay captured —
+    see :mod:`..utils.hoist`).  ``_residual_kernel`` is module-level and
+    keyed on the cached pure-function object, so repeated solves reuse the
+    compiled executable instead of recompiling a fresh lambda per call.
+    """
+    A_pure, consts = hoist_closure(A_raw, u)
+    return _residual_kernel(A_pure, free, b, u, *consts)
 
 
 def _as_callable(value) -> Callable:
@@ -248,12 +270,7 @@ class Poisson(BoundaryConditionMixin):
                     compute_dtype=compute_dtype,
                     vector_layout=vector_layout,
                 ))
-        # jit the residual so a Pallas-backed A_raw runs with captured
-        # operands (eager pallas dispatch aborts; utils.hoist docstring)
-        import jax
-
-        r = jax.jit(lambda f, b, u: jnp.where(f, b - A_raw(u), 0.0))(
-            free_local, bL, u_dL)
+        r = _masked_residual(A_raw, free_local, bL, u_dL)
 
         if precond == "fdm":
             from ..solver.fdm import make_fdm_preconditioner

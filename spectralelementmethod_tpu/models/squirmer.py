@@ -52,6 +52,9 @@ from ..core.discretization import Discretization
 from ..solver import condensation as sc
 from ..solver.rootfind import SolverFailure, secant
 from ..utils import checkpoint as ckpt
+from ..utils.logging import get_logger
+
+_log = get_logger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +500,13 @@ class SphereWithSlipVel:
                 x, rnorm, _its = cycle(x, bg, stop_d, A_c, M_c, ())
                 if float(rnorm) <= stop:
                     break
+            else:
+                # an unconverged correction silently degrades Newton's
+                # quadratic convergence — make the budget exhaustion loud
+                _log.warning(
+                    "GMRES-IR exhausted %d restarts: |r|=%.3e > stop=%.3e; "
+                    "Newton will apply an unconverged correction",
+                    max_restarts, float(rnorm), stop)
             return np.asarray(x).reshape(disc.n_nodes, 2)
 
         return step

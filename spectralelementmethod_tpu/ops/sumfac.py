@@ -444,8 +444,19 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
         )
         if backend == "auto":
             fused_ok = fused_ok and pallas_kernels.supported()
-        if affine_a is None and backend != "auto":
-            raise ValueError("fused-T backend requires an affine mesh")
+        if backend != "auto":
+            # the fused kernel computes in f32; an explicit request with
+            # f64 factors or a compute_dtype override would silently
+            # return f64-typed output with only f32 accuracy
+            if affine_a is None:
+                raise ValueError("fused-T backend requires an affine mesh")
+            if dt != jnp.float32:
+                raise ValueError(
+                    f"fused-T backend requires float32 factors, got {dt}")
+            if compute_dtype is not None:
+                raise ValueError(
+                    "fused-T backend does not support compute_dtype "
+                    f"overrides (got {compute_dtype}); use precision=")
         if fused_ok or backend != "auto":
             try:
                 Kcat = make_affine_element_matrices(

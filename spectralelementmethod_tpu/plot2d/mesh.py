@@ -104,60 +104,64 @@ def draw_cell(cell, draw_param_axes=False, ax=None):
 
 def draw_cell_nodes(cell, global_indices=False, local_indices=False,
                     hierarchical_order=False, ax=None):
-    """Draw a cell's nodes with optional index labels
-    (``sem/plot2d/mesh.py:159-183``)."""
+    """Scatter a cell's nodes, optionally annotated with local and/or
+    global indices (role: ``sem/plot2d/mesh.py:159-183``)."""
     _, plt = _require_mpl()
     if ax is None:
         ax = plt.figure().gca()
-    if hierarchical_order:
-        node_ind = cell.node_ind_hierarchical.ravel()
-        x, y = cell.nodes_hierarchical.reshape(2, -1)
+
+    order = "hierarchical" if hierarchical_order else "lexicographic"
+    xy = getattr(cell, f"nodes_{order}").reshape(2, -1)
+    gids = getattr(cell, f"node_ind_{order}").ravel()
+    ax.plot(xy[0], xy[1], ".")
+
+    if local_indices and global_indices:
+        labels = [f"{k}|{g}" for k, g in enumerate(gids)]
+    elif local_indices:
+        labels = [str(k) for k in range(gids.size)]
+    elif global_indices:
+        labels = [str(g) for g in gids]
     else:
-        node_ind = cell.node_ind_lexicographic.ravel()
-        x, y = cell.nodes_lexicographic.reshape(2, -1)
-    ax.plot(x, y, ".")
-    for i in range(node_ind.size):
-        if local_indices and global_indices:
-            ax.text(x[i], y[i], f"{i}|{node_ind[i]}")
-        elif local_indices:
-            ax.text(x[i], y[i], str(i))
-        elif global_indices:
-            ax.text(x[i], y[i], str(node_ind[i]))
+        labels = []
+    for (px, py), text in zip(xy.T, labels):
+        ax.annotate(text, (px, py))
     return ax
 
 
 def draw_cells(mesh, draw_nums=False, draw_param_axes=False, ax=None):
-    """Outline all cells (``sem/plot2d/mesh.py:186-203``)."""
+    """Outline every cell of a 2D mesh, optionally numbering each at its
+    vertex centroid (role: ``sem/plot2d/mesh.py:186-203``)."""
     _, plt = _require_mpl()
     if mesh.ndim != 2:
         raise PlottingError("A 2D mesh is required")
     if ax is None:
         ax = plt.figure().gca()
-    for num, cell in enumerate(mesh.cells):
+
+    cells = list(mesh.cells)
+    for cell in cells:
         draw_cell(cell, draw_param_axes=draw_param_axes, ax=ax)
-        if draw_nums:
-            x_lbl, y_lbl = np.mean(cell.vertex_nodes, axis=1)
-            ax.text(x_lbl, y_lbl, str(num), ha="center", va="center")
+    if draw_nums:
+        centers = np.stack([c.vertex_nodes.mean(axis=1) for c in cells])
+        for num, (cx, cy) in enumerate(centers):
+            ax.annotate(str(num), (cx, cy), ha="center", va="center")
     ax.axis("scaled")
     return ax
 
 
 def add_arrow_to_line(line, position=None, reverse=False, size=15,
                       color=None):
-    """Annotate a line with a direction arrow
-    (``sem/plot2d/mesh.py:206-228``)."""
-    if color is None:
-        color = line.get_color()
-    xdata = line.get_xdata()
-    ydata = line.get_ydata()
-    if position is None:
-        position = xdata.mean()
-    start_ix = np.argmin(np.abs(xdata - position))
-    end_ix = start_ix + 1 if reverse else start_ix - 1
+    """Overlay a direction arrow on a matplotlib line near ``position``
+    (an x-coordinate; defaults to the line's mean x).  Role:
+    ``sem/plot2d/mesh.py:206-228``."""
+    x = np.asarray(line.get_xdata(), dtype=float)
+    y = np.asarray(line.get_ydata(), dtype=float)
+    target = float(x.mean()) if position is None else float(position)
+    anchor = int(np.abs(x - target).argmin())
+    # arrow points opposite the data direction unless reversed; clamp so
+    # an anchor at either end cannot index-wrap to the far end of the line
+    tip = int(np.clip(anchor + (1 if reverse else -1), 0, x.size - 1))
     line.axes.annotate(
-        "",
-        xytext=(xdata[start_ix], ydata[start_ix]),
-        xy=(xdata[end_ix], ydata[end_ix]),
-        arrowprops=dict(arrowstyle="->", color=color),
-        size=size,
+        "", xy=(x[tip], y[tip]), xytext=(x[anchor], y[anchor]), size=size,
+        arrowprops={"arrowstyle": "->",
+                    "color": line.get_color() if color is None else color},
     )

@@ -12,6 +12,8 @@ iteration on remote backends); per-iteration cost is one operator apply
 
 from __future__ import annotations
 
+import math
+
 from functools import lru_cache, partial
 from typing import Callable, NamedTuple
 
@@ -178,7 +180,8 @@ def cg(
         rn2_now = float(state[5])
         if rn2_now <= best_rn2:
             best_state, best_rn2 = state, rn2_now
-        if bool(state[5] <= state[7]) or bool(state[5] > 1e6 * state[9]):
+        if (bool(state[5] <= state[7]) or bool(state[5] > 1e6 * state[9])
+                or not math.isfinite(rn2_now)):
             break
         block = min(block * 2, 4096)
 
@@ -239,7 +242,11 @@ def _cg_block_body(A, M, dot, n, state, A_c, M_c, dot_c,
         # blow up — without the guard a fixed iteration budget rides the
         # blow-up; observed |r| 6e-7 -> 4.5 over 5000 iterations at p=6 /
         # 37k f32 DOFs).
-        done = (rn2 <= stop2) | (k >= max_it) | (rn2 > 1e6 * rn2_min)
+        # ~isfinite: NaN/Inf residuals compare False against every bound,
+        # so an operator breakdown would otherwise keep issuing frozen-NaN
+        # blocks until max_iter instead of bailing to best_state
+        done = ((rn2 <= stop2) | (k >= max_it) | (rn2 > 1e6 * rn2_min)
+                | ~jnp.isfinite(rn2))
         Ap = A(p, *A_c)
         if weight_fold:
             # diagonal-weight dots: weight each vector once per pass and

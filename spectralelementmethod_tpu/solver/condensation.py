@@ -41,7 +41,18 @@ class CondensedSystem(NamedTuple):
     n_int_ldof: int            # interior local dofs per element
 
 
-def build_condensed_indexing(disc, dofs_per_node: int) -> CondensedSystem:
+#: Dense condensed-system memory budget.  The global Schur system is
+#: assembled DENSE — O(n_ext_dofs^2) — which is the right trade at
+#: reference scale (E~1e2-1e3: one batched MXU LU beats a host sparse
+#: solve) but cannot grow to large meshes: at f32, 65k exterior DOFs
+#: already cost 17 GB.  2 GiB leaves room for the LU workspace on a
+#: 16 GB-HBM v5e chip.
+DENSE_BYTES_LIMIT = 2 << 30
+
+
+def build_condensed_indexing(disc, dofs_per_node: int,
+                             max_dense_bytes: int | None = None
+                             ) -> CondensedSystem:
     """Exterior-DOF numbering for a Discretization.
 
     Exterior nodes (element-boundary nodes) are numbered consecutively by
@@ -49,6 +60,13 @@ def build_condensed_indexing(disc, dofs_per_node: int) -> CondensedSystem:
     replaces the reference's exterior-first mesh renumbering
     (``_do_static_condensation``, ``sem/discrete.py:314-359``) without
     mutating the mesh.
+
+    Raises ``ValueError`` when the dense condensed system would exceed
+    ``max_dense_bytes`` (default :data:`DENSE_BYTES_LIMIT`) — at that
+    scale use the matrix-free path instead (Jacobi/FDM-preconditioned
+    :func:`..solver.cg.cg`, e.g. ``Poisson.solve_local``, or the
+    squirmer's ``linear_solver="gmres-ir"`` which only *preconditions*
+    with per-element condensation and never assembles globally).
     """
     geometry = disc.geometry
     n_ext_nodes_loc = geometry.n_exterior_nodes
@@ -66,9 +84,21 @@ def build_condensed_indexing(disc, dofs_per_node: int) -> CondensedSystem:
     ext_dof_gidx = (
         ext_node_gidx[:, :, None] * dpn + np.arange(dpn)[None, None, :]
     ).reshape(E, n_ext_ldof)
+
+    n_ext_dofs = int(ext_global.size * dpn)
+    budget = DENSE_BYTES_LIMIT if max_dense_bytes is None else max_dense_bytes
+    dense_bytes = n_ext_dofs * n_ext_dofs * 4        # f32 assembly
+    if dense_bytes > budget:
+        raise ValueError(
+            f"dense condensed system needs {dense_bytes / 2**30:.1f} GiB "
+            f"({n_ext_dofs} exterior DOFs squared) > budget "
+            f"{budget / 2**30:.1f} GiB. Static condensation assembles "
+            "O(n_ext^2) dense; at this scale use the matrix-free solvers "
+            "(Poisson.solve_local CG, or squirmer linear_solver='gmres-ir') "
+            "or pass max_dense_bytes explicitly to override.")
     return CondensedSystem(
         ext_dof_gidx=ext_dof_gidx.astype(np.int32),
-        n_ext_dofs=int(ext_global.size * dpn),
+        n_ext_dofs=n_ext_dofs,
         n_ext_ldof=n_ext_ldof,
         n_int_ldof=(geometry.n_nodes - n_ext_nodes_loc) * dpn,
     )
