@@ -174,6 +174,7 @@ def annulus_mesh(
     r_outer: float = 100.0,
     progression: float = 1.35,
     region: str = "interior",
+    node_placement: str = "gmsh",
 ) -> Mesh:
     """Half-annulus "donut" mesh for axisymmetric flow past a sphere.
 
@@ -185,22 +186,40 @@ def annulus_mesh(
     progression refined toward the sphere (Transfinite 16 Using Progression
     1.35 → 15 cells).
 
-    The patch parameters are polar: u = polar angle from the +z axis in
-    [0, pi], v = radius.  High-order nodes are therefore placed equispaced
-    in angle along circumferential edges (exact circles, like Gmsh's
-    boundary snapping) and equispaced in radius radially.
+    ``node_placement`` selects how high-order nodes are placed:
+
+    * ``"gmsh"`` (default) — reproduce what Gmsh produces for
+      ``Transfinite Surface`` + ``SetOrder`` on a plane surface
+      (``donut.geo:19-22``): cell *vertices* polar-exact (Gmsh's
+      arc-length-blended transfinite interpolation reduces to the polar
+      map for this geometry); high-order edge nodes snapped to the
+      geometry only on the sphere/shell circles (equispaced in angle);
+      every *interior* element edge a straight chord with equispaced
+      nodes; element-interior nodes by per-element transfinite blending
+      of the (possibly curved) south/north edges.  This is the mesh the
+      reference's golden squirmer value was computed on.
+    * ``"polar"`` — every node polar-exact: u = polar angle, v = radius.
+      A *better* sphere-fitted mesh than gmsh's (fully isoparametric
+      circles on every ring), but not byte-compatible with donut.msh.
     """
     theta_corners = np.linspace(0.0, np.pi, n_theta + 1)
     r_corners = geometric_progression(r_inner, r_outer, n_r, progression)
 
-    def cmap(TH, R):
-        # (rho, z): rho = r sin(theta) >= 0, z = r cos(theta).
-        # det J = r * d(theta)/du * d(r)/dv > 0 with both increasing.
-        return R * np.sin(TH), R * np.cos(TH)
+    if node_placement == "polar":
+        def cmap(TH, R):
+            # (rho, z): rho = r sin(theta) >= 0, z = r cos(theta).
+            # det J = r * d(theta)/du * d(r)/dv > 0 with both increasing.
+            return R * np.sin(TH), R * np.cos(TH)
+
+    elif node_placement == "gmsh":
+        cmap = _gmsh_transfinite_annulus_cmap(theta_corners, r_corners)
+    else:
+        raise ValueError(f"unknown node_placement {node_placement!r}")
+    u_corners, v_corners = theta_corners, r_corners
 
     return structured_patch_mesh(
-        theta_corners,
-        r_corners,
+        u_corners,
+        v_corners,
         order,
         cmap,
         region=region,
@@ -211,6 +230,57 @@ def annulus_mesh(
             "east": "symaxis",   # theta = pi (negative z axis)
         },
     )
+
+
+def _gmsh_transfinite_annulus_cmap(theta_corners, r_corners):
+    """Gmsh-equivalent node placement for the transfinite half-annulus.
+
+    Within cell (i, j) with local fractions (s, t), the element geometry
+    is the linear blend ``(1-t) S(s) + t N(s)`` of its radial-extreme
+    edges, where an edge lying on the inner/outer circle is the exact arc
+    (equispaced in angle — gmsh snaps high-order nodes classified on a
+    curve to the geometry) and every other circumferential edge is the
+    straight chord between its end vertices (gmsh places nodes classified
+    on a *plane* surface or straight line linearly).  Radial edges are
+    straight either way (collinear with the origin).  The blend equals
+    the per-element Coons patch given those straight radial edges.
+    """
+    th_c = np.asarray(theta_corners, dtype=np.float64)
+    r_c = np.asarray(r_corners, dtype=np.float64)
+    n_th, n_r = th_c.size - 1, r_c.size - 1
+
+    def polar(th, r):
+        return r * np.sin(th), r * np.cos(th)
+
+    def edge(s, th0, th1, r, on_circle):
+        """Point at fraction s along a circumferential edge at radius r."""
+        th = th0 + (th1 - th0) * s
+        if on_circle:
+            return np.stack(polar(th, r))
+        x0 = np.stack(polar(th0, np.broadcast_to(r, th0.shape)))
+        x1 = np.stack(polar(th1, np.broadcast_to(r, th1.shape)))
+        return (1 - s) * x0 + s * x1
+
+    def cmap(TH, R):
+        i = np.clip(np.searchsorted(th_c, TH, side="right") - 1, 0,
+                    n_th - 1)
+        j = np.clip(np.searchsorted(r_c, R, side="right") - 1, 0, n_r - 1)
+        th0, th1 = th_c[i], th_c[i + 1]
+        r0, r1 = r_c[j], r_c[j + 1]
+        s = (TH - th0) / (th1 - th0)
+        t = (R - r0) / (r1 - r0)
+        # inner edge is an arc only on the sphere ring; outer only on the
+        # shell ring (use where-blend so the whole grid stays vectorized)
+        S_arc = edge(s, th0, th1, r0, True)
+        S_str = edge(s, th0, th1, r0, False)
+        N_arc = edge(s, th0, th1, r1, True)
+        N_str = edge(s, th0, th1, r1, False)
+        S = np.where(j == 0, S_arc, S_str)
+        N = np.where(j == n_r - 1, N_arc, N_str)
+        xy = (1 - t) * S + t * N
+        return xy[0], xy[1]
+
+    return cmap
 
 
 def single_cell_mesh(order: int, corners=None) -> Mesh:

@@ -69,16 +69,35 @@ class TestGoldenValue:
     def test_reference_golden_speed(self):
         """The reference's documented oracle at its own resolution:
         donut mesh (9 x 15 transfinite, progression 1.35, R=100), p=8,
-        Re=1, beta=1 -> 0.92571156681483957.  Our polar-exact mesh differs
-        from Gmsh's Coons-patch interior node placement at the 1e-6 level.
+        Re=1, beta=1 -> 0.92571156681483957.
+
+        With gmsh-faithful node placement (transfinite vertices +
+        boundary-snapped arcs + straight interior chords) we land 1.8e-6
+        from the recorded digits; that is at the noise floor of the
+        oracle itself — the reference computed it with flow tolerance
+        1e-6 on ||d vort|| and secant stop 1e-5 on the speed
+        (``squirmer:691,695``), so its recorded digits carry O(1e-6)
+        solver noise on top of any residual mesh-byte differences.
         """
         mesh = annulus_mesh(order=8, n_theta=9, n_r=15, r_outer=100.0,
-                            progression=1.35)
+                            progression=1.35, node_placement="gmsh")
         sq = sqm.Squirmer(mesh, order=8)
         sq.set_initial_guess()
         speed = sq.calc_speed([0.99, 1.01], n_rey=1.0, beta=1.0,
                               verbose=False)
-        assert abs(speed - 0.92571156681483957) < 1e-5
+        assert abs(speed - 0.92571156681483957) < 3e-6
+
+    def test_golden_speed_placement_insensitive(self):
+        """Polar-exact node placement (a strictly better sphere fit) must
+        agree with the gmsh-faithful mesh at the discretization level —
+        guards against either placement quietly distorting the domain."""
+        mesh = annulus_mesh(order=8, n_theta=9, n_r=15, r_outer=100.0,
+                            progression=1.35, node_placement="polar")
+        sq = sqm.Squirmer(mesh, order=8)
+        sq.set_initial_guess()
+        speed = sq.calc_speed([0.99, 1.01], n_rey=1.0, beta=1.0,
+                              verbose=False)
+        assert abs(speed - 0.92571156681483957) < 3e-6
 
 
 class TestCheckpointAndContinuation:
