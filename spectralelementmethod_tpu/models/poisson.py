@@ -27,8 +27,15 @@ import numpy as np
 
 from ..core.discretization import Discretization
 from ..ops import sumfac
-from ..solver.cg import CGResult, cg, cg_host, jacobi_preconditioner
+from ..solver.cg import (CGResult, cg, cg_fused, cg_host,
+                         jacobi_preconditioner)
 from ..utils.hoist import hoist_closure
+
+
+def pallas_kernels_supported() -> bool:
+    from ..ops import pallas_kernels
+
+    return pallas_kernels.supported()
 
 
 class PoissonSolution(NamedTuple):
@@ -196,7 +203,9 @@ class Poisson(BoundaryConditionMixin):
                     precond: str = "jacobi",
                     structure: str = "auto",
                     compute_dtype=None,
-                    vector_layout: str = "auto") -> PoissonSolution:
+                    vector_layout: str = "auto",
+                    cg_kernel: str = "auto",
+                    p_dtype=None) -> PoissonSolution:
         """Solve with CG on element-local (L-vector) storage.
 
         The production TPU path: no global gather/scatter in the iteration
@@ -214,6 +223,15 @@ class Poisson(BoundaryConditionMixin):
         measured ~1.4x faster apply+DSS on v5e), 'auto' picks 'ne' when
         the mesh has a structured roll exchange and the point-Jacobi
         preconditioner is in use.
+        ``cg_kernel``: 'auto' fuses whole CG iterations into two Pallas
+        kernels per iteration when admissible on TPU (affine mesh, 'ne'
+        layout, jacobi, f32 — :func:`..ops.pallas_kernels.
+        make_fused_cg_kernels`); 'fused' requires it, 'fused-interpret'
+        runs it in the Pallas interpreter (CPU testing), 'plain' keeps
+        the unfused apply + XLA vector ops.
+        ``p_dtype``: optional ``jnp.bfloat16`` storage for the fused-CG
+        search direction (halves its HBM traffic; f32 accuracy is
+        retained because Ap is computed from the stored direction).
         """
         from ..ops.exchange import RollExchange, make_exchange
 
@@ -293,6 +311,40 @@ class Poisson(BoundaryConditionMixin):
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
+
+        fused_cg = None
+        if cg_kernel not in ("auto", "plain", "fused", "fused-interpret"):
+            raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
+        want_fused = (
+            cg_kernel in ("fused", "fused-interpret")
+            or (cg_kernel == "auto" and not host_loop
+                and pallas_kernels_supported()))
+        if (want_fused and precond == "jacobi" and transposed
+                and np.dtype(self.dtype) == np.float32):
+            key = ("cg_fused", cg_kernel, str(p_dtype))
+            fused_cg = self._op_cache.get(key)
+            if fused_cg is None:
+                try:
+                    fused_cg = self._build_fused_cg(ex, Gf, Dhat, cg_kernel,
+                                                    p_dtype, free_local)
+                except ValueError:
+                    if cg_kernel != "auto":
+                        raise
+                else:
+                    self._op_cache[key] = fused_cg
+        elif cg_kernel in ("fused", "fused-interpret"):
+            raise ValueError(
+                "cg_kernel='fused' requires precond='jacobi', "
+                "vector_layout='ne' and float32")
+
+        if fused_cg is not None:
+            kA, kB, inv, w_free = fused_cg
+            res = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=tol,
+                           max_iter=max_iter, p_dtype=p_dtype)
+            uL = u_dL + res.x
+            u = ex.global_from_local_T(np.asarray(uL))
+            return PoissonSolution(u, res)
+
         dot = ex.dot_T if transposed else ex.dot
         if host_loop:
             res = cg_host(A, r, M=M, tol=tol, max_iter=max_iter, dot=dot)
@@ -306,6 +358,39 @@ class Poisson(BoundaryConditionMixin):
         else:
             u = ex.global_from_local(np.asarray(uL))
         return PoissonSolution(u, res)
+
+    def _build_fused_cg(self, ex, Gf, Dhat, cg_kernel: str, p_dtype,
+                        free_local):
+        """(kA, kB, inv, w_free) for the fused Pallas CG iteration.
+
+        Raises ValueError when the mesh/exchange is inadmissible (caller
+        falls back to the plain path for ``cg_kernel='auto'``).
+        """
+        from ..ops import pallas_kernels
+
+        disc = self.disc
+        Gf_p = sumfac._pad_factors_to_exchange(
+            np.asarray(Gf, dtype=np.float32), ex)
+        Wgrid = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf_p, Wgrid)
+        if not exact:
+            raise ValueError("fused CG requires an affine mesh")
+        Kcat = sumfac.make_affine_element_matrices(Dhat, Wgrid,
+                                                   order=ex.hier)
+        kA, kB, _ = pallas_kernels.make_fused_cg_kernels(
+            ex, Kcat, a,
+            precision="high" if p_dtype is not None else "highest",
+            p_dtype=p_dtype,
+            interpret=cg_kernel == "fused-interpret")
+
+        diagL = jnp.asarray(np.ascontiguousarray(
+            (np.asarray(self.operator_diagonal())
+             [ex.gather_hier]).astype(np.float32).T))
+        inv = jnp.where(free_local,
+                        1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0)
+        w = ex._weights_as(np.float32, transposed=True)
+        w_free = jnp.where(free_local, w, 0.0)
+        return kA, kB, inv, w_free
 
     # -- post-processing -----------------------------------------------------------
 

@@ -196,6 +196,182 @@ def fused_affine_pad(E: int, H: int, target_win: int = 4608) -> int:
     return -(-E // TE) * TE
 
 
+class _AffineFusedPrep:
+    """Shared setup for the fused affine transposed-storage kernels.
+
+    Validates the exchange, chooses the (TE, Hb) lane tiling, bakes the
+    roll-class constants / masks, and prepares the assembled stiffness
+    matrix in the requested precision.  Used by both the plain apply+DSS
+    kernel (:func:`make_fused_affine_laplacian_T`) and the fused
+    CG-iteration kernels (:func:`make_fused_cg_kernels`).
+    """
+
+    def __init__(self, exchange, Kcat, a, precision: str,
+                 target_win: int):
+        import numpy as np
+
+        ex = exchange
+        self.ex = ex
+        self.n = n = ex.n_loc
+        self.ne = ex.ne
+        self.oe, self.ov, self.oi = ex.off_edge, ex.off_vert, ex.off_int
+        self.E = E = ex.E
+        if ex.layout != "edges-first":
+            raise ValueError("fused-T kernel requires edges-first layout")
+        if not hasattr(ex, "edge_classes"):
+            raise ValueError("fused-T kernel requires a roll-class "
+                             "exchange (RollExchange)")
+        if getattr(ex, "n_edge_tail", 1) or getattr(ex, "n_vert_tail", 1):
+            raise ValueError("fused-T kernel requires zero exchange tails")
+
+        self.edge_classes = [(d, s, int(dl), bool(f))
+                             for d, s, dl, f, _m in ex.edge_classes]
+        self.vert_classes = [(d, s, int(dl))
+                             for d, s, dl, _m in ex.vert_classes]
+        self.n_e = len(self.edge_classes)
+        H = max([abs(c[2]) for c in self.edge_classes]
+                + [abs(c[2]) for c in self.vert_classes] + [1])
+        if precision == "high":
+            # bf16x3 splits u into hi/lo copies in VMEM; the default
+            # window overflows the 16 MB scoped-vmem stack at p=8
+            target_win = int(target_win * 0.9)
+        tile = fused_affine_tile_shape(E, H, target_win)
+        if tile is None:
+            raise ValueError(
+                f"no admissible (TE, Hb) tiling for E={E}, H={H}; pad the "
+                f"exchange to {fused_affine_pad(E, H, target_win)} "
+                f"elements")
+        self.TE, self.Hb = tile
+        self.G = E // self.TE
+        self.k = self.TE // self.Hb
+
+        masks = [np.asarray(m, np.float32) for *_c, m in ex.edge_classes]
+        masks += [np.asarray(m, np.float32) for *_c, m in ex.vert_classes]
+        self.M = jnp.asarray(np.stack(masks, axis=0))        # (C, E)
+        Kcat = np.asarray(Kcat, dtype=np.float64)
+        KT_np = np.concatenate(
+            [Kcat[:, :n].T, Kcat[:, n:2 * n].T, Kcat[:, 2 * n:].T],
+            axis=0).astype(np.float32)                       # (3n, n)
+        self.aT = jnp.asarray(
+            np.ascontiguousarray(np.asarray(a, np.float32).T))  # (3, E)
+        if precision not in ("highest", "high", "default"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.precision = precision
+        self.prec = {"highest": jax.lax.Precision.HIGHEST,
+                     "default": jax.lax.Precision.DEFAULT}.get(precision)
+        if precision == "high":
+            # Mosaic has no native 3-pass dot; split K = K_hi + K_lo in
+            # bf16 host-side and run the standard bf16x3 decomposition
+            # in-kernel (K_hi u_hi + K_hi u_lo + K_lo u_hi, f32
+            # accumulation) — ~21 mantissa bits at half the passes of the
+            # 6-pass 'highest'.
+            K_hi = KT_np.astype(jnp.bfloat16)
+            K_lo = (KT_np - K_hi.astype(np.float32)).astype(jnp.bfloat16)
+            self.KT = jnp.asarray(
+                np.concatenate([K_hi, K_lo], axis=0))        # (6n, n)
+        else:
+            self.KT = jnp.asarray(KT_np)
+
+    # ---- in-kernel building blocks (traced inside kernel bodies) --------
+
+    def dot_window(self, K_ref, u_win):
+        """V = [K0;K1;K2] @ u_win at the configured precision.
+
+        ``u_win`` may be bfloat16 (exactly-representable operand, e.g. a
+        bf16-stored search direction): the 'high' path then needs only the
+        two K-split passes (u_lo = 0 identically).
+        """
+        n = self.n
+        dn = (((1,), (0,)), ((), ()))
+        if self.precision == "high":
+            K_hi, K_lo = K_ref[:3 * n], K_ref[3 * n:]
+            if u_win.dtype == jnp.bfloat16:
+                V = jax.lax.dot_general(
+                    K_hi, u_win, dn, preferred_element_type=jnp.float32)
+                return V + jax.lax.dot_general(
+                    K_lo, u_win, dn, preferred_element_type=jnp.float32)
+            u_hi = u_win.astype(jnp.bfloat16)
+            u_lo = (u_win - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            V = jax.lax.dot_general(
+                K_hi, u_hi, dn, preferred_element_type=jnp.float32)
+            V = V + jax.lax.dot_general(
+                K_hi, u_lo, dn, preferred_element_type=jnp.float32)
+            return V + jax.lax.dot_general(
+                K_lo, u_hi, dn, preferred_element_type=jnp.float32)
+        if u_win.dtype == jnp.bfloat16:
+            u_win = u_win.astype(jnp.float32)
+        return jax.lax.dot_general(
+            K_ref[:], u_win, dn,
+            preferred_element_type=jnp.float32, precision=self.prec,
+        )                                                # (3n, TE + 2Hb)
+
+    def affine_reduce(self, a_win, V):
+        """S = sum_c a_c V_c on the window."""
+        n = self.n
+        return (a_win[0:1] * V[:n] + a_win[1:2] * V[n:2 * n]
+                + a_win[2:3] * V[2 * n:])
+
+    def roll_dss(self, S, m_ref):
+        """Complete roll-class DSS of the window-wide local result ``S``.
+
+        Per-dst-slot accumulation, then one sublane concat (no scatters);
+        returns the (n, TE) center block of the exchanged result.
+        """
+        ne, TE, Hb = self.ne, self.TE, self.Hb
+        oe, ov, oi, n_e = self.oe, self.ov, self.oi, self.n_e
+        edge_out = [S[oe + f * ne: oe + (f + 1) * ne, Hb:Hb + TE]
+                    for f in range(4)]
+        for ci, (d_f, s_f, delta, flip) in enumerate(self.edge_classes):
+            s0 = Hb + delta
+            src = S[oe + s_f * ne: oe + (s_f + 1) * ne, s0:s0 + TE]
+            if flip:
+                src = src[::-1]
+            edge_out[d_f] = edge_out[d_f] + src * m_ref[ci:ci + 1, :]
+        vert_out = [S[ov + v: ov + v + 1, Hb:Hb + TE] for v in range(4)]
+        for cj, (d_s, s_s, delta) in enumerate(self.vert_classes):
+            s0 = Hb + delta
+            src = S[ov + s_s: ov + s_s + 1, s0:s0 + TE]
+            vert_out[d_s] = vert_out[d_s] + src * m_ref[
+                n_e + cj: n_e + cj + 1, :]
+        return jnp.concatenate(
+            edge_out + vert_out + [S[oi:, Hb:Hb + TE]], axis=0)
+
+    # ---- block specs -----------------------------------------------------
+
+    def halo_triple(self, rows: int):
+        """(left, center, right) BlockSpecs for one (rows, E) operand.
+
+        Halo refs are (rows, Hb) blocks directly left/right of the center
+        block (border blocks clamp onto real data; every contribution that
+        could read a clamped lane is zeroed by its class mask).
+        """
+        k, G, TE, Hb = self.k, self.G, self.TE, self.Hb
+        return [
+            pl.BlockSpec((rows, Hb),
+                         lambda i: (0, jnp.maximum(i * k - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, TE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rows, Hb),
+                lambda i: (0, jnp.minimum((i + 1) * k, G * k - 1)),
+                memory_space=pltpu.VMEM),
+        ]
+
+    def center_spec(self, rows: int):
+        return pl.BlockSpec((rows, self.TE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def const_specs(self):
+        """Specs for the (K, mask) constant operands."""
+        return [
+            pl.BlockSpec((self.KT.shape[0], self.n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((self.M.shape[0], self.TE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+
+
 def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
                                   precision: str = "highest",
                                   target_win: int = 4608,
@@ -223,124 +399,20 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
     (``..ops.sumfac.make_affine_element_matrices`` in the exchange's
     local node order).  ``a``: (E, 3) affine factor scales.
     """
-    import numpy as np
-
-    ex = exchange
-    n, ne = ex.n_loc, ex.ne
-    oe, ov, oi = ex.off_edge, ex.off_vert, ex.off_int
-    E = ex.E
-    if ex.layout != "edges-first":
-        raise ValueError("fused-T kernel requires edges-first layout")
-    if getattr(ex, "n_edge_tail", 1) or getattr(ex, "n_vert_tail", 1):
-        raise ValueError("fused-T kernel requires zero exchange tails")
-
-    edge_classes = [(d, s, int(dl), bool(f))
-                    for d, s, dl, f, _m in ex.edge_classes]
-    vert_classes = [(d, s, int(dl)) for d, s, dl, _m in ex.vert_classes]
-    n_e = len(edge_classes)
-    H = max([abs(c[2]) for c in edge_classes]
-            + [abs(c[2]) for c in vert_classes] + [1])
-    if precision == "high":
-        # bf16x3 splits u into hi/lo copies in VMEM; the default window
-        # overflows the 16 MB scoped-vmem stack by a hair at p=8
-        target_win = int(target_win * 0.9)
-    tile = fused_affine_tile_shape(E, H, target_win)
-    if tile is None:
-        raise ValueError(
-            f"no admissible (TE, Hb) tiling for E={E}, H={H}; pad the "
-            f"exchange to {fused_affine_pad(E, H, target_win)} elements")
-    TE, Hb = tile
-    G = E // TE
-    k = TE // Hb
-
-    masks = [np.asarray(m, np.float32) for *_c, m in ex.edge_classes]
-    masks += [np.asarray(m, np.float32) for *_c, m in ex.vert_classes]
-    M = jnp.asarray(np.stack(masks, axis=0))             # (C, E)
-    Kcat = np.asarray(Kcat, dtype=np.float64)
-    KT = jnp.asarray(np.concatenate(
-        [Kcat[:, :n].T, Kcat[:, n:2 * n].T, Kcat[:, 2 * n:].T],
-        axis=0).astype(np.float32))                      # (3n, n)
-    aT = jnp.asarray(
-        np.ascontiguousarray(np.asarray(a, np.float32).T))  # (3, E)
-    if precision not in ("highest", "high", "default"):
-        raise ValueError(f"unknown precision {precision!r}")
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "default": jax.lax.Precision.DEFAULT}.get(precision)
-    if precision == "high":
-        # Mosaic has no native 3-pass dot; split K = K_hi + K_lo in bf16
-        # host-side and run the standard bf16x3 decomposition in-kernel
-        # (K_hi u_hi + K_hi u_lo + K_lo u_hi, f32 accumulation) — ~21
-        # mantissa bits at half the passes of the 6-pass 'highest'.
-        KT_np = np.asarray(KT)
-        K_hi = KT_np.astype(jnp.bfloat16)
-        K_lo = (KT_np - K_hi.astype(np.float32)).astype(jnp.bfloat16)
-        KT = jnp.asarray(np.concatenate([K_hi, K_lo], axis=0))  # (6n, n)
+    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win)
+    n, E, G = prep.n, prep.E, prep.G
+    KT, M, aT = prep.KT, prep.M, prep.aT
 
     def kernel(uL_ref, uC_ref, uR_ref, aL_ref, aC_ref, aR_ref, K_ref,
                m_ref, out_ref):
         u_win = jnp.concatenate([uL_ref[:], uC_ref[:], uR_ref[:]], axis=1)
         a_win = jnp.concatenate([aL_ref[:], aC_ref[:], aR_ref[:]], axis=1)
-        if precision == "high":
-            u_hi = u_win.astype(jnp.bfloat16)
-            u_lo = (u_win - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            K_hi, K_lo = K_ref[:3 * n], K_ref[3 * n:]
-            dn = (((1,), (0,)), ((), ()))
-            V = jax.lax.dot_general(
-                K_hi, u_hi, dn, preferred_element_type=jnp.float32)
-            V = V + jax.lax.dot_general(
-                K_hi, u_lo, dn, preferred_element_type=jnp.float32)
-            V = V + jax.lax.dot_general(
-                K_lo, u_hi, dn, preferred_element_type=jnp.float32)
-        else:
-            V = jax.lax.dot_general(
-                K_ref[:], u_win, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )                                            # (3n, TE + 2Hb)
-        S = (a_win[0:1] * V[:n] + a_win[1:2] * V[n:2 * n]
-             + a_win[2:3] * V[2 * n:])
-        # per-dst-slot accumulation, then one sublane concat (no scatters)
-        edge_out = [S[oe + f * ne: oe + (f + 1) * ne, Hb:Hb + TE]
-                    for f in range(4)]
-        for ci, (d_f, s_f, delta, flip) in enumerate(edge_classes):
-            s0 = Hb + delta
-            src = S[oe + s_f * ne: oe + (s_f + 1) * ne, s0:s0 + TE]
-            if flip:
-                src = src[::-1]
-            edge_out[d_f] = edge_out[d_f] + src * m_ref[ci:ci + 1, :]
-        vert_out = [S[ov + v: ov + v + 1, Hb:Hb + TE] for v in range(4)]
-        for cj, (d_s, s_s, delta) in enumerate(vert_classes):
-            s0 = Hb + delta
-            src = S[ov + s_s: ov + s_s + 1, s0:s0 + TE]
-            vert_out[d_s] = vert_out[d_s] + src * m_ref[
-                n_e + cj: n_e + cj + 1, :]
-        out = jnp.concatenate(
-            edge_out + vert_out + [S[oi:, Hb:Hb + TE]], axis=0)
-        out_ref[:] = out.astype(out_ref.dtype)
+        V = prep.dot_window(K_ref, u_win)
+        S = prep.affine_reduce(a_win, V)
+        out_ref[:] = prep.roll_dss(S, m_ref).astype(out_ref.dtype)
 
-    # halo refs are (., Hb) blocks directly left/right of the center block
-    # (border blocks clamp onto real data; every contribution that could
-    # read a clamped lane is zeroed by its class mask)
-    specs = [
-        pl.BlockSpec((n, Hb), lambda i: (0, jnp.maximum(i * k - 1, 0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, TE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (n, Hb), lambda i: (0, jnp.minimum((i + 1) * k, G * k - 1)),
-            memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, Hb), lambda i: (0, jnp.maximum(i * k - 1, 0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, TE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (3, Hb), lambda i: (0, jnp.minimum((i + 1) * k, G * k - 1)),
-            memory_space=pltpu.VMEM),
-        pl.BlockSpec((KT.shape[0], n), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((M.shape[0], TE), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec((n, TE), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    specs = (prep.halo_triple(n) + prep.halo_triple(3) + prep.const_specs())
+    out_spec = prep.center_spec(n)
 
     def apply_local_dss(uT):
         return pl.pallas_call(
@@ -353,6 +425,137 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
         )(uT, uT, uT, aT, aT, aT, KT, M)
 
     return apply_local_dss
+
+
+def make_fused_cg_kernels(exchange, Kcat, a, *,
+                          precision: str = "high",
+                          p_dtype=None,
+                          target_win: int = 3072,
+                          interpret: bool = False):
+    """Two Pallas kernels fusing one whole PCG iteration (affine meshes).
+
+    The CG loop on L-vectors costs one operator apply plus ~12 HBM passes
+    of vector arithmetic per iteration (measured 0.81 ms/iter at p=8/100k
+    vs 0.27 ms for the apply alone — BASELINE.md).  A CG iteration has two
+    unavoidable global-reduction sync points (alpha needs <p, Ap>; beta
+    needs <r', z'>), so the minimal fusion is two kernels per iteration:
+
+    ``kA(r, p, inv, beta) -> (p', Ap', denom_partials)``
+        direction update ``p' = inv*r + beta*p`` computed on the halo
+        window, the assembled-K matmul + affine reduce + in-VMEM roll DSS
+        of :func:`make_fused_affine_laplacian_T` applied to ``p'``, and
+        the per-tile partial sums of ``denom = <p', A p'>``.  The
+        denominator uses the *pre-DSS* identity
+        ``p^T A p = sum_{e,i} p_ei S_ei`` (valid for any consistent L-
+        vector ``p``; S is the local pre-exchange result), so no
+        multiplicity-weight array is ever read here.
+
+    ``kB(x, r, p', Ap', inv, w_free, alpha) -> (x', r', rz_p, rn2_p)``
+        the three vector updates and both weighted reductions of the
+        iteration tail in one HBM pass; ``z' = inv*r'`` lives only in
+        VMEM (never materialized).  ``w_free`` must be the inverse-
+        multiplicity dot weights zeroed on Dirichlet rows — with ``inv``
+        likewise masked, no separate free-mask array is needed anywhere
+        (p is masked by induction; Dirichlet rows of r may accumulate
+        values but never enter any reduction or update).
+
+    ``p_dtype=jnp.bfloat16`` stores the search direction in bf16 (halves
+    its HBM traffic; requires ``precision='high'``, where the matmul then
+    needs only the two K-split passes).  x and r always stay float32:
+    Ap' is computed from the *stored* (rounded) p', so the r recurrence
+    tracks the x updates exactly and full f32 accuracy is attainable.
+
+    Returns ``(kA, kB, G)`` with ``G`` the number of partial-sum tiles.
+    Scalars (alpha, beta) are passed as (1, 1) float32 arrays.
+    """
+    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win)
+    n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
+    KT, M, aT = prep.KT, prep.M, prep.aT
+    if p_dtype is not None and jnp.dtype(p_dtype) != jnp.bfloat16:
+        raise ValueError(f"p_dtype must be None or bfloat16, got {p_dtype}")
+    p_bf16 = p_dtype is not None
+    if p_bf16 and precision != "high":
+        raise ValueError("p_dtype=bfloat16 requires precision='high'")
+    p_store = jnp.bfloat16 if p_bf16 else jnp.float32
+
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+    smem_out = pl.BlockSpec((1, 1), lambda i: (i, 0),
+                            memory_space=pltpu.SMEM)
+
+    def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
+                 K_ref, m_ref, beta_ref, po_ref, apo_ref, d_ref):
+        beta = beta_ref[0, 0]
+        r_win = jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
+        p_win = jnp.concatenate([pL[:], pC[:], pR[:]], axis=1)
+        i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
+        a_win = jnp.concatenate([aL[:], aC[:], aR[:]], axis=1)
+        pn = i_win * r_win + beta * p_win.astype(jnp.float32)
+        # Ap must be computed from the *stored* direction: round first
+        pn_st = pn.astype(p_store)
+        V = prep.dot_window(K_ref, pn_st)
+        S = prep.affine_reduce(a_win, V)
+        po_ref[:] = pn_st[:, Hb:Hb + TE]
+        apo_ref[:] = prep.roll_dss(S, m_ref)
+        d_ref[0, 0] = jnp.sum(
+            pn_st[:, Hb:Hb + TE].astype(jnp.float32) * S[:, Hb:Hb + TE])
+
+    a_specs = (prep.halo_triple(n) + prep.halo_triple(n)
+               + prep.halo_triple(n) + prep.halo_triple(3)
+               + prep.const_specs() + [smem_scalar])
+    a_out_shapes = (
+        jax.ShapeDtypeStruct((n, E), p_store),
+        jax.ShapeDtypeStruct((n, E), jnp.float32),
+        jax.ShapeDtypeStruct((G, 1), jnp.float32),
+    )
+    a_out_specs = (prep.center_spec(n), prep.center_spec(n), smem_out)
+
+    def kA(r, p, inv, beta):
+        beta = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+        return pl.pallas_call(
+            kernel_a,
+            out_shape=a_out_shapes,
+            grid=(G,),
+            in_specs=a_specs,
+            out_specs=a_out_specs,
+            interpret=interpret,
+        )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, KT, M, beta)
+
+    def kernel_b(x_ref, r_ref, p_ref, ap_ref, i_ref, w_ref, alpha_ref,
+                 xo_ref, ro_ref, rz_ref, rn_ref):
+        alpha = alpha_ref[0, 0]
+        Ap = ap_ref[:]
+        r_new = r_ref[:] - alpha * Ap
+        xo_ref[:] = x_ref[:] + alpha * p_ref[:].astype(jnp.float32)
+        ro_ref[:] = r_new
+        w = w_ref[:]
+        z = i_ref[:] * r_new
+        rz_ref[0, 0] = jnp.sum(w * r_new * z)
+        rn_ref[0, 0] = jnp.sum(w * r_new * r_new)
+
+    cs_n = prep.center_spec(n)
+    b_specs = [cs_n, cs_n, prep.center_spec(n), cs_n, cs_n, cs_n,
+               smem_scalar]
+    b_out_shapes = (
+        jax.ShapeDtypeStruct((n, E), jnp.float32),
+        jax.ShapeDtypeStruct((n, E), jnp.float32),
+        jax.ShapeDtypeStruct((G, 1), jnp.float32),
+        jax.ShapeDtypeStruct((G, 1), jnp.float32),
+    )
+    b_out_specs = (cs_n, cs_n, smem_out, smem_out)
+
+    def kB(x, r, p, Ap, inv, w_free, alpha):
+        alpha = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+        return pl.pallas_call(
+            kernel_b,
+            out_shape=b_out_shapes,
+            grid=(G,),
+            in_specs=b_specs,
+            out_specs=b_out_specs,
+            interpret=interpret,
+        )(x, r, p, Ap, inv, w_free, alpha)
+
+    return kA, kB, G
 
 
 def supported() -> bool:

@@ -1,0 +1,218 @@
+"""Fused Pallas CG-iteration kernels (interpret mode, CPU backend).
+
+Oracle layers:
+
+1. kernel A (direction update + apply + pre-DSS denominator) and kernel B
+   (vector updates + weighted reductions) against the unfused XLA operator
+   and plain jnp arithmetic on random consistent data;
+2. end-to-end ``Poisson.solve_local(cg_kernel='fused-interpret')`` against
+   the plain-CG path and against the exact manufactured solution;
+3. the bf16 stored-direction mode still reaches f32-grade solutions.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectralelementmethod_tpu.basis import gll_basis_2d
+from spectralelementmethod_tpu.core.discretization import Discretization
+from spectralelementmethod_tpu.mesh import rectangle_mesh
+from spectralelementmethod_tpu.models.poisson import Poisson
+from spectralelementmethod_tpu.ops import sumfac
+from spectralelementmethod_tpu.ops.exchange import RollExchange
+from spectralelementmethod_tpu.ops.pallas_kernels import (
+    make_fused_cg_kernels)
+from spectralelementmethod_tpu.solver.cg import cg, cg_fused
+
+
+def _setup(nx=16, ny=8, p=3):
+    mesh = rectangle_mesh(nx, ny, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc,
+                   forcing=lambda x, y: np.sin(np.pi * x) * np.cos(
+                       np.pi * y),
+                   dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.1 * x + 0.05 * y)
+    return prob
+
+
+def _fused_pieces(prob, target_win=3072, **kw):
+    disc = prob.disc
+    ex = RollExchange(disc)
+    Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(Gf, W)
+    assert exact
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    kA, kB, G = make_fused_cg_kernels(
+        ex, Kcat, a, interpret=True, target_win=target_win, **kw)
+    A_xla = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, vector_layout="ne", backend="xla")
+    return ex, kA, kB, G, A_xla
+
+
+class TestKernels:
+    def test_kernel_a_matches_unfused(self):
+        prob = _setup()
+        ex, kA, kB, G, A_xla = _fused_pieces(prob)
+        rng = np.random.RandomState(3)
+        # consistent L-vectors: DSS a random local field
+        r = np.asarray(ex.dss_T(jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))))
+        p = np.asarray(ex.dss_T(jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))))
+        inv = np.asarray(ex.dss_T(jnp.asarray(
+            rng.uniform(0.5, 1.5, (ex.n_loc, ex.E)).astype(np.float32))))
+        # inv must hold the SAME value on every copy of a shared node
+        # (dss gives the sum — consistent, which is all that matters)
+        beta = 0.7
+        p_new, Ap, dparts = kA(jnp.asarray(r), jnp.asarray(p),
+                               jnp.asarray(inv), beta)
+        expect_p = inv * r + beta * p
+        np.testing.assert_allclose(np.asarray(p_new), expect_p,
+                                   rtol=1e-5, atol=1e-5)
+        expect_Ap = np.asarray(A_xla(jnp.asarray(expect_p)))
+        scale = np.abs(expect_Ap).max()
+        assert np.abs(np.asarray(Ap) - expect_Ap).max() / scale < 1e-4
+        # pre-DSS denominator identity == weighted global inner product
+        expect_denom = float(ex.dot_T(jnp.asarray(expect_p),
+                                      jnp.asarray(expect_Ap)))
+        got = float(jnp.sum(dparts))
+        assert abs(got - expect_denom) / abs(expect_denom) < 1e-4
+        assert dparts.shape == (G, 1)
+
+    def test_kernel_b_matches_plain_arithmetic(self):
+        prob = _setup()
+        ex, kA, kB, G, _ = _fused_pieces(prob)
+        rng = np.random.RandomState(5)
+        shp = (ex.n_loc, ex.E)
+        x, r, p, Ap = (rng.standard_normal(shp).astype(np.float32)
+                       for _ in range(4))
+        inv = rng.uniform(0.5, 1.5, shp).astype(np.float32)
+        w = np.asarray(ex.weights.T, dtype=np.float32)
+        alpha = 0.3
+        xn, rn, rzp, rn2p = kB(*map(jnp.asarray, (x, r, p, Ap, inv, w)),
+                               alpha)
+        np.testing.assert_allclose(np.asarray(xn), x + alpha * p,
+                                   rtol=1e-6, atol=1e-6)
+        r_new = r - alpha * Ap
+        np.testing.assert_allclose(np.asarray(rn), r_new,
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            float(jnp.sum(rzp)), float(np.sum(w * r_new * inv * r_new)),
+            rtol=1e-4)
+        np.testing.assert_allclose(
+            float(jnp.sum(rn2p)), float(np.sum(w * r_new * r_new)),
+            rtol=1e-4)
+
+    def test_multi_tile_grid(self):
+        """Forcing TE=128 over E=512 exercises halo clamping + partials."""
+        prob = _setup(32, 16, 2)
+        ex, kA, kB, G, A_xla = _fused_pieces(prob, target_win=128)
+        assert G > 1
+        rng = np.random.RandomState(7)
+        r = np.asarray(ex.dss_T(jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))))
+        p_new, Ap, dparts = kA(jnp.asarray(r), jnp.zeros_like(
+            jnp.asarray(r)), jnp.ones_like(jnp.asarray(r)), 0.0)
+        expect_Ap = np.asarray(A_xla(jnp.asarray(r)))
+        scale = np.abs(expect_Ap).max()
+        assert np.abs(np.asarray(Ap) - expect_Ap).max() / scale < 1e-4
+
+    def test_bf16_direction_requires_high(self):
+        prob = _setup()
+        with pytest.raises(ValueError, match="high"):
+            _fused_pieces(prob, p_dtype=jnp.bfloat16, precision="highest")
+
+
+class TestSolveLocalFused:
+    def test_matches_plain_cg_path(self):
+        prob = _setup()
+        sol_plain = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                     cg_kernel="plain")
+        sol_fused = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                     cg_kernel="fused-interpret")
+        assert bool(sol_fused.cg.converged)
+        scale = np.abs(sol_plain.u).max()
+        assert np.abs(sol_fused.u - sol_plain.u).max() / scale < 1e-4
+        # same mathematics: iteration counts agree to fp-noise level
+        assert abs(int(sol_fused.cg.iterations)
+                   - int(sol_plain.cg.iterations)) <= 3
+
+    def test_manufactured_solution(self):
+        """Laplace with u = 0.1(x+y): exact for any p (linear).
+
+        "ebc" covers west+south only; the north/east "nbc" sides carry
+        the matching constant Neumann flux n.grad u = 0.1 (equal x/y
+        gradients keep the corner flux single-valued).
+        """
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, forcing=0.0, dtype=np.float32)
+        prob.set_dirichlet("ebc", lambda x, y: 0.1 * (x + y))
+        prob.set_neumann("nbc", 0.1)
+        sol = prob.solve_local(tol=1e-7, vector_layout="ne",
+                               cg_kernel="fused-interpret")
+        x, y = np.asarray(prob.x_nodes)
+        exact = 0.1 * (x + y)
+        assert np.abs(sol.u - exact).max() < 1e-4
+
+    def test_bf16_direction_mode(self):
+        prob = _setup()
+        sol_plain = prob.solve_local(tol=1e-5, vector_layout="ne",
+                                     cg_kernel="plain")
+        sol_bf16 = prob.solve_local(tol=1e-5, vector_layout="ne",
+                                    cg_kernel="fused-interpret",
+                                    p_dtype=jnp.bfloat16)
+        assert bool(sol_bf16.cg.converged)
+        scale = np.abs(sol_plain.u).max()
+        assert np.abs(sol_bf16.u - sol_plain.u).max() / scale < 1e-3
+        # perturbed directions may cost a few extra iterations, not many
+        assert (int(sol_bf16.cg.iterations)
+                <= int(sol_plain.cg.iterations) + 15)
+
+    def test_fused_requires_ne_jacobi_f32(self):
+        prob = _setup()
+        with pytest.raises(ValueError, match="fused"):
+            prob.solve_local(vector_layout="en",
+                             cg_kernel="fused-interpret")
+
+    def test_driver_matches_cg_on_same_operator(self):
+        """cg_fused == cg with identical operator/preconditioner/weights."""
+        prob = _setup()
+        ex, kA, kB, G, A_xla = _fused_pieces(prob)
+        free = jnp.asarray(np.ascontiguousarray(
+            (~prob._dirichlet_mask)[ex.gather_hier].T))
+        diagL = jnp.asarray(np.ascontiguousarray(
+            np.asarray(prob.operator_diagonal())[ex.gather_hier]
+            .astype(np.float32).T))
+        inv = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0)
+        w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+        w_free = jnp.where(free, w, 0.0)
+
+        b = np.asarray(prob._b) + prob._neumann
+        u_d = np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0)
+        bL = jnp.asarray(np.ascontiguousarray(
+            b[ex.gather_hier].astype(np.float32).T))
+        u_dL = jnp.asarray(np.ascontiguousarray(
+            u_d[ex.gather_hier].astype(np.float32).T))
+        A_free = sumfac.make_local_laplacian_operator(
+            ex, prob._G_host.reshape(prob.disc.E, 3, -1).astype(np.float32),
+            sumfac.make_stacked_derivative(np.asarray(prob._D0),
+                                           np.asarray(prob._D1)),
+            free, vector_layout="ne", backend="xla")
+        r = jnp.where(free, bL - A_xla(u_dL), 0.0)
+
+        res_f = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=1e-6,
+                         max_iter=400)
+        res_p = cg(A_free, r, M=lambda v: inv * v, tol=1e-6, max_iter=400,
+                   dot_weight=w)
+        assert bool(res_f.converged) and bool(res_p.converged)
+        xf, xp = np.asarray(res_f.x), np.asarray(res_p.x)
+        scale = np.abs(xp).max()
+        # both stopped at tol=1e-6: iterates agree to the stopping level
+        # times a modest conditioning factor (different fp paths)
+        assert np.abs(xf - xp).max() / scale < 5e-4
+        assert abs(int(res_f.iterations) - int(res_p.iterations)) <= 3
