@@ -104,6 +104,13 @@ def main():
                          "local kernels)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 matmul inputs (f32 accumulate)")
+    ap.add_argument("--cg-mode", choices=["plain", "fused", "fused-bf16p"],
+                    default="plain",
+                    help="CG loop execution: plain = unfused apply + XLA "
+                         "vector ops; fused = two Pallas kernels per "
+                         "iteration (ops.pallas_kernels."
+                         "make_fused_cg_kernels); fused-bf16p also stores "
+                         "the search direction in bf16")
     ap.add_argument("--reps", type=int, default=50)
     args = ap.parse_args()
 
@@ -149,6 +156,7 @@ def main():
     rng = np.random.RandomState(1)
     u_global = rng.random_sample(n_nodes).astype(dtype)
 
+    fused_cg = None
     if args.kernel in ("local", "pallas", "xla-local"):
         backend = {"local": "auto", "pallas": "pallas",
                    "xla-local": "xla"}[args.kernel]
@@ -160,7 +168,10 @@ def main():
         transposed = layout == "ne"
         vlayout = "ne" if transposed else "en"
         t0 = time.perf_counter()
-        ex = make_exchange(disc, fused_pad=True)
+        # fused CG modes need the lane-tiling pad at ANY element count
+        ex = make_exchange(
+            disc, fused_pad=True,
+            **({"fused_pad_min_e": 0} if args.cg_mode != "plain" else {}))
         t_setup += time.perf_counter() - t0
 
         def to_local(u):
@@ -189,7 +200,38 @@ def main():
         r_cg = jax.jit(
             lambda f, b, u: jnp.where(f, b - one_apply(u), 0.0))(
                 free, bL, u_dL)
+
+        if args.cg_mode != "plain":
+            if not transposed:
+                raise SystemExit("--cg-mode fused requires the ne layout")
+            from spectralelementmethod_tpu.ops import pallas_kernels
+            from spectralelementmethod_tpu.solver.cg import cg_fused
+
+            Gf_p = sumfac._pad_factors_to_exchange(
+                Gf.astype(np.float32), ex)
+            Wg = disc.basis.weight_grid().reshape(-1)
+            a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wg)
+            if not exact_aff:
+                raise SystemExit("--cg-mode fused requires an affine mesh")
+            Kcat = sumfac.make_affine_element_matrices(
+                Dhat, Wg, order=ex.hier)
+            p_dt = (jnp.bfloat16 if args.cg_mode == "fused-bf16p"
+                    else None)
+            kA, kB, _ = pallas_kernels.make_fused_cg_kernels(
+                ex, Kcat, a_f,
+                precision="high" if p_dt is not None else args.precision,
+                p_dtype=p_dt,
+                interpret=not pallas_kernels.supported())
+            inv_d = jnp.where(
+                free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
+            ).astype(jnp.float32)
+            wf_d = jnp.where(
+                free, ex._weights_as(np.float32, transposed=True), 0.0)
+            fused_cg = (kA, kB, inv_d, wf_d, p_dt, cg_fused)
     else:
+        if args.cg_mode != "plain":
+            raise SystemExit("--cg-mode fused requires --kernel local/"
+                             "xla-local")
         dot = None
         free = jnp.asarray(~prob._dirichlet_mask)
         if args.kernel == "fused":
@@ -287,12 +329,23 @@ def main():
     dw = None
     if args.kernel in ("local", "pallas", "xla-local"):
         dw = ex._weights_as(np.dtype(dtype), transposed=transposed)
-    res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot,
-             dot_weight=dw, block=cg_iters)
+
+    if fused_cg is not None:
+        kA_f, kB_f, inv_f, wf_f, p_dt_f, cg_fused_fn = fused_cg
+
+        def run_cg():
+            return cg_fused_fn(kA_f, kB_f, r_cg, inv=inv_f, w_free=wf_f,
+                               tol=cg_tol, max_iter=cg_iters,
+                               block=cg_iters, p_dtype=p_dt_f)
+    else:
+        def run_cg():
+            return cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters,
+                      dot=dot, dot_weight=dw, block=cg_iters)
+
+    res = run_cg()
     res.x.block_until_ready()
     t0 = time.perf_counter()
-    res = cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters, dot=dot,
-             dot_weight=dw, block=cg_iters)
+    res = run_cg()
     res.x.block_until_ready()
     t_cg = time.perf_counter() - t0
 
@@ -306,6 +359,9 @@ def main():
             "dispatch_overhead_ms": round(t_dispatch * 1e3, 2),
             "effective_GB_s": round(gbps, 1),
             "cg_wallclock_s": round(t_cg, 3),
+            "cg_ms_per_iter": round(
+                t_cg * 1e3 / max(int(res.iterations), 1), 3),
+            "cg_mode": args.cg_mode,
             "cg_iters": int(res.iterations),
             "cg_resnorm": float(res.residual_norm),
             "elements": E,

@@ -206,8 +206,15 @@ class _AffineFusedPrep:
     CG-iteration kernels (:func:`make_fused_cg_kernels`).
     """
 
+    #: far-split candidate halo width (lane-block granularity): classes
+    #: with |delta| <= this stay in-window, the rest go through the aux
+    #: raw-row epilogue when that's cheaper (structured meshes have
+    #: horizontal deltas of +-1 and vertical deltas of +-row-stride, so a
+    #: single 128-lane bucket separates them)
+    NEAR_HB = 128
+
     def __init__(self, exchange, Kcat, a, precision: str,
-                 target_win: int):
+                 target_win: int, max_halo="auto"):
         import numpy as np
 
         ex = exchange
@@ -224,17 +231,42 @@ class _AffineFusedPrep:
         if getattr(ex, "n_edge_tail", 1) or getattr(ex, "n_vert_tail", 1):
             raise ValueError("fused-T kernel requires zero exchange tails")
 
-        self.edge_classes = [(d, s, int(dl), bool(f))
-                             for d, s, dl, f, _m in ex.edge_classes]
-        self.vert_classes = [(d, s, int(dl))
-                             for d, s, dl, _m in ex.vert_classes]
-        self.n_e = len(self.edge_classes)
-        H = max([abs(c[2]) for c in self.edge_classes]
-                + [abs(c[2]) for c in self.vert_classes] + [1])
         if precision == "high":
             # bf16x3 splits u into hi/lo copies in VMEM; the default
             # window overflows the 16 MB scoped-vmem stack at p=8
             target_win = int(target_win * 0.9)
+
+        all_edge = [(d, s, int(dl), bool(f), m)
+                    for d, s, dl, f, m in ex.edge_classes]
+        all_vert = [(d, s, int(dl), m) for d, s, dl, m in ex.vert_classes]
+        H_full = max([abs(c[2]) for c in all_edge]
+                     + [abs(c[2]) for c in all_vert] + [1])
+        if max_halo == "auto":
+            max_halo = self._pick_max_halo(E, H_full, all_edge, all_vert,
+                                           target_win)
+        H = H_full if max_halo is None else min(H_full, int(max_halo))
+
+        near_e = [c for c in all_edge if abs(c[2]) <= H]
+        near_v = [c for c in all_vert if abs(c[2]) <= H]
+        self._far_edge = [c for c in all_edge if abs(c[2]) > H]
+        self._far_vert = [c for c in all_vert if abs(c[2]) > H]
+        self.edge_classes = [(d, s, dl, f) for d, s, dl, f, _m in near_e]
+        self.vert_classes = [(d, s, dl) for d, s, dl, _m in near_v]
+        self.n_e = len(self.edge_classes)
+
+        # aux raw-row layout for the far-class epilogue: the union of far
+        # SOURCE slots, edge slots first then vertex slots
+        e_slots = sorted({s for _d, s, *_r in self._far_edge})
+        v_slots = sorted({s for _d, s, *_r in self._far_vert})
+        self.aux_e_slots, self.aux_v_slots = e_slots, v_slots
+        self._aux_row = {("e", s): i * self.ne
+                         for i, s in enumerate(e_slots)}
+        self._aux_row.update(
+            {("v", s): len(e_slots) * self.ne + i
+             for i, s in enumerate(v_slots)})
+        self.n_aux = len(e_slots) * self.ne + len(v_slots)
+        self.has_far = self.n_aux > 0
+
         tile = fused_affine_tile_shape(E, H, target_win)
         if tile is None:
             raise ValueError(
@@ -245,9 +277,13 @@ class _AffineFusedPrep:
         self.G = E // self.TE
         self.k = self.TE // self.Hb
 
-        masks = [np.asarray(m, np.float32) for *_c, m in ex.edge_classes]
-        masks += [np.asarray(m, np.float32) for *_c, m in ex.vert_classes]
+        masks = [np.asarray(m, np.float32) for *_c, m in near_e]
+        masks += [np.asarray(m, np.float32) for *_c, m in near_v]
         self.M = jnp.asarray(np.stack(masks, axis=0))        # (C, E)
+        self._far_edge = [(d, s, dl, f, jnp.asarray(np.asarray(m)))
+                          for d, s, dl, f, m in self._far_edge]
+        self._far_vert = [(d, s, dl, jnp.asarray(np.asarray(m)))
+                          for d, s, dl, m in self._far_vert]
         Kcat = np.asarray(Kcat, dtype=np.float64)
         KT_np = np.concatenate(
             [Kcat[:, :n].T, Kcat[:, n:2 * n].T, Kcat[:, 2 * n:].T],
@@ -272,7 +308,61 @@ class _AffineFusedPrep:
         else:
             self.KT = jnp.asarray(KT_np)
 
+    def _pick_max_halo(self, E, H_full, all_edge, all_vert, target_win):
+        """Split classes at NEAR_HB when that beats the full-halo window.
+
+        At H ~ row-stride ~ sqrt(E) the window cap forces halo blocks
+        comparable to the tile itself (measured ~2x redundant matmul work
+        at 1M elements/p=8).  Splitting keeps the in-window halo at one
+        128-lane block and routes the large-offset classes through an aux
+        raw-row epilogue costing ~2.5 extra HBM passes over n_aux of the
+        n rows.  Costs are compared as fractions of one full apply pass.
+        """
+        far_e = [c for c in all_edge if abs(c[2]) > self.NEAR_HB]
+        far_v = [c for c in all_vert if abs(c[2]) > self.NEAR_HB]
+        Hb_full = -(-H_full // 128) * 128
+        if not (far_e or far_v) or Hb_full <= self.NEAR_HB:
+            return None
+        t_near = fused_affine_tile_shape(E, self.NEAR_HB, target_win)
+        if t_near is None:
+            return None
+        t_full = fused_affine_tile_shape(E, H_full, target_win)
+        cost_full = (2 * t_full[1] / t_full[0]) if t_full else float("inf")
+        n_aux = (len({s for _d, s, *_r in far_e}) * self.ne
+                 + len({s for _d, s, *_r in far_v}))
+        cost_near = 2 * t_near[1] / t_near[0] + 2.5 * n_aux / self.n
+        return self.NEAR_HB if cost_near < cost_full else None
+
     # ---- in-kernel building blocks (traced inside kernel bodies) --------
+
+    def aux_extract(self, S):
+        """Raw pre-DSS source rows needed by the far-class epilogue:
+        (n_aux, TE) center-column slice of S in aux-row layout."""
+        ne, oe, ov, TE, Hb = self.ne, self.oe, self.ov, self.TE, self.Hb
+        rows = [S[oe + s * ne: oe + (s + 1) * ne, Hb:Hb + TE]
+                for s in self.aux_e_slots]
+        rows += [S[ov + s: ov + s + 1, Hb:Hb + TE]
+                 for s in self.aux_v_slots]
+        return jnp.concatenate(rows, axis=0)
+
+    def apply_far(self, out, aux):
+        """XLA epilogue: add the far-class contributions to the kernel's
+        near-DSS output.  ``aux``: (n_aux, E) raw source rows; rolls run
+        over the full element axis exactly as in RollExchange._dss_T_2d
+        (wrapped lanes are zeroed by the class masks)."""
+        ne, oe, ov = self.ne, self.oe, self.ov
+        for d_f, s_f, delta, flip, mask in self._far_edge:
+            r0 = self._aux_row[("e", s_f)]
+            src = jnp.roll(aux[r0:r0 + ne], -delta, axis=1)
+            if flip:
+                src = src[::-1, :]
+            src = jnp.where(mask[None, :], src, 0.0)
+            out = out.at[oe + d_f * ne: oe + (d_f + 1) * ne].add(src)
+        for d_s, s_s, delta, mask in self._far_vert:
+            r0 = self._aux_row[("v", s_s)]
+            src = jnp.roll(aux[r0], -delta)
+            out = out.at[ov + d_s].add(jnp.where(mask, src, 0.0))
+        return out
 
     def dot_window(self, K_ref, u_win):
         """V = [K0;K1;K2] @ u_win at the configured precision.
@@ -375,6 +465,7 @@ class _AffineFusedPrep:
 def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
                                   precision: str = "highest",
                                   target_win: int = 4608,
+                                  max_halo="auto",
                                   interpret: bool = False):
     """Fully-fused transposed-storage apply+DSS kernel (affine meshes).
 
@@ -399,31 +490,45 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
     (``..ops.sumfac.make_affine_element_matrices`` in the exchange's
     local node order).  ``a``: (E, 3) affine factor scales.
     """
-    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win)
+    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
+                            max_halo)
     n, E, G = prep.n, prep.E, prep.G
     KT, M, aT = prep.KT, prep.M, prep.aT
 
     def kernel(uL_ref, uC_ref, uR_ref, aL_ref, aC_ref, aR_ref, K_ref,
-               m_ref, out_ref):
+               m_ref, out_ref, *aux_ref):
         u_win = jnp.concatenate([uL_ref[:], uC_ref[:], uR_ref[:]], axis=1)
         a_win = jnp.concatenate([aL_ref[:], aC_ref[:], aR_ref[:]], axis=1)
         V = prep.dot_window(K_ref, u_win)
         S = prep.affine_reduce(a_win, V)
         out_ref[:] = prep.roll_dss(S, m_ref).astype(out_ref.dtype)
+        if aux_ref:
+            aux_ref[0][:] = prep.aux_extract(S)
 
     specs = (prep.halo_triple(n) + prep.halo_triple(3) + prep.const_specs())
     out_spec = prep.center_spec(n)
 
     def apply_local_dss(uT):
-        return pl.pallas_call(
+        shapes = jax.ShapeDtypeStruct((n, E), uT.dtype)
+        o_specs = out_spec
+        if prep.has_far:
+            shapes = (shapes,
+                      jax.ShapeDtypeStruct((prep.n_aux, E), jnp.float32))
+            o_specs = (out_spec, prep.center_spec(prep.n_aux))
+        res = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n, E), uT.dtype),
+            out_shape=shapes,
             grid=(G,),
             in_specs=specs,
-            out_specs=out_spec,
+            out_specs=o_specs,
             interpret=interpret,
         )(uT, uT, uT, aT, aT, aT, KT, M)
+        if prep.has_far:
+            out, aux = res
+            return prep.apply_far(out, aux).astype(uT.dtype)
+        return res
 
+    apply_local_dss._prep = prep      # introspection (tests, bench)
     return apply_local_dss
 
 
@@ -431,6 +536,7 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
                           precision: str = "high",
                           p_dtype=None,
                           target_win: int = 3072,
+                          max_halo="auto",
                           interpret: bool = False):
     """Two Pallas kernels fusing one whole PCG iteration (affine meshes).
 
@@ -468,7 +574,8 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
     Returns ``(kA, kB, G)`` with ``G`` the number of partial-sum tiles.
     Scalars (alpha, beta) are passed as (1, 1) float32 arrays.
     """
-    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win)
+    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
+                            max_halo)
     n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
     KT, M, aT = prep.KT, prep.M, prep.aT
     if p_dtype is not None and jnp.dtype(p_dtype) != jnp.bfloat16:
@@ -484,7 +591,8 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
                             memory_space=pltpu.SMEM)
 
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
-                 K_ref, m_ref, beta_ref, po_ref, apo_ref, d_ref):
+                 K_ref, m_ref, beta_ref, po_ref, apo_ref, d_ref,
+                 *aux_ref):
         beta = beta_ref[0, 0]
         r_win = jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
         p_win = jnp.concatenate([pL[:], pC[:], pR[:]], axis=1)
@@ -499,27 +607,37 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         apo_ref[:] = prep.roll_dss(S, m_ref)
         d_ref[0, 0] = jnp.sum(
             pn_st[:, Hb:Hb + TE].astype(jnp.float32) * S[:, Hb:Hb + TE])
+        if aux_ref:
+            aux_ref[0][:] = prep.aux_extract(S)
 
     a_specs = (prep.halo_triple(n) + prep.halo_triple(n)
                + prep.halo_triple(n) + prep.halo_triple(3)
                + prep.const_specs() + [smem_scalar])
-    a_out_shapes = (
+    a_out_shapes = [
         jax.ShapeDtypeStruct((n, E), p_store),
         jax.ShapeDtypeStruct((n, E), jnp.float32),
         jax.ShapeDtypeStruct((G, 1), jnp.float32),
-    )
-    a_out_specs = (prep.center_spec(n), prep.center_spec(n), smem_out)
+    ]
+    a_out_specs = [prep.center_spec(n), prep.center_spec(n), smem_out]
+    if prep.has_far:
+        a_out_shapes.append(
+            jax.ShapeDtypeStruct((prep.n_aux, E), jnp.float32))
+        a_out_specs.append(prep.center_spec(prep.n_aux))
 
     def kA(r, p, inv, beta):
         beta = jnp.asarray(beta, jnp.float32).reshape(1, 1)
-        return pl.pallas_call(
+        res = pl.pallas_call(
             kernel_a,
-            out_shape=a_out_shapes,
+            out_shape=tuple(a_out_shapes),
             grid=(G,),
             in_specs=a_specs,
-            out_specs=a_out_specs,
+            out_specs=tuple(a_out_specs),
             interpret=interpret,
         )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, KT, M, beta)
+        if prep.has_far:
+            p_new, Ap, dparts, aux = res
+            return p_new, prep.apply_far(Ap, aux), dparts
+        return res
 
     def kernel_b(x_ref, r_ref, p_ref, ap_ref, i_ref, w_ref, alpha_ref,
                  xo_ref, ro_ref, rz_ref, rn_ref):
@@ -555,6 +673,7 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
             interpret=interpret,
         )(x, r, p, Ap, inv, w_free, alpha)
 
+    kA._prep = kB._prep = prep        # introspection (tests, bench)
     return kA, kB, G
 
 

@@ -215,3 +215,76 @@ class TestFusedAffineT:
         scale = np.abs(v_hi).max()
         rel = np.abs(v_h3 - v_hi).max() / scale
         assert rel < 5e-5, rel
+
+
+class TestFarClassSplit:
+    """max_halo splits large-offset roll classes out of the kernel window
+    into the aux raw-row epilogue; results must match the XLA path."""
+
+    def _pieces(self, nx, ny, p):
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        mesh = rectangle_mesh(nx, ny, p)
+        disc = Discretization(mesh, gll_basis_2d(p))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+        return ex, Kcat, a, A_xla
+
+    def test_forced_far_split_matches_xla(self):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        ex, Kcat, a, A_xla = self._pieces(16, 16, 3)
+        # max_halo below the vertical row stride forces those classes far
+        fused = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=128, max_halo=8, interpret=True)
+        prep = fused._prep
+        assert prep.has_far and prep._far_edge and prep._far_vert
+        assert prep.Hb == 128 and prep.n_aux > 0
+        rng = np.random.RandomState(11)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        expected = np.asarray(A_xla(uT))
+        got = np.asarray(fused(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < 1e-5
+
+    def test_auto_keeps_small_meshes_unsplit(self):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        ex, Kcat, a, _ = self._pieces(16, 8, 3)
+        fused = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=3840, interpret=True)
+        # H = row stride 16 -> Hb 128 anyway: nothing to gain from a split
+        assert not fused._prep.has_far
+
+    def test_cg_kernel_a_with_far_split(self):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels)
+
+        ex, Kcat, a, A_xla = self._pieces(16, 16, 3)
+        kA, kB, G = make_fused_cg_kernels(
+            ex, Kcat, a, target_win=128, max_halo=8, interpret=True)
+        assert kA._prep.has_far
+        rng = np.random.RandomState(13)
+        r = ex.dss_T(jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32)))
+        ones = jnp.ones_like(r)
+        p_new, Ap, dparts = kA(r, jnp.zeros_like(r), ones, 0.0)
+        expect_Ap = np.asarray(A_xla(r))     # p' = 1*r + 0 = r
+        scale = np.abs(expect_Ap).max()
+        assert np.abs(np.asarray(Ap) - expect_Ap).max() / scale < 1e-4
+        # denominator is unaffected by the split (pre-DSS identity)
+        expect_denom = float(ex.dot_T(r, jnp.asarray(expect_Ap)))
+        assert abs(float(jnp.sum(dparts)) - expect_denom) / abs(
+            expect_denom) < 1e-4
