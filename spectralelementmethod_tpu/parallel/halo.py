@@ -1,0 +1,193 @@
+"""Explicit shard_map halo exchange for element-sharded L-vectors.
+
+The production multi-chip path (:func:`.sharding.sharded_local_poisson_
+problem`) shards every iteration-state array over the element axis and
+relies on XLA *sharding propagation* to turn the roll-class DSS into
+collective-permutes — verified by :mod:`tests.test_sharding_hlo`.  This
+module provides the same operator with the halo exchange written
+*explicitly* as ``jax.lax.ppermute`` inside ``jax.shard_map``:
+
+* the communication pattern is guaranteed by construction (a compiler
+  regression can at worst slow it down, not silently replicate a vector);
+* each shard owns a contiguous block of elements; a roll by ``delta``
+  becomes a block-local lane shift plus a ppermute of the ``delta``-wide
+  boundary strip to the neighboring shard — the minimal halo traffic, one
+  ICI hop on real hardware;
+* f64 works (no Pallas involvement), so the multi-chip dry run can assert
+  1e-10-level agreement with the single-device path.
+
+The reference has no distributed machinery at all (SURVEY.md §2); this
+layer is net-new TPU-native design.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops import sumfac
+
+ELEM_AXIS = "elements"
+
+
+def global_roll(x, delta: int, axis_name: str, n_shards: int):
+    """``jnp.roll(x, -delta, axis=-1)`` over a block-sharded last axis.
+
+    Call inside ``shard_map``: ``x`` is the local (..., Eb) block.  The
+    wrapped strip travels to the neighboring shard via one ppermute
+    (global wrap-around included — class masks zero those lanes, exactly
+    as they do for single-device ``jnp.roll``).
+    """
+    if delta == 0:
+        return x
+    Eb = x.shape[-1]
+    if n_shards == 1:
+        return jnp.roll(x, -delta, axis=-1)
+    if abs(delta) >= Eb:
+        raise ValueError(
+            f"roll offset {delta} exceeds the per-shard block ({Eb}); "
+            f"use fewer shards or a locality-preserving element order")
+    S = n_shards
+    if delta > 0:
+        strip = x[..., :delta]
+        recv = jax.lax.ppermute(
+            strip, axis_name, [((i + 1) % S, i) for i in range(S)])
+        return jnp.concatenate([x[..., delta:], recv], axis=-1)
+    d = -delta
+    strip = x[..., Eb - d:]
+    recv = jax.lax.ppermute(
+        strip, axis_name, [((i - 1) % S, i) for i in range(S)])
+    return jnp.concatenate([recv, x[..., :Eb - d]], axis=-1)
+
+
+def _check_exchange(exchange):
+    ex = exchange
+    if not hasattr(ex, "edge_classes"):
+        raise ValueError("halo exchange requires a roll-class exchange "
+                         "(RollExchange)")
+    if ex.n_edge_tail or ex.n_vert_tail:
+        raise ValueError(
+            "halo exchange requires zero roll-class tails (structured "
+            "meshes); generic pairs would need arbitrary cross-shard "
+            "gathers")
+    if ex.layout != "edges-first":
+        raise ValueError("halo exchange requires edges-first layout")
+    return ex
+
+
+def make_halo_dss_T(exchange, axis_name: str = ELEM_AXIS,
+                    n_shards: int = 1):
+    """Roll-class DSS on a transposed L-vector *block*, for shard_map.
+
+    Returns ``dss(vT_blk, masks_blk) -> vT_blk`` where ``vT_blk`` is the
+    shard's (n_loc, Eb) block and ``masks_blk`` the matching (C, Eb) slice
+    of the stacked class masks (edge classes first, then vertex classes —
+    the order of :func:`stack_class_masks`).  Mirrors
+    :meth:`..ops.exchange.RollExchange._dss_T_2d` with
+    :func:`global_roll` in place of ``jnp.roll``.
+    """
+    ex = _check_exchange(exchange)
+    ne, neb = ex.ne, ex.n_edge_block
+    oe, ov = ex.off_edge, ex.off_vert
+    edge_classes = [(d, s, int(dl), bool(f))
+                    for d, s, dl, f, _m in ex.edge_classes]
+    vert_classes = [(d, s, int(dl)) for d, s, dl, _m in ex.vert_classes]
+    n_e = len(edge_classes)
+
+    def dss(vT, masks):
+        if ne > 0:
+            F = vT[oe:oe + neb]
+            recv = jnp.zeros_like(F)
+            for ci, (d_f, s_f, delta, flip) in enumerate(edge_classes):
+                src = global_roll(vT[oe + s_f * ne: oe + (s_f + 1) * ne],
+                                  delta, axis_name, n_shards)
+                if flip:
+                    src = src[::-1, :]
+                src = jnp.where(masks[ci:ci + 1], src, 0.0)
+                recv = recv.at[d_f * ne:(d_f + 1) * ne].add(src)
+            edges = F + recv
+        else:
+            edges = None
+
+        V = vT[ov:ov + 4]
+        vsum = V
+        for cj, (d_s, s_s, delta) in enumerate(vert_classes):
+            src = global_roll(V[s_s], delta, axis_name, n_shards)
+            vsum = vsum.at[d_s].add(
+                jnp.where(masks[n_e + cj], src, 0.0))
+
+        if edges is not None:
+            return jnp.concatenate([edges, vsum, vT[ex.off_int:]], axis=0)
+        return vT.at[ov:ov + 4].set(vsum)
+
+    return dss
+
+
+def stack_class_masks(exchange) -> np.ndarray:
+    """(C, E) bool stack of the exchange's class masks (edges, verts)."""
+    ex = _check_exchange(exchange)
+    masks = [np.asarray(m, bool) for *_c, m in ex.edge_classes]
+    masks += [np.asarray(m, bool) for *_c, m in ex.vert_classes]
+    if not masks:
+        return np.zeros((0, ex.E), dtype=bool)
+    return np.stack(masks, axis=0)
+
+
+def make_sharded_local_operator(exchange, Gf, Dhat, mesh,
+                                free_local=None,
+                                axis: str = ELEM_AXIS,
+                                precision: str = "highest"):
+    """Element-sharded transposed weak Laplacian with explicit ppermute.
+
+    ``Gf``: (E, 3, n) geometric factors padded to the exchange's element
+    count (``E`` must divide by the mesh size); ``free_local``: optional
+    (n, E) transposed Dirichlet mask.  Returns ``A(uT)`` acting on
+    (n_loc, E) arrays sharded ``P(None, axis)`` — inputs with any other
+    sharding are resharded by jit.
+
+    The matmuls are per-shard; only the DSS boundary strips communicate
+    (|delta| lanes per roll class and direction — the halo).
+    """
+    ex = _check_exchange(exchange)
+    n, E = ex.n_loc, ex.E
+    S = int(mesh.devices.size)
+    if E % S:
+        raise ValueError(f"E={E} not divisible by {S} shards; pad the "
+                         f"exchange (pad_to)")
+    Gf = sumfac._pad_factors_to_exchange(Gf, ex)
+    dt = jnp.asarray(Gf).dtype
+    Dhat_h = jnp.asarray(np.asarray(Dhat)[:, ex.hier], dtype=dt)
+    gT = jnp.asarray(
+        np.ascontiguousarray(np.asarray(Gf).transpose(1, 2, 0)), dtype=dt)
+    masks = jnp.asarray(stack_class_masks(ex))
+    dss = make_halo_dss_T(ex, axis, S)
+
+    def local_fn(uT, gT_blk, m_blk):
+        grads = jnp.einsum("mn,ne->me", Dhat_h, uT,
+                           precision=precision)            # (2n, Eb)
+        ur, us = grads[:n], grads[n:]
+        fr = gT_blk[0] * ur + gT_blk[1] * us
+        fs = gT_blk[1] * ur + gT_blk[2] * us
+        flux = jnp.concatenate([fr, fs], axis=0)
+        S_loc = jnp.einsum("mn,me->ne", Dhat_h, flux,
+                           precision=precision)            # (n, Eb)
+        return dss(S_loc, m_blk)
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, None, axis), P(None, axis)),
+        out_specs=P(None, axis),
+    )
+
+    def A(uT):
+        if free_local is not None:
+            uT = jnp.where(free_local, uT, 0.0)
+        vT = sharded(uT, gT, masks)
+        if free_local is not None:
+            vT = jnp.where(free_local, vT, 0.0)
+        return vT
+
+    return A

@@ -154,7 +154,8 @@ def _dirichlet_rhs(problem, A_masked, b, u_d, free):
 
 
 def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
-                                  backend: str = "xla"):
+                                  backend: str = "xla",
+                                  comm: str = "propagation"):
     """Element-sharded **L-vector** CG setup — the production multi-chip path.
 
     Unlike :func:`sharded_poisson_problem` (replicated global vector +
@@ -170,13 +171,24 @@ def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
     The element count is padded to a shard-divisible size with inert
     elements (zero geometric factors, zero dot-weights).
 
+    ``comm='propagation'`` builds the operator on (E, n) L-vectors and
+    lets XLA sharding propagation insert the collective-permutes
+    (verified by tests/test_sharding_hlo.py); ``comm='shardmap'`` uses the
+    transposed (n, E) operator with the halo exchange written explicitly
+    as ``ppermute`` inside ``shard_map`` (:mod:`.halo`) — guaranteed
+    communication pattern, f64-capable.
+
     Returns ``(A, r, M, u_dL, exchange, jmesh)``; solve with
     ``cg(A, r, M=M, dot=exchange.dot)`` and recover the global solution via
-    ``exchange.global_from_local(u_dL + x)``.
+    ``exchange.global_from_local(u_dL + x)`` (``global_from_local_T`` for
+    the shardmap variant — all its vectors are transposed).
     """
     from ..ops.exchange import make_exchange
     from ..solver.cg import jacobi_preconditioner
 
+    if comm not in ("propagation", "shardmap"):
+        raise ValueError(f"unknown comm {comm!r}")
+    transposed = comm == "shardmap"
     if mesh is None:
         mesh = device_mesh()
     n_shards = mesh.devices.size
@@ -206,16 +218,31 @@ def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
         np.asarray(problem.operator_diagonal())).astype(dtype)
     diagL[E:] = 1.0
 
-    sharding = NamedSharding(mesh, P(axis))
-    Gf_d, free_d, bL_d, u_dL_d, diag_d = (
+    if transposed:
+        free, bL, u_dL, diagL = (
+            np.ascontiguousarray(a.T) for a in (free, bL, u_dL, diagL))
+        spec = P(None, axis)
+    else:
+        spec = P(axis)
+    sharding = NamedSharding(mesh, spec)
+    free_d, bL_d, u_dL_d, diag_d = (
         jax.device_put(jnp.asarray(a), sharding)
-        for a in (Gf, free, bL, u_dL, diagL)
+        for a in (free, bL, u_dL, diagL)
     )
 
-    A = sumfac.make_local_laplacian_operator(
-        ex, Gf_d, Dhat, free_d, backend=backend)
-    A_raw = sumfac.make_local_laplacian_operator(
-        ex, Gf_d, Dhat, None, backend=backend)
+    if transposed:
+        from . import halo
+
+        A = halo.make_sharded_local_operator(
+            ex, Gf, Dhat, mesh, free_local=free_d, axis=axis)
+        A_raw = halo.make_sharded_local_operator(
+            ex, Gf, Dhat, mesh, free_local=None, axis=axis)
+    else:
+        Gf_d = jax.device_put(jnp.asarray(Gf), NamedSharding(mesh, P(axis)))
+        A = sumfac.make_local_laplacian_operator(
+            ex, Gf_d, Dhat, free_d, backend=backend)
+        A_raw = sumfac.make_local_laplacian_operator(
+            ex, Gf_d, Dhat, None, backend=backend)
     r = jnp.where(free_d, bL_d - A_raw(u_dL_d), 0.0)
     M = jacobi_preconditioner(diag_d, free_d)
     return A, r, M, u_dL_d, ex, mesh
