@@ -16,10 +16,23 @@ Usage: python bench.py [--smoke] [--elements N] [--order p] [--f64]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    """Stage tracing to stderr (BENCH_VERBOSE=1): the bench prints one
+    JSON line at the end, so remote-backend stalls are otherwise
+    unattributable."""
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"[bench +{time.perf_counter() - _T0:8.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 
 def build_element_data(E_target: int, p: int, dtype):
@@ -138,6 +151,7 @@ def main():
     nx = max(int(np.sqrt(args.elements)), 1)
     ny = max(args.elements // nx, 1)
 
+    _progress("building mesh+disc")
     t0 = time.perf_counter()
     mesh = rectangle_mesh(nx, ny, p)
     disc = Discretization(mesh, gll_basis_2d(p))
@@ -167,6 +181,7 @@ def main():
             layout = "en" if args.kernel == "pallas" else "ne"
         transposed = layout == "ne"
         vlayout = "ne" if transposed else "en"
+        _progress("building exchange")
         t0 = time.perf_counter()
         # fused CG modes need the lane-tiling pad at ANY element count
         ex = make_exchange(
@@ -180,6 +195,7 @@ def main():
                                else lv)
 
         cdt = jnp.bfloat16 if args.bf16 else None
+        _progress("building operators")
         one_apply = sumfac.make_local_laplacian_operator(
             ex, Gf, Dhat, backend=backend, precision=args.precision,
             compute_dtype=cdt, vector_layout=vlayout)
@@ -197,9 +213,12 @@ def main():
         u_dL = to_local(
             np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0))
         bL = to_local(prob._b)
+        _progress("computing r_cg (first compile)")
         r_cg = jax.jit(
             lambda f, b, u: jnp.where(f, b - one_apply(u), 0.0))(
                 free, bL, u_dL)
+        r_cg.block_until_ready()
+        _progress("r_cg done")
 
         if args.cg_mode != "plain":
             if not transposed:
@@ -293,7 +312,9 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    _progress("apply_chain warmup (compile)")
     apply_chain(vec0, reps, A_consts, d_consts).block_until_ready()
+    _progress("apply_chain timing")
     t_n = time_chain(reps)
     t_2n = time_chain(2 * reps)
     # if the differenced time is within timing noise of zero (a few % of
@@ -315,6 +336,7 @@ def main():
     gbps = bytes_per_apply / t_apply / 1e9
 
     # reference-style numpy baseline on a subsample
+    _progress("numpy baseline")
     n_sample = min(E, 256)
     t_np = numpy_reference_apply(
         u_global, disc.gather_nodes,
@@ -342,8 +364,10 @@ def main():
             return cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters,
                       dot=dot, dot_weight=dw, block=cg_iters)
 
+    _progress("cg warmup (compile)")
     res = run_cg()
     res.x.block_until_ready()
+    _progress("cg timing")
     t0 = time.perf_counter()
     res = run_cg()
     res.x.block_until_ready()

@@ -176,26 +176,54 @@ class Discretization:
 
     # -- boundary face geometry -------------------------------------------------
 
-    def face_geometry(self, boundary_name: str) -> mp.FaceGeometry:
-        """Batched CCW-oriented face geometry for a named boundary (cached)."""
+    def face_geometry_groups(self, boundary_name: str) -> list:
+        """CCW face-geometry batches for a named boundary (cached).
+
+        One :class:`..core.mapping.FaceGeometry` per face-length group: on
+        anisotropic cells (shape[0] != shape[1]) a boundary can mix faces
+        of both node counts, which cannot share one (k, m) batch.
+        Isotropic boundaries yield a single group.
+        """
         if boundary_name not in self._face_geoms:
             pairs = self.mesh.boundary_faces(boundary_name)
-            self._face_geoms[boundary_name] = mp.face_geometry(
-                self.map_basis, self.x_coeffs, self.J,
-                pairs[:, 0], pairs[:, 1],
-            )
+            # group faces by their node count (face f along axis a has
+            # shape[1 - a] nodes)
+            lengths = np.asarray(
+                [mp.subface_index_array(f, self.shape).size
+                 for f in range(4)])
+            groups = []
+            for ln in np.unique(lengths[pairs[:, 1]]) if pairs.size else []:
+                sel = lengths[pairs[:, 1]] == ln
+                groups.append(mp.face_geometry(
+                    self.map_basis, self.x_coeffs, self.J,
+                    pairs[sel, 0], pairs[sel, 1],
+                ))
+            self._face_geoms[boundary_name] = groups
         return self._face_geoms[boundary_name]
 
-    def face_global_nodes(self, boundary_name: str) -> np.ndarray:
-        """(k, m) global node indices along each face of a boundary."""
-        fg = self.face_geometry(boundary_name)
+    def face_geometry(self, boundary_name: str) -> mp.FaceGeometry:
+        """Single-batch face geometry (uniform face length boundaries)."""
+        groups = self.face_geometry_groups(boundary_name)
+        if len(groups) != 1:
+            raise NotImplementedError(
+                f"boundary {boundary_name!r} mixes face node counts "
+                f"(anisotropic cells); use face_geometry_groups")
+        return groups[0]
+
+    def _face_nodes_of(self, fg: mp.FaceGeometry) -> np.ndarray:
         return np.take_along_axis(
             self.gather_nodes[fg.cells], fg.local_ind, axis=1
         )
 
+    def face_global_nodes(self, boundary_name: str) -> np.ndarray:
+        """(k, m) global node indices along each face of a boundary."""
+        return self._face_nodes_of(self.face_geometry(boundary_name))
+
     def boundary_node_set(self, *boundary_names: str) -> np.ndarray:
         """Sorted unique global node indices on the named boundaries."""
-        idx = [self.face_global_nodes(n).ravel() for n in boundary_names]
+        idx = [self._face_nodes_of(fg).ravel()
+               for n in boundary_names
+               for fg in self.face_geometry_groups(n)]
         return np.unique(np.concatenate(idx)) if idx else np.zeros(0, np.int64)
 
     # -- geometric factors for common operators ---------------------------------

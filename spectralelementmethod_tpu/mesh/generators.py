@@ -55,9 +55,9 @@ def structured_patch_mesh(
     ----------
     u_corners, v_corners : array
         Cell-corner values of the two patch parameters (lengths nx+1, ny+1).
-    order : int
-        Geometric polynomial order of each cell (cells have
-        ``(order+1)**2`` nodes).
+    order : int | (int, int)
+        Geometric polynomial order of each cell per axis (cells have
+        ``(p0+1)*(p1+1)`` nodes).
     coord_map : callable
         ``coord_map(U, V) -> (x, y)`` mapping patch parameters to physical
         coordinates (vectorized).
@@ -69,27 +69,30 @@ def structured_patch_mesh(
     u_corners = np.asarray(u_corners, dtype=np.float64)
     v_corners = np.asarray(v_corners, dtype=np.float64)
     nx, ny = u_corners.size - 1, v_corners.size - 1
-    p = order
+    # per-axis geometric orders (anisotropic cells: (p0, p1) tuple —
+    # reference tensor bases are anisotropic throughout,
+    # sem/basis_functions.py:683-697)
+    p0, p1 = (order, order) if np.isscalar(order) else order
 
-    u = _patch_param_1d(u_corners, p)
-    v = _patch_param_1d(v_corners, p)
+    u = _patch_param_1d(u_corners, p0)
+    v = _patch_param_1d(v_corners, p1)
     U, V = np.meshgrid(u, v, indexing="ij")
     x, y = coord_map(U, V)
 
     mesh = Mesh(2)
     mesh.set_nodes(np.stack([x.ravel(), y.ravel()]))
-    geometry = Quadrilateral(p + 1, p + 1)
+    geometry = Quadrilateral(p0 + 1, p1 + 1)
     gid = mesh.add_geometry(geometry)
     rid = mesh.new_region(region)
 
     # all element node maps at once: cell (i, j) covers global grid rows
-    # i*p..i*p+p and columns j*p..j*p+p (cell numbering: i * ny + j)
+    # i*p0..i*p0+p0 and columns j*p1..j*p1+p1 (cell numbering: i * ny + j)
     glob = np.arange(u.size * v.size).reshape(u.size, v.size)
-    i0 = (np.arange(nx) * p)[:, None, None, None]
-    j0 = (np.arange(ny) * p)[None, :, None, None]
-    ii = i0 + np.arange(p + 1)[None, None, :, None]
-    jj = j0 + np.arange(p + 1)[None, None, None, :]
-    node_maps = glob[ii, jj].reshape(nx * ny, p + 1, p + 1)
+    i0 = (np.arange(nx) * p0)[:, None, None, None]
+    j0 = (np.arange(ny) * p1)[None, :, None, None]
+    ii = i0 + np.arange(p0 + 1)[None, None, :, None]
+    jj = j0 + np.arange(p1 + 1)[None, None, None, :]
+    node_maps = glob[ii, jj].reshape(nx * ny, p0 + 1, p1 + 1)
     mesh.add_cells(node_maps, gid, rid)
 
     mesh.find_neighbors()

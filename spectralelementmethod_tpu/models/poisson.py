@@ -78,7 +78,7 @@ class BoundaryConditionMixin:
     def set_dirichlet(self, boundary_name: str, value) -> None:
         """Essential BC u = g(x, y) on a named boundary."""
         g = _as_callable(value)
-        nodes = self.disc.face_global_nodes(boundary_name).ravel()
+        nodes = self.disc.boundary_node_set(boundary_name)
         x = self.x_nodes[:, nodes]
         self._dirichlet_mask[nodes] = True
         self._dirichlet_vals[nodes] = g(x[0], x[1])
@@ -87,15 +87,16 @@ class BoundaryConditionMixin:
         """Natural BC: adds the contour integral ∫ g v dS to the RHS.
 
         Homogeneous Neumann needs no call (it is the do-nothing BC, as in
-        ``examples/poisson.py:141-143``).
+        ``examples/poisson.py:141-143``).  Anisotropic cells split the
+        boundary into per-face-length batches.
         """
         g = _as_callable(value)
         disc = self.disc
-        fg = disc.face_geometry(boundary_name)
-        gvals = g(fg.x[:, 0], fg.x[:, 1])  # (k, m)
-        contrib = gvals * fg.dSxW
-        gidx = disc.face_global_nodes(boundary_name)
-        np.add.at(self._neumann, gidx.ravel(), contrib.ravel())
+        for fg in disc.face_geometry_groups(boundary_name):
+            gvals = g(fg.x[:, 0], fg.x[:, 1])  # (k, m)
+            contrib = gvals * fg.dSxW
+            gidx = disc._face_nodes_of(fg)
+            np.add.at(self._neumann, gidx.ravel(), contrib.ravel())
 
 
 class Poisson(BoundaryConditionMixin):
@@ -242,9 +243,7 @@ class Poisson(BoundaryConditionMixin):
             self._op_cache = {}
 
         if vector_layout == "auto":
-            vector_layout = (
-                "ne" if isinstance(ex, RollExchange) and precond == "jacobi"
-                else "en")
+            vector_layout = "ne" if isinstance(ex, RollExchange) else "en"
         transposed = vector_layout == "ne"
 
         def to_local(u_global):
@@ -293,14 +292,12 @@ class Poisson(BoundaryConditionMixin):
         if precond == "fdm":
             from ..solver.fdm import make_fdm_preconditioner
 
-            if transposed:
-                raise NotImplementedError(
-                    "fdm preconditioner requires vector_layout='en'")
-            M = self._op_cache.get(("M", "fdm"))
+            M = self._op_cache.get(("M", "fdm", vector_layout))
             if M is None:
-                M = self._op_cache[("M", "fdm")] = make_fdm_preconditioner(
-                    ex, self._G, disc.basis, free_local, dtype=self.dtype
-                )
+                M = self._op_cache[("M", "fdm", vector_layout)] = (
+                    make_fdm_preconditioner(
+                        ex, self._G, disc.basis, free_local,
+                        dtype=self.dtype, vector_layout=vector_layout))
         else:
             M = self._op_cache.get(("M", "jacobi", vector_layout))
             if M is None:

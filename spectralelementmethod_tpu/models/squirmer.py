@@ -416,7 +416,7 @@ class SphereWithSlipVel:
         of identity, so a handful of iterations reach f64 accuracy.
         Returns the assembled global Newton update (n_nodes, 2).
         """
-        from ..solver.gmres import _euclidean_dot, _gmres_cycle
+        from ..solver.gmres import _euclidean_dot, _gmres_cycles
 
         disc = self.disc
         p1, nd = self.p1, 2 * disc.n_loc
@@ -472,35 +472,51 @@ class SphereWithSlipVel:
             out = jnp.zeros_like(v).at[gdof.reshape(-1)].add(Av.reshape(-1))
             return jnp.where(free_dof, out, v)
 
-        def Mpre(r, lmat32, free_ext, free_dof):
-            # local rhs whose DSS assembly equals r (1/multiplicity split)
+        def Mpre(r, facs, free_dof):
+            # local rhs whose DSS assembly equals r (1/multiplicity split);
+            # facs: per-Newton-step SchurFactors — the pipeline is
+            # factored ONCE per step (schur_factor), so every Krylov
+            # vector costs only triangular solves + small matmuls
+            # (re-factorizing per vector dominated the Newton wall-clock:
+            # warm solve 13 s -> ~1 s on v5e)
             rl = (r[gdof] * wdof).astype(jnp.float32)
-            x_ext, x_loc = sc.schur_solve(lmat32, rl, csys, free_ext)
+            x_ext, x_loc = sc.schur_apply(facs, rl, csys)
             dx = jnp.zeros(r.shape, jnp.float32).at[ext_gdof].set(x_ext)
             dx = dx.at[int_gdof].set(x_loc[:, ne_ldof:].reshape(-1))
             return jnp.where(free_dof, dx.astype(r.dtype), r)
 
-        cycle = _gmres_cycle(Jv, Mpre, _euclidean_dot, int(restart))
+        cycles = _gmres_cycles(Jv, Mpre, _euclidean_dot, int(restart))
 
         @jax.jit
-        def prelude(bg, lmat32, free_ext, free_dof):
-            Mb = Mpre(bg, lmat32, free_ext, free_dof)
+        def factor(lmat, free_ext):
+            return sc.schur_factor(lmat.astype(jnp.float32), csys, free_ext)
+
+        @jax.jit
+        def prelude(bg, facs, free_dof):
+            Mb = Mpre(bg, facs, free_dof)
             return jnp.sqrt(jnp.real(jnp.vdot(Mb, Mb)))
 
         def step(soln_global, n_rey, cint, free_ext):
             lmat, bg, free_dof = assemble(
                 soln_global, jnp.asarray(n_rey, self.dtype), cint, free_ext)
-            lmat32 = lmat.astype(jnp.float32)
+            facs = factor(lmat, free_ext)
             A_c = (lmat, free_dof)
-            M_c = (lmat32, free_ext, free_dof)
+            M_c = (facs, free_dof)
             stop = gmres_tol * float(prelude(bg, *M_c))
             stop_d = jnp.asarray(stop, bg.dtype)
             x = jnp.zeros_like(bg)
-            for _ in range(max_restarts):
-                x, rnorm, _its = cycle(x, bg, stop_d, A_c, M_c, ())
-                if float(rnorm) <= stop:
-                    break
-            else:
+            # batched restart ladder: k cycles per dispatch with
+            # device-side freeze — one host sync per batch instead of one
+            # per restart cycle (the cg block-ladder treatment)
+            issued, batch, done, rnorm = 0, 2, False, None
+            while issued < max_restarts and not done:
+                k = min(batch, max_restarts - issued)
+                x, rnorm, _its, done_d = cycles(
+                    k, x, bg, stop_d, A_c, M_c, ())
+                issued += k
+                done = bool(done_d)
+                batch = min(batch * 2, 16)
+            if not done:
                 # an unconverged correction silently degrades Newton's
                 # quadratic convergence — make the budget exhaustion loud
                 _log.warning(

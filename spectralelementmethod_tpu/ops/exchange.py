@@ -33,19 +33,21 @@ import numpy as np
 class LocalExchange:
     """Precomputed DSS-exchange structure for a Discretization.
 
-    Requires a conforming single-geometry quad mesh with square node grids
-    (``shape[0] == shape[1]``, the common case; the reference's meshes are
-    all square-shaped too).
+    Requires a conforming single-geometry quad mesh.  Anisotropic node
+    grids (``shape[0] != shape[1]``, the reference's tensor bases are
+    anisotropic throughout — ``sem/basis_functions.py:683-697``) are
+    supported: the four hierarchical edge slots then have per-slot
+    lengths ``[m1-2, m1-2, m0-2, m0-2]`` and face pairs must connect
+    equal-length slots (guaranteed on a conforming mesh of one geometry).
+    The structured :class:`RollExchange` fast path and the fused Pallas
+    kernels remain square-only; ``make_exchange`` routes anisotropic
+    meshes here.
     """
 
     def __init__(self, disc, pad_to: int | None = None,
                  layout: str = "edges-first"):
         geometry = disc.geometry
         m0, m1 = disc.shape
-        if m0 != m1:
-            raise NotImplementedError(
-                "local exchange requires square cell node grids"
-            )
         self.disc = disc
         E = disc.E
         #: padded element count (>= disc.E) — pad rows are inert no-op
@@ -53,12 +55,21 @@ class LocalExchange:
         Ep = E if pad_to is None else int(pad_to)
         if Ep < E:
             raise ValueError(f"pad_to={Ep} < E={E}")
-        m = m0
-        self.E, self.m = Ep, m
+        self.E, self.m = Ep, m0
         self.E_real = E
         self.n_loc = disc.n_loc
-        self.ne = m - 2                      # edge-interior nodes per face
-        self.n_edge_block = 4 * self.ne
+        self.is_square = m0 == m1
+        #: edge-interior nodes per face slot, hierarchical edge order
+        #: (faces normal to axis 0 first — they run along axis 1)
+        self.edge_len = (m1 - 2, m1 - 2, m0 - 2, m0 - 2)
+        #: per-slot offsets within the edge block
+        self.edge_off = tuple(
+            int(o) for o in np.concatenate(
+                [[0], np.cumsum(self.edge_len[:-1])]))
+        #: square-grid convenience (slot-uniform length); None when
+        #: anisotropic — square-only consumers must check is_square
+        self.ne = m0 - 2 if self.is_square else None
+        self.n_edge_block = int(sum(self.edge_len))
 
         # local node order: blocks at lane-aligned offsets.  "edges-first"
         # = [edge interiors | vertices | cell interior] so every exchange
@@ -91,31 +102,42 @@ class LocalExchange:
         has_nb = np.zeros((Ep, 4), dtype=bool)
         flip = np.zeros((Ep, 4), dtype=bool)
 
-        if self.ne > 0:
-            edge_nodes = self.gather_hier[
-                :, self.off_edge:self.off_edge + self.n_edge_block
-            ].reshape(Ep, 4, self.ne)
-        else:
-            edge_nodes = np.zeros((Ep, 4, 0), dtype=np.int64)
+        def slot_nodes(e_idx, f_idx):
+            """Global node ids of the edge-interior nodes of slots (e, f)
+            sharing one slot id f (so one static length)."""
+            o = self.off_edge + self.edge_off[f_idx]
+            return self.gather_hier[e_idx, o:o + self.edge_len[f_idx]]
 
         pairs = disc.mesh.face_pairs()
         if pairs.size:
             i, fi, j, fj = pairs.T
-            if self.ne > 0:
-                mine = edge_nodes[i, fi]          # (P, ne)
-                theirs = edge_nodes[j, fj]
-                same = np.all(mine == theirs, axis=1)
-                rev = np.all(mine == theirs[:, ::-1], axis=1)
-                bad = ~(same | rev)
-                if np.any(bad):
-                    b = int(np.nonzero(bad)[0][0])
-                    raise ValueError(
-                        f"faces ({i[b]},{fi[b]})<->({j[b]},{fj[b]}) are "
-                        f"not conforming"
-                    )
-                fl = rev & ~same
-                flip[i, fi] = fl
-                flip[j, fj] = fl
+            bad_len = np.asarray(self.edge_len)[fi] != np.asarray(
+                self.edge_len)[fj]
+            if np.any(bad_len):
+                b = int(np.nonzero(bad_len)[0][0])
+                raise ValueError(
+                    f"faces ({i[b]},{fi[b]})<->({j[b]},{fj[b]}) have "
+                    f"different node counts (non-conforming orders)")
+            # conformity + orientation per (fi, fj) slot combination
+            # (slots fix the static slice length)
+            for f_a in range(4):
+                for f_b in range(4):
+                    sel = (fi == f_a) & (fj == f_b)
+                    if not np.any(sel) or self.edge_len[f_a] == 0:
+                        continue
+                    mine = slot_nodes(i[sel], f_a)
+                    theirs = slot_nodes(j[sel], f_b)
+                    same = np.all(mine == theirs, axis=1)
+                    rev = np.all(mine == theirs[:, ::-1], axis=1)
+                    bad = ~(same | rev)
+                    if np.any(bad):
+                        b = int(np.nonzero(bad)[0][0])
+                        raise ValueError(
+                            f"faces ({i[sel][b]},{f_a})<->"
+                            f"({j[sel][b]},{f_b}) are not conforming")
+                    fl = rev & ~same
+                    flip[i[sel], f_a] = fl
+                    flip[j[sel], f_b] = fl
             nb_lin[i * 4 + fi] = j * 4 + fj
             nb_lin[j * 4 + fj] = i * 4 + fi
             has_nb[i, fi] = True
@@ -128,6 +150,38 @@ class LocalExchange:
         self.nb_lin = jnp.asarray(nb_lin)
         self.has_nb = jnp.asarray(has_nb[..., None])      # (E, 4, 1)
         self.flip = jnp.asarray(flip[..., None])          # (E, 4, 1)
+
+        # ---- node-level edge-exchange gather ------------------------------
+        # recv index: for edge-interior column c of element e, the flat
+        # (element, column) position of the partner copy (self when no
+        # neighbor); orientation flips are folded into the index.  One
+        # flat gather then serves any (an)isotropic slot layout.
+        cols = np.arange(self.n_loc, dtype=np.int64)
+        recv_col = np.tile(cols, (Ep, 1))
+        erow = np.arange(Ep, dtype=np.int64)[:, None]
+        recv_row = np.tile(erow, (1, self.n_loc))
+        for f in range(4):
+            l_f = self.edge_len[f]
+            if l_f == 0:
+                continue
+            o = self.off_edge + self.edge_off[f]
+            nb = nb_lin[np.arange(Ep) * 4 + f]
+            j_e, j_f = nb // 4, nb % 4
+            # partner slot offset per element (same length by conformity)
+            o_j = (self.off_edge
+                   + np.asarray(self.edge_off, dtype=np.int64)[j_f])
+            t = np.arange(l_f, dtype=np.int64)[None, :]
+            t_j = np.where(flip[:, f][:, None], l_f - 1 - t, t)
+            recv_row[:, o:o + l_f] = j_e[:, None]
+            recv_col[:, o:o + l_f] = o_j[:, None] + t_j
+        oe, neb = self.off_edge, self.n_edge_block
+        self._edge_recv_flat = jnp.asarray(
+            (recv_row * self.n_loc + recv_col)[:, oe:oe + neb].reshape(-1))
+        edge_mask = np.zeros((Ep, neb), dtype=bool)
+        for f in range(4):
+            o = self.edge_off[f]
+            edge_mask[:, o:o + self.edge_len[f]] = has_nb[:, f][:, None]
+        self._edge_recv_mask = jnp.asarray(edge_mask)
 
         # ---- vertex numbering --------------------------------------------
         # pad-row vertex copies get fresh singleton ids so they never join
@@ -145,10 +199,10 @@ class LocalExchange:
         # ---- multiplicity weights (host-side: a device round-trip here
         # costs minutes through a remote-TPU tunnel) -----------------------
         mult = np.ones((Ep, self.n_loc))
-        if self.ne > 0:
+        if self.n_edge_block > 0:
             # edge-interior nodes of faces with a neighbor appear twice
             mult[:, self.off_edge:self.off_edge + self.n_edge_block] += (
-                np.repeat(has_nb, self.ne, axis=1)
+                np.repeat(has_nb, self.edge_len, axis=1)
             )
         vert_counts = np.bincount(inv, minlength=self.n_vertices)
         mult[:, self.off_vert:self.off_vert + 4] = (
@@ -196,17 +250,16 @@ class LocalExchange:
 
     def _dss_2d(self, vL):
         E, n = vL.shape
-        ne, neb = self.ne, self.n_edge_block
+        neb = self.n_edge_block
 
         oe, ov = self.off_edge, self.off_vert
-        if ne > 0:
-            F = vL[:, oe:oe + neb].reshape(E * 4, ne)
-            recv = F[self.nb_lin]                       # (E*4, ne)
-            recv = recv.reshape(E, 4, ne)
-            recv = jnp.where(self.flip, jnp.flip(recv, axis=2), recv)
-            recv = jnp.where(self.has_nb, recv, 0.0)
-            edges = F.reshape(E, 4, ne) + recv
-            vL = vL.at[:, oe:oe + neb].set(edges.reshape(E, neb))
+        if neb > 0:
+            # node-level partner gather (index folds slot layout + flips;
+            # handles anisotropic slot lengths uniformly)
+            recv = vL.reshape(-1)[self._edge_recv_flat].reshape(E, neb)
+            edges = vL[:, oe:oe + neb] + jnp.where(
+                self._edge_recv_mask, recv, 0.0)
+            vL = vL.at[:, oe:oe + neb].set(edges)
 
         verts = vL[:, ov:ov + 4].reshape(E * 4)
         summed = jnp.zeros((self.n_vertices,), vL.dtype).at[
@@ -308,6 +361,11 @@ class RollExchange(LocalExchange):
     def __init__(self, disc, pad_to: int | None = None,
                  layout: str = "edges-first"):
         super().__init__(disc, pad_to=pad_to, layout=layout)
+        if not self.is_square:
+            raise NotImplementedError(
+                "RollExchange requires square cell node grids; "
+                "anisotropic meshes use LocalExchange (make_exchange "
+                "routes them there)")
         E, ne = self.E, self.ne
         min_count = max(8, int(self.MIN_CLASS_FRACTION * E))
 
@@ -542,6 +600,10 @@ def make_exchange(disc, threshold: float = 0.25,
     (the kernel targets ~4k-lane tiles — padding tiny meshes to that
     size would dwarf them, and the XLA path is fine there).
     """
+    if disc.shape[0] != disc.shape[1]:
+        # anisotropic orders: generic exchange (roll classes + the fused
+        # kernels assume slot-uniform edge lengths)
+        return LocalExchange(disc, pad_to=pad_to, layout=layout)
     ex = RollExchange(disc, pad_to=pad_to, layout=layout)
     if ex.tail_fraction > threshold:
         return LocalExchange(disc, pad_to=pad_to, layout=layout)

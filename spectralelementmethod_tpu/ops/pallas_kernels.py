@@ -330,7 +330,11 @@ class _AffineFusedPrep:
         cost_full = (2 * t_full[1] / t_full[0]) if t_full else float("inf")
         n_aux = (len({s for _d, s, *_r in far_e}) * self.ne
                  + len({s for _d, s, *_r in far_v}))
-        cost_near = 2 * t_near[1] / t_near[0] + 2.5 * n_aux / self.n
+        # aux factor 1.0 from measurement (p=8, 104k el, v5e): the split
+        # kernel beat the full-halo one 0.365 vs 0.432 ms even where a
+        # 2.5x-priced model said otherwise - the epilogue's 18-row XLA
+        # rolls cost well under one n-row pass
+        cost_near = 2 * t_near[1] / t_near[0] + 1.0 * n_aux / self.n
         return self.NEAR_HB if cost_near < cost_full else None
 
     # ---- in-kernel building blocks (traced inside kernel bodies) --------
@@ -535,7 +539,7 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
 def make_fused_cg_kernels(exchange, Kcat, a, *,
                           precision: str = "high",
                           p_dtype=None,
-                          target_win: int = 3072,
+                          target_win: int = 1536,
                           max_halo="auto",
                           interpret: bool = False):
     """Two Pallas kernels fusing one whole PCG iteration (affine meshes).
@@ -567,7 +571,10 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
 
     ``p_dtype=jnp.bfloat16`` stores the search direction in bf16 (halves
     its HBM traffic; requires ``precision='high'``, where the matmul then
-    needs only the two K-split passes).  x and r always stay float32:
+    needs only the two K-split passes).  ``target_win`` defaults smaller
+    than the plain apply kernel's (1536 vs 4608): kernel A holds ~4x the
+    per-lane VMEM state, and measured throughput at p=8/104k peaks near
+    (TE=1152, Hb=128) - 0.25 ms vs 0.43 ms at the 3072-lane window.  x and r always stay float32:
     Ap' is computed from the *stored* (rounded) p', so the r recurrence
     tracks the x updates exactly and full f32 accuracy is attainable.
 
@@ -587,7 +594,10 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
 
     smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)
-    smem_out = pl.BlockSpec((1, 1), lambda i: (i, 0),
+    # partial-sum outputs: one (G, 1) SMEM array whose FULL shape is the
+    # block (Mosaic only allows blocks equal to the array dims or
+    # 8x128-divisible); each grid step writes its own row via program_id
+    smem_out = pl.BlockSpec((G, 1), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
 
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
@@ -605,7 +615,7 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         S = prep.affine_reduce(a_win, V)
         po_ref[:] = pn_st[:, Hb:Hb + TE]
         apo_ref[:] = prep.roll_dss(S, m_ref)
-        d_ref[0, 0] = jnp.sum(
+        d_ref[pl.program_id(0), 0] = jnp.sum(
             pn_st[:, Hb:Hb + TE].astype(jnp.float32) * S[:, Hb:Hb + TE])
         if aux_ref:
             aux_ref[0][:] = prep.aux_extract(S)
@@ -648,8 +658,9 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         ro_ref[:] = r_new
         w = w_ref[:]
         z = i_ref[:] * r_new
-        rz_ref[0, 0] = jnp.sum(w * r_new * z)
-        rn_ref[0, 0] = jnp.sum(w * r_new * r_new)
+        g = pl.program_id(0)
+        rz_ref[g, 0] = jnp.sum(w * r_new * z)
+        rn_ref[g, 0] = jnp.sum(w * r_new * r_new)
 
     cs_n = prep.center_spec(n)
     b_specs = [cs_n, cs_n, prep.center_spec(n), cs_n, cs_n, cs_n,

@@ -47,7 +47,8 @@ def gll_fdm_eig(nodes: np.ndarray, weights: np.ndarray, D1: np.ndarray):
 
 
 def make_fdm_preconditioner(exchange, G, basis, free_local=None,
-                            dtype=np.float32, shift_rel: float = 1e-8):
+                            dtype=np.float32, shift_rel: float = 1e-8,
+                            vector_layout: str = "en"):
     """Weighted additive-Schwarz FDM preconditioner on L-vectors.
 
     Parameters
@@ -56,8 +57,12 @@ def make_fdm_preconditioner(exchange, G, basis, free_local=None,
         Provides the hierarchical node order, multiplicity weights and dss.
     G : (E, 3, p1, p1) or (E, 3, n) geometric factors [G00, G01, G11].
     basis : TensorProductQS (square shape).
-    free_local : optional (E, n) bool mask (Dirichlet elimination).
+    free_local : optional (E, n) bool mask (Dirichlet elimination) in the
+        same layout as the vectors.
     shift_rel : relative clamp for the singular constant-mode eigenvalue.
+    vector_layout : 'en' for (E, n) L-vectors, 'ne' for transposed (n, E)
+        storage (the production layout — elements in lanes; the two dense
+        transforms become left matmuls and the exchange uses dss_T).
 
     Returns ``M(r)`` mapping a consistent hierarchical L-vector residual to
     the preconditioned residual (symmetric positive definite).
@@ -104,20 +109,41 @@ def make_fdm_preconditioner(exchange, G, basis, free_local=None,
     fwd = fwd[:, hier]                 # accept hier input
     bwd = np.kron(S, S)[hier, :]       # produce hier output
 
-    fwd_d = jnp.asarray(fwd.T.copy(), dtype=dtype)     # (n_hier, n_eig)
-    bwd_d = jnp.asarray(bwd.T.copy(), dtype=dtype)     # (n_eig, n_hier)
-    invD_d = jnp.asarray(invD, dtype=dtype)
-    w_d = exchange.weights.astype(dtype)
+    if vector_layout == "en":
+        fwd_d = jnp.asarray(fwd.T.copy(), dtype=dtype)  # (n_hier, n_eig)
+        bwd_d = jnp.asarray(bwd.T.copy(), dtype=dtype)  # (n_eig, n_hier)
+        invD_d = jnp.asarray(invD, dtype=dtype)
+        w_d = exchange.weights.astype(dtype)
 
-    def M(r):
-        if free_local is not None:
-            r = jnp.where(free_local, r, 0.0)
-        t = (r * w_d) @ fwd_d                  # (E, n) eigen coords
-        t = t * invD_d
-        z = (t @ bwd_d) * w_d
-        z = exchange.dss(z)
-        if free_local is not None:
-            z = jnp.where(free_local, z, 0.0)
-        return z
+        def M(r):
+            if free_local is not None:
+                r = jnp.where(free_local, r, 0.0)
+            t = (r * w_d) @ fwd_d              # (E, n) eigen coords
+            t = t * invD_d
+            z = (t @ bwd_d) * w_d
+            z = exchange.dss(z)
+            if free_local is not None:
+                z = jnp.where(free_local, z, 0.0)
+            return z
+    elif vector_layout == "ne":
+        fwd_d = jnp.asarray(fwd, dtype=dtype)           # (n_eig, n_hier)
+        bwd_d = jnp.asarray(bwd, dtype=dtype)           # (n_hier, n_eig)
+        invD_T = jnp.asarray(np.ascontiguousarray(invD.T), dtype=dtype)
+        w_T = jnp.asarray(
+            np.ascontiguousarray(np.asarray(exchange.weights).T),
+            dtype=dtype)
+
+        def M(r):
+            if free_local is not None:
+                r = jnp.where(free_local, r, 0.0)
+            t = fwd_d @ (r * w_T)              # (n_eig, E)
+            t = t * invD_T
+            z = (bwd_d @ t) * w_T
+            z = exchange.dss_T(z)
+            if free_local is not None:
+                z = jnp.where(free_local, z, 0.0)
+            return z
+    else:
+        raise ValueError(f"unknown vector_layout {vector_layout!r}")
 
     return M

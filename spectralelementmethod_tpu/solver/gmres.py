@@ -72,7 +72,7 @@ def gmres(
     dot_p, dot_c = hoist_closure(dot, b, b)
     A_c, M_c, dot_c = tuple(A_c), tuple(M_c), tuple(dot_c)
 
-    cycle = _gmres_cycle(A_p, M_p, dot_p, int(restart))
+    cycles = _gmres_cycles(A_p, M_p, dot_p, int(restart))
 
     ftype = jnp.result_type(b.dtype, jnp.float32)
     Mb = M_p(b, *M_c)
@@ -80,24 +80,28 @@ def gmres(
     stop = jnp.maximum(jnp.asarray(tol, ftype) * bnorm,
                        jnp.asarray(atol, ftype))
 
+    # geometric ladder of batched cycles (one host sync per batch;
+    # converged state freezes device-side — see _gmres_cycles)
     x = x0
     total_its = 0
     rnorm = None
-    for outer in range(max_restarts):
-        x, rnorm, its = cycle(x, b, stop, A_c, M_c, dot_c)
+    issued, batch, done = 0, 2, False
+    while issued < max_restarts and not done:
+        k = min(batch, max_restarts - issued)
+        x, rnorm, its, done_d = cycles(k, x, b, stop, A_c, M_c, dot_c)
         total_its += int(its)
-        if bool(rnorm <= stop):
-            break
+        issued += k
+        done = bool(done_d)
+        batch = min(batch * 2, 16)
     return GMRESResult(
         x, jnp.asarray(total_its, jnp.int32), rnorm, rnorm <= stop
     )
 
 
 @lru_cache(maxsize=64)
-def _gmres_cycle(A, M, dot, m: int):
-    """One jitted GMRES(m) cycle: Arnoldi + Givens + solution update."""
+def _gmres_cycle_fn(A, M, dot, m: int):
+    """One GMRES(m) cycle (un-jitted): Arnoldi + Givens + update."""
 
-    @jax.jit
     def cycle(x, b, stop, A_c, M_c, dot_c):
         def pdot(u, v):
             return dot(u, v, *dot_c)
@@ -184,3 +188,47 @@ def _gmres_cycle(A, M, dot, m: int):
         return x, rnorm, k
 
     return cycle
+
+
+@lru_cache(maxsize=64)
+def _gmres_cycle(A, M, dot, m: int):
+    """One jitted GMRES(m) cycle."""
+    return jax.jit(_gmres_cycle_fn(A, M, dot, m))
+
+
+@lru_cache(maxsize=64)
+def _gmres_cycles(A, M, dot, m: int):
+    """k restart cycles per dispatch with device-side convergence freeze.
+
+    On remote backends each host convergence check costs a round trip
+    comparable to dozens of device iterations (same economics as the CG
+    block ladder, :func:`.cg.cg`); batching k cycles per jitted call cuts
+    the syncs to O(max_restarts / k).  Converged state short-circuits via
+    ``lax.cond`` — frozen cycles do no Arnoldi work.
+
+    Returns ``cycles(k, x, b, stop, A_c, M_c, dot_c) ->
+    (x, rnorm, total_new_its, done)``.
+    """
+    from functools import partial
+
+    body = _gmres_cycle_fn(A, M, dot, m)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def cycles(k, x, b, stop, A_c, M_c, dot_c):
+        ftype = jnp.result_type(b.dtype, jnp.float32)
+
+        def one(_i, carry):
+            def run(carry):
+                x, _rn, its, _done = carry
+                x2, rn2, dk = body(x, b, stop, A_c, M_c, dot_c)
+                return (x2, rn2, its + dk, rn2 <= stop)
+
+            return jax.lax.cond(carry[3], lambda c: c, run, carry)
+
+        return jax.lax.fori_loop(
+            0, k, one,
+            (x, jnp.asarray(jnp.inf, ftype), jnp.asarray(0, jnp.int32),
+             jnp.asarray(False)),
+        )
+
+    return cycles

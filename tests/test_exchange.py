@@ -338,3 +338,72 @@ class TestTransposedLayout:
         sol_d = prob.solve_local(tol=1e-12)   # device path: dot_weight CG
         assert bool(sol_d.cg.converged)
         np.testing.assert_allclose(sol_d.u, sol_h.u, atol=1e-9)
+
+
+class TestAnisotropicExchange:
+    """m0 != m1 cells: per-slot edge lengths in the generic exchange
+    (VERDICT round-1 item 8; reference bases are anisotropic throughout,
+    sem/basis_functions.py:683-697)."""
+
+    def _disc(self, p0=4, p1=6, nx=4, ny=3):
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh import rectangle_mesh
+
+        mesh = rectangle_mesh(nx, ny, (p0, p1))
+        return Discretization(mesh, gll_basis_2d(p0, p1))
+
+    def test_make_exchange_routes_to_local(self):
+        from spectralelementmethod_tpu.ops.exchange import (
+            LocalExchange, RollExchange, make_exchange)
+
+        disc = self._disc()
+        ex = make_exchange(disc)
+        assert isinstance(ex, LocalExchange)
+        assert not isinstance(ex, RollExchange)
+        assert not ex.is_square and ex.ne is None
+        assert ex.edge_len == (5, 5, 3, 3)      # (m1-2, m1-2, m0-2, m0-2)
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError, match="square"):
+            RollExchange(disc)
+
+    def test_dss_matches_global_scatter(self):
+        """dss == gather(scatter_add(.)) — the defining property."""
+        import jax.numpy as jnp
+        from spectralelementmethod_tpu.ops.exchange import make_exchange
+
+        disc = self._disc()
+        ex = make_exchange(disc)
+        rng = np.random.RandomState(0)
+        v = rng.standard_normal((ex.E, ex.n_loc))
+        got = np.asarray(ex.dss(jnp.asarray(v)))
+        # reference result via global scatter-add in the same node order
+        glob = np.zeros(disc.n_nodes)
+        np.add.at(glob, ex.gather_hier.ravel(), v.ravel())
+        expect = glob[ex.gather_hier]
+        np.testing.assert_allclose(got, expect, atol=1e-12)
+
+    def test_weighted_dot_matches_global(self):
+        import jax.numpy as jnp
+        from spectralelementmethod_tpu.ops.exchange import make_exchange
+
+        disc = self._disc()
+        ex = make_exchange(disc)
+        rng = np.random.RandomState(1)
+        ug = rng.standard_normal(disc.n_nodes)
+        vg = rng.standard_normal(disc.n_nodes)
+        uL = jnp.asarray(ex.local_from_global(ug))
+        vL = jnp.asarray(ex.local_from_global(vg))
+        assert abs(float(ex.dot(uL, vL)) - float(ug @ vg)) < 1e-10
+
+    def test_solve_local_anisotropic(self):
+        """Full L-vector CG solve on a (4, 6) mesh == global-vector solve."""
+        from spectralelementmethod_tpu.models.poisson import Poisson
+
+        disc = self._disc()
+        prob = Poisson(disc, dtype=np.float64)
+        prob.set_dirichlet("ebc", lambda x, y: 0.1 * (x + y))
+        sol_g = prob.solve(tol=1e-12, host_loop=True)
+        sol_l = prob.solve_local(tol=1e-12, host_loop=True)
+        np.testing.assert_allclose(sol_l.u, sol_g.u, atol=1e-9)

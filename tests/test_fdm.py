@@ -60,3 +60,37 @@ def test_fdm_accelerates_poisson():
     s_f = run("fdm")
     assert int(s_f.cg.iterations) < 0.7 * int(s_j.cg.iterations)
     np.testing.assert_allclose(s_f.u, s_j.u, atol=1e-8)
+
+
+def test_fdm_ne_layout_matches_en():
+    """Transposed-storage FDM == (E, n) FDM: same effect, same counts."""
+    p = 6
+    disc = Discretization(rectangle_mesh(8, 8, p), gll_basis_2d(p))
+
+    def run(layout):
+        prob = Poisson(disc, dtype=np.float64)
+        prob.set_dirichlet("ebc", 0.0)
+        return prob.solve_local(tol=1e-10, host_loop=True, precond="fdm",
+                                vector_layout=layout)
+
+    s_en = run("en")
+    s_ne = run("ne")
+    np.testing.assert_allclose(s_ne.u, s_en.u, atol=1e-9)
+    assert abs(int(s_ne.cg.iterations) - int(s_en.cg.iterations)) <= 2
+
+    # and the operator application itself agrees on random residuals
+    prob = Poisson(disc, dtype=np.float64)
+    prob.set_dirichlet("ebc", 0.0)
+    ex = make_exchange(disc)
+    free_en = jnp.asarray((~prob._dirichlet_mask)[ex.gather_hier])
+    free_ne = jnp.asarray(np.ascontiguousarray(np.asarray(free_en).T))
+    M_en = make_fdm_preconditioner(ex, prob._G, disc.basis, free_en,
+                                   dtype=np.float64)
+    M_ne = make_fdm_preconditioner(ex, prob._G, disc.basis, free_ne,
+                                   dtype=np.float64, vector_layout="ne")
+    rng = np.random.RandomState(1)
+    r = np.asarray(ex.dss(jnp.asarray(
+        rng.standard_normal((ex.E, ex.n_loc)))))
+    z_en = np.asarray(M_en(jnp.asarray(r)))
+    z_ne = np.asarray(M_ne(jnp.asarray(np.ascontiguousarray(r.T))))
+    np.testing.assert_allclose(z_ne.T, z_en, atol=1e-12)

@@ -102,3 +102,44 @@ def test_gmres_advection_diffusion_operator():
     # verify by residual: ||A x - b|| small
     rfinal = np.asarray(A(res.x) - bL)
     assert np.abs(rfinal).max() < 1e-6 * max(np.abs(np.asarray(bL)).max(), 1)
+
+
+def test_batched_cycles_match_sequential():
+    """_gmres_cycles(k) == k sequential _gmres_cycle calls + early freeze."""
+    import jax.numpy as jnp
+    from spectralelementmethod_tpu.solver.gmres import (
+        _euclidean_dot, _gmres_cycle, _gmres_cycles)
+    from spectralelementmethod_tpu.utils.hoist import hoist_closure
+
+    rng = np.random.RandomState(0)
+    n = 60
+    Amat = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+
+    def A(v, Ac):
+        return Ac @ v
+
+    def M(r):
+        return r
+
+    A_c = (jnp.asarray(Amat),)
+    bd = jnp.asarray(b)
+    stop = jnp.asarray(1e-10 * np.linalg.norm(b))
+    m = 10
+    M_p, M_c = hoist_closure(M, bd)
+    cycle = _gmres_cycle(A, M_p, _euclidean_dot, m)
+    cycles = _gmres_cycles(A, M_p, _euclidean_dot, m)
+
+    x_seq = jnp.zeros_like(bd)
+    its_seq = 0
+    for _ in range(4):
+        x_seq, rn_seq, k = cycle(x_seq, bd, stop, A_c, tuple(M_c), ())
+        its_seq += int(k)
+        if bool(rn_seq <= stop):
+            break
+    x_bat, rn_bat, its_bat, done = cycles(4, jnp.zeros_like(bd), bd, stop,
+                                          A_c, tuple(M_c), ())
+    np.testing.assert_allclose(np.asarray(x_bat), np.asarray(x_seq),
+                               rtol=1e-10, atol=1e-12)
+    assert int(its_bat) == its_seq
+    assert bool(done) == bool(rn_seq <= stop)

@@ -188,3 +188,63 @@ class TestMixedPrecisionSolver:
         np.testing.assert_allclose(sq_m.soln, sq_d.soln, atol=1e-8)
         f_d, f_m = sq_d.calc_force(), sq_m.calc_force()
         assert abs(f_m - f_d) < 1e-8
+
+
+class TestSchurFactorApply:
+    """schur_factor + schur_apply == schur_solve on the same system."""
+
+    def test_matches_schur_solve(self):
+        import jax.numpy as jnp
+        from spectralelementmethod_tpu.solver import condensation as sc
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh import rectangle_mesh
+
+        mesh = rectangle_mesh(3, 2, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        csys = sc.build_condensed_indexing(disc, dofs_per_node=2)
+        E = disc.E
+        nd = 2 * disc.n_loc
+        rng = np.random.RandomState(0)
+        # well-conditioned SPD-ish local systems
+        B = rng.standard_normal((E, nd, nd)).astype(np.float32)
+        lmat = jnp.asarray(B @ np.swapaxes(B, 1, 2)
+                           + 10 * nd * np.eye(nd, dtype=np.float32))
+        free = np.ones(csys.n_ext_dofs, bool)
+        free[:5] = False
+        free_d = jnp.asarray(free)
+        facs = sc.schur_factor(lmat, csys, free_d)
+        for seed in (1, 2):
+            lrhs = jnp.asarray(rng.standard_normal((E, nd))
+                               .astype(np.float32))
+            xe0, xl0 = sc.schur_solve(lmat, lrhs, csys, free_d)
+            xe1, xl1 = sc.schur_apply(facs, lrhs, csys)
+            np.testing.assert_allclose(np.asarray(xe1), np.asarray(xe0),
+                                       rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(xl1), np.asarray(xl0),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_rhs_extra(self):
+        import jax.numpy as jnp
+        from spectralelementmethod_tpu.solver import condensation as sc
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh import rectangle_mesh
+
+        mesh = rectangle_mesh(2, 2, 2)
+        disc = Discretization(mesh, gll_basis_2d(2))
+        csys = sc.build_condensed_indexing(disc, dofs_per_node=1)
+        E, nd = disc.E, disc.n_loc
+        rng = np.random.RandomState(3)
+        B = rng.standard_normal((E, nd, nd))
+        lmat = jnp.asarray(B @ np.swapaxes(B, 1, 2) + 10 * nd * np.eye(nd))
+        lrhs = jnp.asarray(rng.standard_normal((E, nd)))
+        extra = jnp.asarray(rng.standard_normal(csys.n_ext_dofs))
+        free_d = jnp.ones(csys.n_ext_dofs, bool)
+        facs = sc.schur_factor(lmat, csys, free_d)
+        xe0, _ = sc.schur_solve(lmat, lrhs, csys, free_d, rhs_extra=extra)
+        xe1, _ = sc.schur_apply(facs, lrhs, csys, rhs_extra=extra)
+        np.testing.assert_allclose(np.asarray(xe1), np.asarray(xe0),
+                                   rtol=1e-9, atol=1e-10)

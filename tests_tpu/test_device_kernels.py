@@ -1,0 +1,99 @@
+"""Real-Mosaic kernel equivalence tests (TPU hardware only).
+
+Mirrors the interpret-mode tests in tests/test_pallas_kernels.py and
+tests/test_cg_fused.py on the actual device — Mosaic-specific lowering
+regressions (layouts, SMEM scalar outputs, VMEM budgets) do not reproduce
+in the interpreter.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spectralelementmethod_tpu.basis import gll_basis_2d
+from spectralelementmethod_tpu.core.discretization import Discretization
+from spectralelementmethod_tpu.mesh import rectangle_mesh
+from spectralelementmethod_tpu.models.poisson import Poisson
+from spectralelementmethod_tpu.ops import sumfac
+from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+
+@pytest.fixture(scope="module")
+def pieces():
+    p = 8
+    mesh = rectangle_mesh(16, 8, p)          # E=128: one lane tile
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    ex = RollExchange(disc)
+    Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(Gf, W)
+    assert exact
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    A_xla = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, vector_layout="ne", backend="xla")
+    rng = np.random.RandomState(0)
+    u = ex.dss_T(jnp.asarray(
+        rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32)))
+    return ex, Kcat, a, A_xla, u, prob
+
+
+def test_fused_apply_matches_xla_on_device(pieces):
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        make_fused_affine_laplacian_T)
+
+    ex, Kcat, a, A_xla, u, _ = pieces
+    fused = make_fused_affine_laplacian_T(ex, Kcat, a)
+    got = np.asarray(fused(u))
+    expect = np.asarray(A_xla(u))
+    scale = np.abs(expect).max()
+    assert np.abs(got - expect).max() / scale < 1e-5
+
+
+def test_fused_apply_high_precision_on_device(pieces):
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        make_fused_affine_laplacian_T)
+
+    ex, Kcat, a, A_xla, u, _ = pieces
+    h3 = make_fused_affine_laplacian_T(ex, Kcat, a, precision="high")
+    expect = np.asarray(A_xla(u))
+    scale = np.abs(expect).max()
+    assert np.abs(np.asarray(h3(u)) - expect).max() / scale < 1e-4
+
+
+def test_fused_cg_kernels_on_device(pieces):
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        make_fused_cg_kernels)
+
+    ex, Kcat, a, A_xla, u, _ = pieces
+    kA, kB, G = make_fused_cg_kernels(ex, Kcat, a, precision="highest")
+    inv = jnp.ones_like(u)
+    p_new, Ap, dparts = kA(u, jnp.zeros_like(u), inv, 0.0)
+    expect = np.asarray(A_xla(u))            # p' = 1*u + 0
+    scale = np.abs(expect).max()
+    assert np.abs(np.asarray(Ap) - expect).max() / scale < 1e-5
+    denom = float(jnp.sum(dparts))
+    expect_denom = float(ex.dot_T(u, jnp.asarray(expect)))
+    assert abs(denom - expect_denom) / abs(expect_denom) < 1e-4
+
+    w = jnp.ones_like(u)
+    x = jnp.zeros_like(u)
+    xn, rn, rzp, rn2p = kB(x, u, p_new, Ap, inv, w, 0.25)
+    np.testing.assert_allclose(np.asarray(rn),
+                               np.asarray(u) - 0.25 * np.asarray(Ap),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_solve_local_fused_cg_on_device(pieces):
+    *_rest, prob = pieces
+    sol_plain = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                 cg_kernel="plain")
+    sol_fused = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                 cg_kernel="fused")
+    assert bool(sol_fused.cg.converged)
+    scale = np.abs(sol_plain.u).max()
+    assert np.abs(sol_fused.u - sol_plain.u).max() / scale < 5e-4
