@@ -1,4 +1,4 @@
-"""Binary Gmsh 2.2 mesh import/export.
+"""Binary Gmsh mesh import (2.2 and 4.1) / export (2.2).
 
 Parity target: reference ``sem/grid_importers.py`` (binary-only reader with
 PhysicalNames -> regions/boundaries, structured-dtype node/element blocks,
@@ -114,14 +114,14 @@ def lex_to_spiral_permutation(shape) -> np.ndarray:
 
 
 def load_msh(file_path: str, ndim: int = 2) -> Mesh:
-    """Load a binary Gmsh 2.2 ``.msh`` file.
+    """Load a binary Gmsh ``.msh`` file (format 2.2 or 4.1).
 
     Physical names of dimension ``ndim`` become mesh regions; lower-dim
     physical names become named boundaries whose cells are matched to bulk
     cell faces (parity: ``sem/grid_importers.py:45-68``).
     """
     with open(file_path, "rb") as f:
-        is_binary = _parse_format(f)
+        is_binary, version = _parse_format(f)
         if not is_binary:
             raise NotImplementedError(
                 "Reading ASCII *.msh files is not yet supported. Save the "
@@ -129,22 +129,26 @@ def load_msh(file_path: str, ndim: int = 2) -> Mesh:
             )
         mesh = Mesh(ndim)
         bnd_mesh = Mesh(ndim)
-        region_map, boundary_map = _parse_physical_names(f, mesh, bnd_mesh)
-        _parse_nodes_bin(f, mesh, bnd_mesh)
-        _parse_elements_bin(f, mesh, bnd_mesh, region_map, boundary_map)
+        if version == "2.2":
+            region_map, boundary_map = _parse_physical_names(
+                f, mesh, bnd_mesh)
+            _parse_nodes_bin(f, mesh, bnd_mesh)
+            _parse_elements_bin(f, mesh, bnd_mesh, region_map, boundary_map)
+        else:
+            _load_msh41(f, mesh, bnd_mesh)
 
     mesh.find_neighbors()
     mesh.attach_boundary_mesh(bnd_mesh)
     return mesh
 
 
-def _parse_format(f) -> bool:
+def _parse_format(f) -> tuple[bool, str]:
     if not f.readline().startswith(b"$MeshFormat"):
         raise FileFormatError("Expected 'MeshFormat' data")
     version, is_binary, data_size = f.readline().split()
-    if version != b"2.2":
+    if version not in (b"2.2", b"4.1"):
         raise FileFormatError(
-            f"Expected Gmsh file format 2.2, got {version.decode()}"
+            f"Expected Gmsh file format 2.2 or 4.1, got {version.decode()}"
         )
     if is_binary not in (b"0", b"1"):
         raise FileFormatError("Unable to recognize file format")
@@ -162,7 +166,7 @@ def _parse_format(f) -> bool:
         f.readline()  # trailing newline
     if not f.readline().startswith(b"$EndMeshFormat"):
         raise FileFormatError("Malformed mesh format specification")
-    return is_binary
+    return is_binary, version.decode()
 
 
 def _parse_physical_names(f, mesh: Mesh, bnd_mesh: Mesh):
@@ -261,6 +265,160 @@ def _parse_elements_bin(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
     f.readline()
     if not f.readline().startswith(b"$EndElements"):
         raise FileFormatError("Expected 'Elements' data")
+
+
+# ---------------------------------------------------------------------------
+# MSH 4.1 reader
+# ---------------------------------------------------------------------------
+#
+# Format reference: the published Gmsh 4.1 file-format spec.  Differences
+# from 2.2 that matter here: size_t (8-byte) counts and tags; physical
+# groups attached to *model entities* ($Entities) rather than per-element
+# tag arrays; nodes and elements grouped into per-entity blocks; node tags
+# allowed to be non-consecutive.  Element node ORDER is unchanged, so the
+# spiral->lexicographic conversion is shared.  The reference reads 2.2
+# only (``sem/grid_importers.py:71-101``) — 4.1 is a capability extension.
+
+
+def _read(f, dtype, count):
+    dt = np.dtype(dtype)
+    buf = f.read(dt.itemsize * int(count))
+    if len(buf) != dt.itemsize * int(count):
+        raise FileFormatError("truncated binary section")
+    return np.frombuffer(buf, dtype=dt)
+
+
+def _expect_line(f, token: bytes):
+    line = f.readline()
+    while line in (b"\n", b"\r\n"):
+        line = f.readline()
+    if not line.startswith(token):
+        raise FileFormatError(
+            f"Expected {token.decode()!r}, got {line[:40]!r}")
+    return line
+
+
+def _load_msh41(f, mesh: Mesh, bnd_mesh: Mesh):
+    # $PhysicalNames is optional in 4.1 output
+    pos = f.tell()
+    line = f.readline()
+    f.seek(pos)
+    region_map, boundary_map = {}, {}
+    if line.startswith(b"$PhysicalNames"):
+        region_map, boundary_map = _parse_physical_names(f, mesh, bnd_mesh)
+    ent_phys = _parse_entities_bin41(f)
+    tag2idx = _parse_nodes_bin41(f, mesh, bnd_mesh)
+    _parse_elements_bin41(f, mesh, bnd_mesh, region_map, boundary_map,
+                          ent_phys, tag2idx)
+
+
+def _parse_entities_bin41(f) -> dict:
+    """{(entity_dim, entity_tag): first physical tag or None}."""
+    _expect_line(f, b"$Entities")
+    n_pts, n_crv, n_srf, n_vol = (int(x) for x in _read(f, "<u8", 4))
+    ent_phys: dict[tuple, int | None] = {}
+
+    def read_phys():
+        n = int(_read(f, "<u8", 1)[0])
+        tags = _read(f, "<i4", n)
+        return int(tags[0]) if n else None
+
+    for _ in range(n_pts):
+        tag = int(_read(f, "<i4", 1)[0])
+        _read(f, "<f8", 3)                       # x y z
+        ent_phys[(0, tag)] = read_phys()
+    for dim, count in ((1, n_crv), (2, n_srf), (3, n_vol)):
+        for _ in range(count):
+            tag = int(_read(f, "<i4", 1)[0])
+            _read(f, "<f8", 6)                   # bounding box
+            ent_phys[(dim, tag)] = read_phys()
+            n_bnd = int(_read(f, "<u8", 1)[0])
+            _read(f, "<i4", n_bnd)               # bounding entity tags
+    f.readline()
+    _expect_line(f, b"$EndEntities")
+    return ent_phys
+
+
+def _parse_nodes_bin41(f, mesh: Mesh, bnd_mesh: Mesh) -> np.ndarray:
+    """Read all node blocks; returns tag -> 0-based index lookup."""
+    _expect_line(f, b"$Nodes")
+    n_blocks, n_nodes, _min_tag, max_tag = (
+        int(x) for x in _read(f, "<u8", 4))
+    tags = np.empty(n_nodes, dtype=np.int64)
+    coords = np.empty((n_nodes, 3))
+    at = 0
+    for _ in range(n_blocks):
+        _dim, _etag, parametric = (int(x) for x in _read(f, "<i4", 3))
+        nb = int(_read(f, "<u8", 1)[0])
+        if parametric:
+            raise FileFormatError("parametric node blocks not supported")
+        tags[at:at + nb] = _read(f, "<u8", nb).astype(np.int64)
+        coords[at:at + nb] = _read(f, "<f8", 3 * nb).reshape(nb, 3)
+        at += nb
+    if at != n_nodes:
+        raise FileFormatError("node blocks disagree with numNodes")
+    f.readline()
+    _expect_line(f, b"$EndNodes")
+
+    nodes = np.ascontiguousarray(coords[:, : mesh.ndim].T)
+    mesh.set_nodes(nodes)
+    bnd_mesh.set_nodes(nodes)
+    tag2idx = np.full(max_tag + 1, -1, dtype=np.int64)
+    tag2idx[tags] = np.arange(n_nodes)
+    return tag2idx
+
+
+def _parse_elements_bin41(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
+                          boundary_map, ent_phys, tag2idx):
+    _expect_line(f, b"$Elements")
+    n_blocks, _n_elems, _min, _max = (int(x) for x in _read(f, "<u8", 4))
+    geo_ids: dict[int, tuple] = {}
+
+    for _ in range(n_blocks):
+        dim, etag, elem_type = (int(x) for x in _read(f, "<i4", 3))
+        nb = int(_read(f, "<u8", 1)[0])
+        if elem_type not in construct_geometry:
+            raise FileFormatError(f"unsupported element type {elem_type}")
+        if elem_type not in geo_ids:
+            geometry = construct_geometry[elem_type]()
+            if geometry.ndim == mesh.ndim:
+                geo_ids[elem_type] = (geometry, mesh.add_geometry(geometry),
+                                      True)
+            elif geometry.ndim < mesh.ndim:
+                geo_ids[elem_type] = (
+                    geometry, bnd_mesh.add_geometry(geometry), False)
+            else:
+                raise FileFormatError(
+                    f"element dim {geometry.ndim} exceeds mesh dim")
+        geometry, geometry_id, is_bulk = geo_ids[elem_type]
+        n_nodes = geometry.n_nodes
+
+        dt = np.dtype([("tag", "<u8"), ("node_ix", "<u8", (n_nodes,))])
+        block = np.frombuffer(f.read(dt.itemsize * nb), dtype=dt)
+        phys = ent_phys.get((dim, etag))
+        if phys is None:
+            # entity outside any physical group (gmsh SaveAll=1 output):
+            # not part of the model the solver sees
+            continue
+        node_ix = tag2idx[block["node_ix"].astype(np.int64)]
+        if np.any(node_ix < 0):
+            raise FileFormatError("element references an unknown node tag")
+        idxmap = spiral_to_lex_permutation(geometry.shape).ravel()
+        node_ix_lex = node_ix[:, idxmap]
+
+        id_map = region_map if is_bulk else boundary_map
+        if phys not in id_map:
+            raise FileFormatError(
+                f"physical tag {phys} (dim {dim}) has no $PhysicalNames "
+                f"entry")
+        target = mesh if is_bulk else bnd_mesh
+        rids = np.full(nb, id_map[phys], dtype=np.int64)
+        target.add_cells(
+            node_ix_lex.reshape((nb,) + tuple(geometry.shape)),
+            geometry_id, rids,
+        )
+    f.readline()
+    _expect_line(f, b"$EndElements")
 
 
 # ---------------------------------------------------------------------------

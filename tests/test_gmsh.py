@@ -302,3 +302,121 @@ class TestRealGmshFixture:
         x = disc.mesh.nodes
         np.testing.assert_allclose(np.asarray(u), x[0], atol=1e-10)
         assert prob._dirichlet_mask.sum() == 3
+
+
+def _write_gmsh41_fixture(path):
+    """Hand-assemble a binary MSH 4.1 file for the same two-cell mesh as
+    the 2.2 fixture, with 4.1-specific quirks:
+
+    * physical groups attached to $Entities (not per-element tags);
+    * size_t (8-byte) counts and node/element tags;
+    * NON-consecutive node tags (2..16) exercising the tag lookup;
+    * an entity with no physical group holding an element that must be
+      skipped (gmsh SaveAll=1 output).
+    """
+    coords = {
+        1: (0, 0), 2: (1, 0), 3: (2, 0), 4: (2, 1), 5: (1, 1), 6: (0, 1),
+        7: (0.5, 0), 8: (1.5, 0), 9: (2, 0.5), 10: (1.5, 1), 11: (0.5, 1),
+        12: (0, 0.5), 13: (1, 0.5), 14: (0.5, 0.5), 15: (1.5, 0.5),
+    }
+    quadA = [1, 2, 5, 6, 7, 13, 11, 12, 14]
+    quadB = [2, 3, 4, 5, 8, 9, 10, 13, 15]
+    line_ebc = [6, 1, 12]
+    line_nbc = [3, 4, 9]
+    line_noname = [1, 2, 7]       # south edge; entity has no physical
+    T = 1                          # node-tag shift: tags are 2..16
+
+    def u8(*v):
+        return np.asarray(v, "<u8").tobytes()
+
+    def i4(*v):
+        return np.asarray(v, "<i4").tobytes()
+
+    def f8(*v):
+        return np.asarray(v, "<f8").tobytes()
+
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n4.1 1 8\n")
+        f.write(i4(1))
+        f.write(b"\n$EndMeshFormat\n")
+        f.write(b"$PhysicalNames\n3\n")
+        f.write(b'1 1 "ebc"\n1 2 "nbc"\n2 3 "fluid domain"\n')
+        f.write(b"$EndPhysicalNames\n")
+
+        f.write(b"$Entities\n")
+        f.write(u8(0, 3, 1, 0))                       # points curves surfs vols
+        # curve 11 (phys 1), curve 12 (phys 2), curve 13 (no physical)
+        f.write(i4(11) + f8(0, 0, 0, 0, 1, 0) + u8(1) + i4(1)
+                + u8(0))
+        f.write(i4(12) + f8(2, 0, 0, 2, 1, 0) + u8(1) + i4(2)
+                + u8(0))
+        f.write(i4(13) + f8(0, 0, 0, 2, 0, 0) + u8(0) + u8(0))
+        # surface 21 (phys 3)
+        f.write(i4(21) + f8(0, 0, 0, 2, 1, 0) + u8(1) + i4(3)
+                + u8(0))
+        f.write(b"\n$EndEntities\n")
+
+        f.write(b"$Nodes\n")
+        f.write(u8(1, 15, 1 + T, 15 + T))             # blocks, nodes, min, max
+        f.write(i4(2, 21, 0))                         # dim, entity, parametric
+        f.write(u8(15))
+        f.write(u8(*[k + T for k in range(1, 16)]))
+        for k in range(1, 16):
+            f.write(f8(coords[k][0], coords[k][1], 0.0))
+        f.write(b"\n$EndNodes\n")
+
+        f.write(b"$Elements\n")
+        f.write(u8(4, 5, 1, 5))                       # blocks, elems, min, max
+        f.write(i4(1, 11, 8) + u8(1))                 # dim, entity, type, n
+        f.write(u8(1, *[k + T for k in line_ebc]))
+        f.write(i4(1, 13, 8) + u8(1))                 # unnamed entity: skipped
+        f.write(u8(2, *[k + T for k in line_noname]))
+        f.write(i4(1, 12, 8) + u8(1))
+        f.write(u8(3, *[k + T for k in line_nbc]))
+        f.write(i4(2, 21, 10) + u8(2))
+        f.write(u8(4, *[k + T for k in quadA]))
+        f.write(u8(5, *[k + T for k in quadB]))
+        f.write(b"\n$EndElements\n")
+
+
+class TestMsh41Fixture:
+    """4.1 reader parses a hand-assembled file and reproduces the 2.2
+    fixture's mesh exactly."""
+
+    def test_matches_22_fixture(self, tmp_path):
+        p22 = str(tmp_path / "f22.msh")
+        p41 = str(tmp_path / "f41.msh")
+        _write_gmsh22_fixture(p22)
+        _write_gmsh41_fixture(p41)
+        m22 = load_msh(p22, 2)
+        m41 = load_msh(p41, 2)
+        assert m41.n_nodes == m22.n_nodes == 15
+        assert m41.n_cells == m22.n_cells == 2
+        assert m41.region_names == m22.region_names
+        assert set(m41.boundary_names) == set(m22.boundary_names)
+        np.testing.assert_allclose(np.asarray(m41.nodes),
+                                   np.asarray(m22.nodes), atol=0)
+        for c41, c22 in zip(m41.cells, m22.cells):
+            np.testing.assert_array_equal(
+                np.asarray(c41.nodes_lexicographic),
+                np.asarray(c22.nodes_lexicographic))
+        for name in ("ebc", "nbc"):
+            np.testing.assert_array_equal(m41.boundary_faces(name),
+                                          m22.boundary_faces(name))
+
+    def test_solve_on_41_fixture(self, tmp_path):
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.models.poisson import Poisson
+
+        path = str(tmp_path / "f41.msh")
+        _write_gmsh41_fixture(path)
+        mesh = load_msh(path, 2)
+        disc = Discretization(mesh, gll_basis_2d(2))
+        prob = Poisson(disc, forcing=0.0, dtype=np.float64)
+        prob.set_dirichlet("ebc", lambda x, y: x)
+        prob.set_neumann("nbc", 1.0)
+        sol = prob.solve_local(tol=1e-12, host_loop=True)
+        x, _ = np.asarray(prob.x_nodes)
+        assert np.abs(sol.u - x).max() < 1e-9
