@@ -241,11 +241,13 @@ def main():
                 precision="high" if p_dt is not None else args.precision,
                 p_dtype=p_dt,
                 interpret=not pallas_kernels.supported())
+            aux_dt = jnp.bfloat16 if p_dt is not None else jnp.float32
             inv_d = jnp.where(
                 free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
-            ).astype(jnp.float32)
+            ).astype(aux_dt)
             wf_d = jnp.where(
-                free, ex._weights_as(np.float32, transposed=True), 0.0)
+                free, ex._weights_as(np.float32, transposed=True), 0.0
+            ).astype(aux_dt)
             fused_cg = (kA, kB, inv_d, wf_d, p_dt, cg_fused)
     else:
         if args.cg_mode != "plain":

@@ -162,9 +162,22 @@ class Poisson(BoundaryConditionMixin):
             self._D0, self._D1, self.disc.n_nodes,
         )
 
-    def operator_diagonal(self) -> jnp.ndarray:
-        de = sumfac.laplacian_diag_local(self._G, self._D0, self._D1)
-        return sumfac.scatter_add(de, self._gix, self.disc.n_nodes)
+    def operator_diagonal(self) -> np.ndarray:
+        """Assembled operator diagonal (host numpy, cached).
+
+        Computed from the host copies of the geometric factors: the
+        diagonal is setup data whose consumers are host-side, and pulling
+        a device-computed (n_nodes,) vector back is minutes-slow through
+        remote-TPU tunnels (see ``sumfac.laplacian_diag_local_host``).
+        """
+        d = getattr(self, "_diag_host", None)
+        if d is None:
+            de = sumfac.laplacian_diag_local_host(
+                self._G_host, np.asarray(self._D0), np.asarray(self._D1))
+            d = np.zeros(self.disc.n_nodes, dtype=de.dtype)
+            np.add.at(d, self.disc.gather_nodes.ravel(), de.ravel())
+            self._diag_host = d.astype(self.dtype)
+        return self._diag_host
 
     # -- solve -------------------------------------------------------------------
 
@@ -387,6 +400,13 @@ class Poisson(BoundaryConditionMixin):
                         1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0)
         w = ex._weights_as(np.float32, transposed=True)
         w_free = jnp.where(free_local, w, 0.0)
+        if p_dtype is not None:
+            # bf16 storage mode: the masked inverse diagonal only steers
+            # the preconditioner and w only weighs the convergence metric
+            # (<0.4% perturbation); halving their reads shaves two more
+            # HBM half-passes per iteration.  x and r stay float32.
+            inv = inv.astype(jnp.bfloat16)
+            w_free = w_free.astype(jnp.bfloat16)
         return kA, kB, inv, w_free
 
     # -- post-processing -----------------------------------------------------------

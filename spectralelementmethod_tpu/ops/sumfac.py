@@ -81,6 +81,26 @@ def laplacian_diag_local(G, D0, D1):
     return d0 + d1 + cross
 
 
+def laplacian_diag_local_host(G, D0, D1):
+    """Numpy twin of :func:`laplacian_diag_local` for host precompute.
+
+    The Jacobi diagonal is setup data consumed on host (masking, local
+    gathers) — computing it on device forces a device->host read of the
+    scattered (n_nodes,) vector, which through a remote-TPU tunnel is
+    minutes-slow at ~25 MB (observed: the 100k-element bench stalled ~10
+    minutes on exactly this read).
+    """
+    import numpy as np
+
+    G = np.asarray(G)
+    D0 = np.asarray(D0)
+    D1 = np.asarray(D1)
+    d0 = np.einsum("emq,mp->epq", G[:, 0], D0**2)
+    d1 = np.einsum("epn,nq->epq", G[:, 2], D1**2)
+    cross = 2.0 * G[:, 1] * np.diag(D0)[:, None] * np.diag(D1)[None, :]
+    return d0 + d1 + cross
+
+
 def mass_apply_local(ue, detJxW):
     """Local weak identity (mass) operator on the GLL-collocated rule:
     diagonal, M_e u_e = detJxW * u_e (reference ``Me`` KroneckerArray,
