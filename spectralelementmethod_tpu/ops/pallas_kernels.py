@@ -550,24 +550,28 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
     unavoidable global-reduction sync points (alpha needs <p, Ap>; beta
     needs <r', z'>), so the minimal fusion is two kernels per iteration:
 
-    ``kA(r, p, inv, beta) -> (p', Ap', denom_partials)``
+    ``kA(r, p, inv, x, beta, alpha_prev) -> (p', Ap', x', denom_parts)``
         direction update ``p' = inv*r + beta*p`` computed on the halo
         window, the assembled-K matmul + affine reduce + in-VMEM roll DSS
-        of :func:`make_fused_affine_laplacian_T` applied to ``p'``, and
-        the per-tile partial sums of ``denom = <p', A p'>``.  The
+        of :func:`make_fused_affine_laplacian_T` applied to ``p'``, the
+        per-tile partial sums of ``denom = <p', A p'>``, AND the
+        *previous* iteration's solution update ``x' = x + alpha_prev p``
+        (kernel A reads p for the beta recurrence anyway, so the x update
+        rides along; x therefore lags one direction behind — drivers add
+        the final ``alpha * p`` term once after the loop).  The
         denominator uses the *pre-DSS* identity
         ``p^T A p = sum_{e,i} p_ei S_ei`` (valid for any consistent L-
         vector ``p``; S is the local pre-exchange result), so no
         multiplicity-weight array is ever read here.
 
-    ``kB(x, r, p', Ap', inv, w_free, alpha) -> (x', r', rz_p, rn2_p)``
-        the three vector updates and both weighted reductions of the
-        iteration tail in one HBM pass; ``z' = inv*r'`` lives only in
-        VMEM (never materialized).  ``w_free`` must be the inverse-
-        multiplicity dot weights zeroed on Dirichlet rows — with ``inv``
-        likewise masked, no separate free-mask array is needed anywhere
-        (p is masked by induction; Dirichlet rows of r may accumulate
-        values but never enter any reduction or update).
+    ``kB(r, Ap', inv, w_free, alpha) -> (r', rz_p, rn2_p)``
+        the residual update and both weighted reductions of the iteration
+        tail in one HBM pass; ``z' = inv*r'`` lives only in VMEM (never
+        materialized).  ``w_free`` must be the inverse-multiplicity dot
+        weights zeroed on Dirichlet rows — with ``inv`` likewise masked,
+        no separate free-mask array is needed anywhere (p is masked by
+        induction; Dirichlet rows of r may accumulate values but never
+        enter any reduction or update).
 
     ``p_dtype=jnp.bfloat16`` stores the search direction in bf16 (halves
     its HBM traffic; requires ``precision='high'``, where the matmul then
@@ -601,14 +605,17 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
                             memory_space=pltpu.SMEM)
 
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
-                 K_ref, m_ref, beta_ref, po_ref, apo_ref, d_ref,
-                 *aux_ref):
-        beta = beta_ref[0, 0]
+                 x_ref, K_ref, m_ref, sc_ref, po_ref, apo_ref, xo_ref,
+                 d_ref, *aux_ref):
+        beta = sc_ref[0, 0]
+        alpha_prev = sc_ref[0, 1]
         r_win = jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
         p_win = jnp.concatenate([pL[:], pC[:], pR[:]], axis=1)
         i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
         a_win = jnp.concatenate([aL[:], aC[:], aR[:]], axis=1)
-        pn = i_win * r_win + beta * p_win.astype(jnp.float32)
+        p32 = p_win.astype(jnp.float32)
+        xo_ref[:] = x_ref[:] + alpha_prev * p32[:, Hb:Hb + TE]
+        pn = i_win.astype(jnp.float32) * r_win + beta * p32
         # Ap must be computed from the *stored* direction: round first
         pn_st = pn.astype(p_store)
         V = prep.dot_window(K_ref, pn_st)
@@ -620,22 +627,28 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         if aux_ref:
             aux_ref[0][:] = prep.aux_extract(S)
 
+    smem_pair = pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     a_specs = (prep.halo_triple(n) + prep.halo_triple(n)
                + prep.halo_triple(n) + prep.halo_triple(3)
-               + prep.const_specs() + [smem_scalar])
+               + [prep.center_spec(n)] + prep.const_specs()
+               + [smem_pair])
     a_out_shapes = [
         jax.ShapeDtypeStruct((n, E), p_store),
         jax.ShapeDtypeStruct((n, E), jnp.float32),
+        jax.ShapeDtypeStruct((n, E), jnp.float32),
         jax.ShapeDtypeStruct((G, 1), jnp.float32),
     ]
-    a_out_specs = [prep.center_spec(n), prep.center_spec(n), smem_out]
+    a_out_specs = [prep.center_spec(n), prep.center_spec(n),
+                   prep.center_spec(n), smem_out]
     if prep.has_far:
         a_out_shapes.append(
             jax.ShapeDtypeStruct((prep.n_aux, E), jnp.float32))
         a_out_specs.append(prep.center_spec(prep.n_aux))
 
-    def kA(r, p, inv, beta):
-        beta = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+    def kA(r, p, inv, x, beta, alpha_prev):
+        sc = jnp.stack([jnp.asarray(beta, jnp.float32),
+                        jnp.asarray(alpha_prev, jnp.float32)]).reshape(1, 2)
         res = pl.pallas_call(
             kernel_a,
             out_shape=tuple(a_out_shapes),
@@ -643,37 +656,33 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
             in_specs=a_specs,
             out_specs=tuple(a_out_specs),
             interpret=interpret,
-        )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, KT, M, beta)
+        )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, x, KT, M, sc)
         if prep.has_far:
-            p_new, Ap, dparts, aux = res
-            return p_new, prep.apply_far(Ap, aux), dparts
+            p_new, Ap, x_new, dparts, aux = res
+            return p_new, prep.apply_far(Ap, aux), x_new, dparts
         return res
 
-    def kernel_b(x_ref, r_ref, p_ref, ap_ref, i_ref, w_ref, alpha_ref,
-                 xo_ref, ro_ref, rz_ref, rn_ref):
+    def kernel_b(r_ref, ap_ref, i_ref, w_ref, alpha_ref,
+                 ro_ref, rz_ref, rn_ref):
         alpha = alpha_ref[0, 0]
-        Ap = ap_ref[:]
-        r_new = r_ref[:] - alpha * Ap
-        xo_ref[:] = x_ref[:] + alpha * p_ref[:].astype(jnp.float32)
+        r_new = r_ref[:] - alpha * ap_ref[:]
         ro_ref[:] = r_new
-        w = w_ref[:]
-        z = i_ref[:] * r_new
+        w = w_ref[:].astype(jnp.float32)
+        z = i_ref[:].astype(jnp.float32) * r_new
         g = pl.program_id(0)
         rz_ref[g, 0] = jnp.sum(w * r_new * z)
         rn_ref[g, 0] = jnp.sum(w * r_new * r_new)
 
     cs_n = prep.center_spec(n)
-    b_specs = [cs_n, cs_n, prep.center_spec(n), cs_n, cs_n, cs_n,
-               smem_scalar]
+    b_specs = [cs_n, cs_n, cs_n, cs_n, smem_scalar]
     b_out_shapes = (
-        jax.ShapeDtypeStruct((n, E), jnp.float32),
         jax.ShapeDtypeStruct((n, E), jnp.float32),
         jax.ShapeDtypeStruct((G, 1), jnp.float32),
         jax.ShapeDtypeStruct((G, 1), jnp.float32),
     )
-    b_out_specs = (cs_n, cs_n, smem_out, smem_out)
+    b_out_specs = (cs_n, smem_out, smem_out)
 
-    def kB(x, r, p, Ap, inv, w_free, alpha):
+    def kB(r, Ap, inv, w_free, alpha):
         alpha = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
         return pl.pallas_call(
             kernel_b,
@@ -682,7 +691,7 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
             in_specs=b_specs,
             out_specs=b_out_specs,
             interpret=interpret,
-        )(x, r, p, Ap, inv, w_free, alpha)
+        )(r, Ap, inv, w_free, alpha)
 
     kA._prep = kB._prep = prep        # introspection (tests, bench)
     return kA, kB, G

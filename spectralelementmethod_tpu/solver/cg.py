@@ -302,14 +302,18 @@ def cg_fused(
     execution differs (measured ~0.81 -> ~0.5 ms/iter at p=8/100k f32 on
     v5e — see bench.py --cg-mode fused).
 
-    Iteration k (state x, r, p, rz = <r,z>, rz_prev):
-        beta  = rz / rz_prev                  (0 at k=0)
-        p, Ap, d = kA(r, p, inv, beta)        # p' = z + beta p; Ap' = A p'
+    Iteration k (state x, r, p, rz = <r,z>, rz_prev, alpha_prev):
+        beta  = rz / rz_prev                        (0 at k=0)
+        p, Ap, x, d = kA(r, p, inv, x, beta, alpha_prev)
+            # x += alpha_prev p_old; p' = z + beta p_old; Ap' = A p'
         alpha = rz / sum(d)
-        x, r, rzp, rn2p = kB(x, r, p, Ap, inv, w_free, alpha)
-        rz_prev, rz, rn2 = rz, sum(rzp), sum(rn2p)
-    Frozen (converged / diverged / budget-spent) iterations run with
-    alpha = beta = 0, which pins x, r, rz and rn2 exactly.
+        r, rzp, rn2p = kB(r, Ap, inv, w_free, alpha)
+        rz_prev, rz, rn2, alpha_prev = rz, sum(rzp), sum(rn2p), alpha
+    x lags one direction behind (kernel A applies the PREVIOUS alpha
+    while it reads p for the beta recurrence anyway — kernel B then
+    never touches x or p); the loop exit adds the pending alpha * p
+    term.  Frozen (converged / diverged / budget-spent) iterations run
+    with alpha = beta = 0, which pins x, r, rz and rn2 exactly.
     """
     ftype = jnp.float32
     tol = jnp.asarray(tol, dtype=ftype)
@@ -321,7 +325,7 @@ def cg_fused(
                    jnp.asarray(max_iter, dtype=jnp.int32))
 
     # same geometric block ladder as cg() (see comment there)
-    RN2, STOP2, RN2MIN = 6, 8, 9
+    RN2, STOP2, RN2MIN = 7, 9, 10
     issued = 0
     best_state, best_rn2 = state, float("inf")
     while issued < max_iter:
@@ -338,7 +342,9 @@ def cg_fused(
             break
         block = min(block * 2, 4096)
 
-    x, r, p, rz, rz_prev, k_dev, rn2, _, stop2, _ = best_state
+    x, r, p, rz, rz_prev, a_prev, k_dev, rn2, _, stop2, _ = best_state
+    # x lags one direction: apply the pending update (0 when frozen)
+    x = x + a_prev * p.astype(x.dtype)
     rnorm = jnp.sqrt(rn2)
     return CGResult(x, k_dev, rnorm, rn2 <= stop2)
 
@@ -356,36 +362,38 @@ def _cg_fused_kernels(kA, kB, p_bf16: bool = False):
         # direction or the fori carry changes type after one iteration
         p0 = jnp.zeros_like(r0, dtype=jnp.bfloat16 if p_bf16
                             else r0.dtype)
-        rn0 = jnp.sum(w_free * r0 * r0)
-        rz0 = jnp.sum(w_free * r0 * (inv * r0))
+        wf = w_free.astype(jnp.float32)
+        rn0 = jnp.sum(wf * r0 * r0)
+        rz0 = jnp.sum(wf * r0 * (inv.astype(jnp.float32) * r0))
         stop2 = jnp.maximum(tol * tol * rn0, atol * atol)
-        return (x0, r0, p0, rz0, rz0,
+        return (x0, r0, p0, rz0, rz0, jnp.asarray(0.0, jnp.float32),
                 jnp.array(0, dtype=jnp.int32), rn0, max_iter, stop2, rn0)
 
     @partial(jax.jit, static_argnames=("n",))
     def block(n, state, inv, w_free):
         def body(i, st):
-            (x, r, p, rz, rz_prev, k, rn2, max_it, stop2,
+            (x, r, p, rz, rz_prev, alpha_prev, k, rn2, max_it, stop2,
              rn2_min) = st
             done = ((rn2 <= stop2) | (k >= max_it)
                     | (rn2 > 1e6 * rn2_min) | ~jnp.isfinite(rn2))
             beta = jnp.where(
                 (k == 0) | done, 0.0,
                 rz / jnp.where(rz_prev != 0, rz_prev, 1.0))
-            p, Ap, dparts = kA(r, p, inv, beta)
+            p, Ap, x, dparts = kA(r, p, inv, x, beta, alpha_prev)
             denom = jnp.sum(dparts)
             alpha = jnp.where(
                 done, 0.0, rz / jnp.where(denom != 0, denom, 1.0))
-            x, r, rzp, rn2p = kB(x, r, p, Ap, inv, w_free, alpha)
+            r, rzp, rn2p = kB(r, Ap, inv, w_free, alpha)
             rz_new = jnp.sum(rzp)
             rn2_new = jnp.sum(rn2p)
             k = k + jnp.where(done, 0, 1).astype(k.dtype)
             rn2_min = jnp.where(done, rn2_min,
                                 jnp.minimum(rn2_min, rn2_new))
             # frozen iterations recompute identical rz/rn2 from the
-            # unchanged r, so the carried scalars stay pinned
-            return (x, r, p, rz_new, rz, k, rn2_new, max_it, stop2,
-                    rn2_min)
+            # unchanged r (and alpha_prev = 0 pins x), so the carried
+            # state stays exact
+            return (x, r, p, rz_new, rz, alpha, k, rn2_new, max_it,
+                    stop2, rn2_min)
 
         return jax.lax.fori_loop(0, n, body, state)
 

@@ -68,8 +68,13 @@ class TestKernels:
         # inv must hold the SAME value on every copy of a shared node
         # (dss gives the sum — consistent, which is all that matters)
         beta = 0.7
-        p_new, Ap, dparts = kA(jnp.asarray(r), jnp.asarray(p),
-                               jnp.asarray(inv), beta)
+        alpha_prev = 0.4
+        x = rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32)
+        p_new, Ap, x_new, dparts = kA(
+            jnp.asarray(r), jnp.asarray(p), jnp.asarray(inv),
+            jnp.asarray(x), beta, alpha_prev)
+        np.testing.assert_allclose(np.asarray(x_new), x + alpha_prev * p,
+                                   rtol=1e-5, atol=1e-5)
         expect_p = inv * r + beta * p
         np.testing.assert_allclose(np.asarray(p_new), expect_p,
                                    rtol=1e-5, atol=1e-5)
@@ -88,15 +93,12 @@ class TestKernels:
         ex, kA, kB, G, _ = _fused_pieces(prob)
         rng = np.random.RandomState(5)
         shp = (ex.n_loc, ex.E)
-        x, r, p, Ap = (rng.standard_normal(shp).astype(np.float32)
-                       for _ in range(4))
+        r, Ap = (rng.standard_normal(shp).astype(np.float32)
+                 for _ in range(2))
         inv = rng.uniform(0.5, 1.5, shp).astype(np.float32)
         w = np.asarray(ex.weights.T, dtype=np.float32)
         alpha = 0.3
-        xn, rn, rzp, rn2p = kB(*map(jnp.asarray, (x, r, p, Ap, inv, w)),
-                               alpha)
-        np.testing.assert_allclose(np.asarray(xn), x + alpha * p,
-                                   rtol=1e-6, atol=1e-6)
+        rn, rzp, rn2p = kB(*map(jnp.asarray, (r, Ap, inv, w)), alpha)
         r_new = r - alpha * Ap
         np.testing.assert_allclose(np.asarray(rn), r_new,
                                    rtol=1e-6, atol=1e-6)
@@ -115,9 +117,11 @@ class TestKernels:
         rng = np.random.RandomState(7)
         r = np.asarray(ex.dss_T(jnp.asarray(
             rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))))
-        p_new, Ap, dparts = kA(jnp.asarray(r), jnp.zeros_like(
-            jnp.asarray(r)), jnp.ones_like(jnp.asarray(r)), 0.0)
-        expect_Ap = np.asarray(A_xla(jnp.asarray(r)))
+        rd = jnp.asarray(r)
+        p_new, Ap, x_new, dparts = kA(rd, jnp.zeros_like(rd),
+                                      jnp.ones_like(rd),
+                                      jnp.zeros_like(rd), 0.0, 0.0)
+        expect_Ap = np.asarray(A_xla(rd))
         scale = np.abs(expect_Ap).max()
         assert np.abs(np.asarray(Ap) - expect_Ap).max() / scale < 1e-4
 

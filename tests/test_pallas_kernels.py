@@ -280,7 +280,8 @@ class TestFarClassSplit:
         r = ex.dss_T(jnp.asarray(
             rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32)))
         ones = jnp.ones_like(r)
-        p_new, Ap, dparts = kA(r, jnp.zeros_like(r), ones, 0.0)
+        p_new, Ap, x_new, dparts = kA(r, jnp.zeros_like(r), ones,
+                                      jnp.zeros_like(r), 0.0, 0.0)
         expect_Ap = np.asarray(A_xla(r))     # p' = 1*r + 0 = r
         scale = np.abs(expect_Ap).max()
         assert np.abs(np.asarray(Ap) - expect_Ap).max() / scale < 1e-4

@@ -72,7 +72,8 @@ def test_fused_cg_kernels_on_device(pieces):
     ex, Kcat, a, A_xla, u, _ = pieces
     kA, kB, G = make_fused_cg_kernels(ex, Kcat, a, precision="highest")
     inv = jnp.ones_like(u)
-    p_new, Ap, dparts = kA(u, jnp.zeros_like(u), inv, 0.0)
+    p_new, Ap, x_new, dparts = kA(u, jnp.zeros_like(u), inv,
+                                  jnp.zeros_like(u), 0.0, 0.0)
     expect = np.asarray(A_xla(u))            # p' = 1*u + 0
     scale = np.abs(expect).max()
     assert np.abs(np.asarray(Ap) - expect).max() / scale < 1e-5
@@ -81,8 +82,7 @@ def test_fused_cg_kernels_on_device(pieces):
     assert abs(denom - expect_denom) / abs(expect_denom) < 1e-4
 
     w = jnp.ones_like(u)
-    x = jnp.zeros_like(u)
-    xn, rn, rzp, rn2p = kB(x, u, p_new, Ap, inv, w, 0.25)
+    rn, rzp, rn2p = kB(u, Ap, inv, w, 0.25)
     np.testing.assert_allclose(np.asarray(rn),
                                np.asarray(u) - 0.25 * np.asarray(Ap),
                                rtol=1e-5, atol=1e-5)
