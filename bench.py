@@ -164,7 +164,6 @@ def main():
     D = np.asarray(prob._D0)
     Dhat = sumfac.make_stacked_derivative(D, D)
     Gf = prob._G_host.reshape(E, 3, -1)
-    gix_d, G_d = prob._gix, prob._G
     D_d, Dhat_d = prob._D0, jnp.asarray(Dhat.astype(dtype))
 
     rng = np.random.RandomState(1)
@@ -255,6 +254,7 @@ def main():
                              "xla-local")
         dot = None
         free = jnp.asarray(~prob._dirichlet_mask)
+        gix_d, G_d = prob._gix, prob._G      # lazy device uploads
         if args.kernel == "fused":
             Gf_d = jnp.asarray(Gf)
 

@@ -131,27 +131,51 @@ class Poisson(BoundaryConditionMixin):
             coeff = cfun(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
         G = disc.laplacian_factors(coeff)
 
-        # device arrays (+ host copy of G: operator setup inspects factors
-        # host-side — reading a device array back costs a full HBM->host
-        # transfer, minutes through a remote-TPU tunnel at 100k elements)
-        self._gix = jnp.asarray(disc.gather_nodes)
+        # host copies only; device copies are LAZY properties (_gix, _G,
+        # _detJxW).  The production L-vector path never touches the
+        # global-vector device operands, and uploading ~160 MB of unused
+        # factors through a remote-TPU tunnel can stall setup for minutes
+        # (measured ~1.5 MB/s effective under tunnel congestion).
         self._G_host = np.asarray(G, dtype=dtype)
-        self._G = jnp.asarray(G, dtype=dtype)
         self._D0 = jnp.asarray(disc.basis.subbases[0].D1, dtype=dtype)
         self._D1 = jnp.asarray(disc.basis.subbases[1].D1, dtype=dtype)
-        self._detJxW = jnp.asarray(disc.detJxW, dtype=dtype)
 
         ffun = _as_callable(forcing)
         f_gll = ffun(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
         # weak forcing: ∫ f phi = scatter(f * detJxW) at collocated GLL
-        # quadrature (examples/poisson.py:200 "fe = JxW" for f=1)
-        self._b = jnp.asarray(
-            disc.scatter_add(f_gll * disc.detJxW), dtype=dtype
-        )
+        # quadrature (examples/poisson.py:200 "fe = JxW" for f=1);
+        # host numpy — jnp consumers upload on use
+        self._b = disc.scatter_add(
+            np.asarray(f_gll * disc.detJxW)).astype(dtype)
 
         self._dirichlet_mask = np.zeros(disc.n_nodes, dtype=bool)
         self._dirichlet_vals = np.zeros(disc.n_nodes)
         self._neumann = np.zeros(disc.n_nodes)
+
+    # -- lazy device operands (global-vector paths only) -----------------------
+
+    @property
+    def _gix(self):
+        d = self.__dict__.get("_gix_dev")
+        if d is None:
+            d = self.__dict__["_gix_dev"] = jnp.asarray(
+                self.disc.gather_nodes)
+        return d
+
+    @property
+    def _G(self):
+        d = self.__dict__.get("_G_dev")
+        if d is None:
+            d = self.__dict__["_G_dev"] = jnp.asarray(self._G_host)
+        return d
+
+    @property
+    def _detJxW(self):
+        d = self.__dict__.get("_detJxW_dev")
+        if d is None:
+            d = self.__dict__["_detJxW_dev"] = jnp.asarray(
+                self.disc.detJxW, dtype=self.dtype)
+        return d
 
     # -- operator access -------------------------------------------------------
 
@@ -309,7 +333,7 @@ class Poisson(BoundaryConditionMixin):
             if M is None:
                 M = self._op_cache[("M", "fdm", vector_layout)] = (
                     make_fdm_preconditioner(
-                        ex, self._G, disc.basis, free_local,
+                        ex, self._G_host, disc.basis, free_local,
                         dtype=self.dtype, vector_layout=vector_layout))
         else:
             M = self._op_cache.get(("M", "jacobi", vector_layout))

@@ -299,7 +299,7 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
 
     # operate in Gf's dtype (Dhat often arrives float64 from numpy setup)
     Dhat_h = jnp.asarray(np.asarray(Dhat)[:, exchange.hier],
-                         dtype=jnp.asarray(Gf).dtype)
+                         dtype=Gf.dtype)
     n = Dhat_h.shape[1]
 
     affine_a = None
@@ -307,7 +307,7 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
         Wgrid = exchange.disc.basis.weight_grid().reshape(-1)  # lex order
         a, exact = affine_factorization(np.asarray(Gf), Wgrid)
         if exact:
-            dt = jnp.asarray(Gf).dtype
+            dt = jnp.dtype(Gf.dtype)
             affine_a = (jnp.asarray(a, dtype=dt),
                         jnp.asarray(Wgrid, dtype=dt))
         elif structure == "affine":
@@ -341,7 +341,7 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
         Kcat = make_affine_element_matrices(
             np.asarray(Dhat), exchange.disc.basis.weight_grid(),
             order=exchange.hier)
-        Kcat_d = jnp.asarray(Kcat, dtype=jnp.asarray(Gf).dtype)
+        Kcat_d = jnp.asarray(Kcat, dtype=Gf.dtype)
         if compute_dtype is not None:
             import jax
 
@@ -437,7 +437,7 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
     import jax
     import numpy as np
 
-    dt = jnp.asarray(Gf).dtype
+    dt = jnp.dtype(Gf.dtype)
     Dhat_h = jnp.asarray(np.asarray(Dhat)[:, exchange.hier], dtype=dt)
     n = Dhat_h.shape[1]
 
