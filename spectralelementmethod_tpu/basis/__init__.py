@@ -24,6 +24,7 @@ from .tensor import (
     TensorProductSupported,
     apply_matrices,
     gll_basis_2d,
+    gll_basis_3d,
 )
 
 __all__ = [
@@ -44,4 +45,5 @@ __all__ = [
     "TensorProductSupported",
     "apply_matrices",
     "gll_basis_2d",
+    "gll_basis_3d",
 ]

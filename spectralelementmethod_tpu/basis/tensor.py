@@ -267,6 +267,13 @@ def gll_basis_2d(order: int, order1: int | None = None) -> TensorProductQS:
     return TensorProductQS(b0, b1)
 
 
+def gll_basis_3d(order: int) -> TensorProductQS:
+    """Convenience: 3D GLL tensor basis (capability extension — the
+    reference is 2D-only)."""
+    b0 = LagrangeGaussLobatto(order)
+    return TensorProductQS(b0, b0, b0)
+
+
 # Name used by the reference's stale tests/examples
 # (tests/test_basis.py:110, examples/squirmer-axisymmetric.py:92).
 TensorProductSupported = TensorProductQS

@@ -81,8 +81,10 @@ class Discretization:
         # ---- batched geometry precompute (host, float64) ----
         # fused GEMM pipeline (equispaced parametric cell nodes -> GLL
         # mapping coefficients -> Jacobians); see mp.batched_geometry_2d
+        geom_fn = (mp.batched_geometry_2d if mesh.ndim == 2
+                   else mp.batched_geometry_3d)
         self.x_coeffs, self.J, self.detJ, self.invJ = (
-            mp.batched_geometry_2d(self.map_basis, mesh.nodes, node_maps)
+            geom_fn(self.map_basis, mesh.nodes, node_maps)
         )
         if not np.all(self.detJ > 0):
             bad = np.argwhere(~(self.detJ > 0))
@@ -141,10 +143,10 @@ class Discretization:
         every adjacent element (conforming mesh), so a plain overwrite
         scatter is well-defined.
         """
-        out = np.zeros((2, self.n_nodes))
+        out = np.zeros((self.mesh.ndim, self.n_nodes))
         flat = self.gather_nodes.ravel()
-        out[0, flat] = self.x_coeffs[:, 0].ravel()
-        out[1, flat] = self.x_coeffs[:, 1].ravel()
+        for d in range(self.mesh.ndim):
+            out[d, flat] = self.x_coeffs[:, d].ravel()
         return out
 
     def values_at_nodes(self, coeffs: np.ndarray) -> np.ndarray:
@@ -221,6 +223,22 @@ class Discretization:
 
     def boundary_node_set(self, *boundary_names: str) -> np.ndarray:
         """Sorted unique global node indices on the named boundaries."""
+        if self.mesh.ndim == 3:
+            # 3D: plain unoriented face node sets (FaceGeometry — normals,
+            # surface measures — is 2D-parent only, like the reference)
+            loc = np.arange(self.n_loc).reshape(self.shape)
+            idx = []
+            for name in boundary_names:
+                pairs = self.mesh.boundary_faces(name)
+                for f in np.unique(pairs[:, 1]) if pairs.size else []:
+                    ax, end = divmod(int(f), 2)
+                    sl = [slice(None)] * 3
+                    sl[ax] = -1 if end else 0
+                    li = loc[tuple(sl)].ravel()
+                    cells = pairs[pairs[:, 1] == f, 0]
+                    idx.append(self.gather_nodes[cells][:, li].ravel())
+            return (np.unique(np.concatenate(idx)) if idx
+                    else np.zeros(0, np.int64))
         idx = [self._face_nodes_of(fg).ravel()
                for n in boundary_names
                for fg in self.face_geometry_groups(n)]
@@ -236,11 +254,23 @@ class Discretization:
         ``Lse`` operator (``examples/poisson.py:180-193``) in matrix-free
         form.  ``coefficient``: optional (E, *shape) variable coefficient.
         """
-        gi = self.invJ  # (E, 2, 2, *shape): invJ[a, i] = dxi_a/dx_i
+        gi = self.invJ  # (E, d, d, *shape): invJ[a, i] = dxi_a/dx_i
         scale = self.detJxW
         if coefficient is not None:
             scale = scale * coefficient
-        g00 = scale * (gi[:, 0, 0] ** 2 + gi[:, 0, 1] ** 2)
-        g01 = scale * (gi[:, 0, 0] * gi[:, 1, 0] + gi[:, 0, 1] * gi[:, 1, 1])
-        g11 = scale * (gi[:, 1, 0] ** 2 + gi[:, 1, 1] ** 2)
-        return np.stack([g00, g01, g11], axis=1)
+        d = self.mesh.ndim
+        if d == 2:
+            g00 = scale * (gi[:, 0, 0] ** 2 + gi[:, 0, 1] ** 2)
+            g01 = scale * (gi[:, 0, 0] * gi[:, 1, 0]
+                           + gi[:, 0, 1] * gi[:, 1, 1])
+            g11 = scale * (gi[:, 1, 0] ** 2 + gi[:, 1, 1] ** 2)
+            return np.stack([g00, g01, g11], axis=1)
+        # 3D: upper triangle of invJ invJ^T, packed
+        # [G00, G01, G02, G11, G12, G22]
+        comps = []
+        for a in range(3):
+            for b in range(a, 3):
+                comps.append(scale * (gi[:, a, 0] * gi[:, b, 0]
+                                      + gi[:, a, 1] * gi[:, b, 1]
+                                      + gi[:, a, 2] * gi[:, b, 2]))
+        return np.stack(comps, axis=1)

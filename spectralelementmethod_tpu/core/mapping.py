@@ -106,6 +106,73 @@ def batched_geometry_2d(basis: TensorProduct, nodes: np.ndarray,
     return x_coeffs, J, detJ, invJ
 
 
+def batched_geometry_3d(basis: TensorProduct, nodes: np.ndarray,
+                        node_maps: np.ndarray):
+    """3D twin of :func:`batched_geometry_2d` (capability extension; the
+    reference is 2D-only).
+
+    ``nodes``: (3, N); ``node_maps``: (E, p0, p1, p2).  Returns x_coeffs
+    (E, 3, *shape), J (E, 3, 3, *shape) with J[d, a] = d x_d / d u_a,
+    detJ (E, *shape), invJ (E, 3, 3, *shape).
+    """
+    E, p0, p1, p2 = node_maps.shape
+    Ms = [np.asarray(b.interp_eq_mat_inv) for b in basis.subbases]
+    Ds = [np.asarray(b.D1) for b in basis.subbases]
+
+    cn = nodes.T[node_maps]                          # (E, p0, p1, p2, 3)
+    cn = np.ascontiguousarray(np.moveaxis(cn, -1, 1))
+    X = cn.reshape(E * 3, p0, p1, p2)
+
+    def contract(M, A, axis):
+        """Y = M applied along grid axis ``axis`` of (B, p0, p1, p2)."""
+        A = np.moveaxis(A, 1 + axis, -1)
+        B = A.shape[:-1]
+        Y = A.reshape(-1, A.shape[-1]) @ M.T
+        return np.moveaxis(Y.reshape(*B, M.shape[0]), -1, 1 + axis)
+
+    xc = contract(Ms[2], contract(Ms[1], contract(Ms[0], X, 0), 1), 2)
+    x_coeffs = xc.reshape(E, 3, p0, p1, p2)
+
+    J = np.empty((E, 3, 3, p0, p1, p2))
+    Jv = J.reshape(E * 3, 3, p0, p1, p2)
+    for a in range(3):
+        Jv[:, a] = contract(Ds[a], xc, a)
+    detJ, invJ = det_inv_3x3(J)
+    return x_coeffs, J, detJ, invJ
+
+
+def det_inv_3x3(mat: np.ndarray):
+    """Batched closed-form determinant and inverse of 3x3 matrices.
+
+    Layout ``mat[batch..., 3, 3, grid...]`` (matrix axes between batch and
+    grid axes, matching :func:`det_inv_2x2`).
+    """
+    def g(i, j):
+        # mat[..., i, j, :, :, :] — matrix axes between batch and grid
+        return mat[(Ellipsis, i, j) + (slice(None),) * 3]
+
+    c00 = g(1, 1) * g(2, 2) - g(1, 2) * g(2, 1)
+    c01 = g(1, 2) * g(2, 0) - g(1, 0) * g(2, 2)
+    c02 = g(1, 0) * g(2, 1) - g(1, 1) * g(2, 0)
+    det = g(0, 0) * c00 + g(0, 1) * c01 + g(0, 2) * c02
+    inv = np.empty_like(mat)
+
+    def s(i, j, val):
+        inv[(Ellipsis, i, j) + (slice(None),) * 3] = val
+
+    s(0, 0, c00)
+    s(1, 0, c01)
+    s(2, 0, c02)
+    s(0, 1, g(0, 2) * g(2, 1) - g(0, 1) * g(2, 2))
+    s(1, 1, g(0, 0) * g(2, 2) - g(0, 2) * g(2, 0))
+    s(2, 1, g(0, 1) * g(2, 0) - g(0, 0) * g(2, 1))
+    s(0, 2, g(0, 1) * g(1, 2) - g(0, 2) * g(1, 1))
+    s(1, 2, g(0, 2) * g(1, 0) - g(0, 0) * g(1, 2))
+    s(2, 2, g(0, 0) * g(1, 1) - g(0, 1) * g(1, 0))
+    inv /= det[(Ellipsis, None, None) + (slice(None),) * 3]
+    return det, inv
+
+
 def det_inv_2x2(mat: np.ndarray):
     """Batched closed-form determinant and inverse of 2x2 matrices.
 

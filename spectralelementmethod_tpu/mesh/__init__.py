@@ -6,6 +6,7 @@ Covers reference layers L2/L4 and the mesh half of L3 (SURVEY.md §1):
 
 from .generators import (
     annulus_mesh,
+    box_mesh,
     geometric_progression,
     mapped_mesh,
     rectangle_mesh,
@@ -37,6 +38,7 @@ __all__ = [
     "SubCell",
     "rectangle_mesh",
     "annulus_mesh",
+    "box_mesh",
     "single_cell_mesh",
     "structured_patch_mesh",
     "mapped_mesh",

@@ -542,3 +542,60 @@ def tube_mesh(order: int, blt: float = 0.75, r_head: float = 32.0,
 
     mesh = multi_patch_mesh([bl, wake, head, tailp], order, region="bulk")
     return mesh
+
+
+def box_mesh(
+    nx: int,
+    ny: int,
+    nz: int,
+    order: int,
+    x0=(-1.0, -1.0, -1.0),
+    x1=(1.0, 1.0, 1.0),
+    region: str = "interior",
+    boundary_name: str = "ebc",
+) -> Mesh:
+    """Uniform structured hexahedral box mesh (3D capability extension;
+    the reference is 2D-only, ``sem/geometry.py:25-29``).
+
+    All six sides join one named boundary (``boundary_name``) — the
+    common all-Dirichlet setup.  Cell numbering: ``(i * ny + j) * nz + k``
+    lexicographic over (x, y, z) cell indices.
+    """
+    from .geometry import Hexahedron
+
+    p = int(order)
+    axes = [np.linspace(x0[d], x1[d], n * p + 1)
+            for d, n in enumerate((nx, ny, nz))]
+    X, Y, Z = np.meshgrid(*axes, indexing="ij")
+
+    mesh = Mesh(3)
+    mesh.set_nodes(np.stack([X.ravel(), Y.ravel(), Z.ravel()]))
+    geometry = Hexahedron(p + 1, p + 1, p + 1)
+    gid = mesh.add_geometry(geometry)
+    rid = mesh.new_region(region)
+
+    g0, g1, g2 = (len(a) for a in axes)
+    glob = np.arange(g0 * g1 * g2).reshape(g0, g1, g2)
+    i0 = (np.arange(nx) * p)[:, None, None, None, None, None]
+    j0 = (np.arange(ny) * p)[None, :, None, None, None, None]
+    k0 = (np.arange(nz) * p)[None, None, :, None, None, None]
+    ii = i0 + np.arange(p + 1)[None, None, None, :, None, None]
+    jj = j0 + np.arange(p + 1)[None, None, None, None, :, None]
+    kk = k0 + np.arange(p + 1)[None, None, None, None, None, :]
+    node_maps = np.broadcast_arrays(ii, jj, kk)
+    node_maps = glob[node_maps[0], node_maps[1], node_maps[2]].reshape(
+        nx * ny * nz, p + 1, p + 1, p + 1)
+    mesh.add_cells(node_maps, gid, rid)
+    mesh.find_neighbors()
+
+    if boundary_name:
+        bid = mesh.new_boundary(boundary_name)
+        cell_idx = np.arange(nx * ny * nz).reshape(nx, ny, nz)
+        sides = [
+            (cell_idx[0].ravel(), 0), (cell_idx[-1].ravel(), 1),
+            (cell_idx[:, 0].ravel(), 2), (cell_idx[:, -1].ravel(), 3),
+            (cell_idx[:, :, 0].ravel(), 4), (cell_idx[:, :, -1].ravel(), 5),
+        ]
+        for cells, face in sides:
+            mesh.add_boundary_cells(cells, bid, 2, face)
+    return mesh

@@ -292,3 +292,27 @@ class Quadrilateral(NCube):
     def __init__(self, shape_u: int, shape_v: int):
         super().__init__(shape_u, shape_v)
         self._sub_geo_class = Line
+
+
+class Hexahedron(NCube):
+    """3D cell (capability extension: the reference is 2D-only,
+    ``sem/geometry.py:25-29`` lists simplices/3D as future work).
+
+    Vertex v's binary index is (axis0, axis1, axis2) = (bit2, bit1, bit0)
+    — the hierarchical ordering's vertex enumeration.  Faces follow
+    ``sub_geometry_ix_exps(2)`` order: (u0=0, u0=1, u1=0, u1=1, u2=0,
+    u2=1).
+    """
+
+    corner_verts = [
+        np.array([((b >> 2) & 1) == 0 for b in range(8)], dtype=bool),
+        np.array([((b >> 2) & 1) == 1 for b in range(8)], dtype=bool),
+        np.array([((b >> 1) & 1) == 0 for b in range(8)], dtype=bool),
+        np.array([((b >> 1) & 1) == 1 for b in range(8)], dtype=bool),
+        np.array([(b & 1) == 0 for b in range(8)], dtype=bool),
+        np.array([(b & 1) == 1 for b in range(8)], dtype=bool),
+    ]
+
+    def __init__(self, shape_u: int, shape_v: int, shape_w: int):
+        super().__init__(shape_u, shape_v, shape_w)
+        self._sub_geo_class = Quadrilateral

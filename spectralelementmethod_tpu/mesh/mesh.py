@@ -260,12 +260,15 @@ class Mesh:
     def _face_keys(self):
         """Encoded sorted-vertex keys for every (cell, face).
 
-        Returns (keys (F,), cell (F,), face (F,)) with F = sum of faces of
-        all cells; key = v0 * (n_nodes + 1) + v1 + 1 for the sorted vertex
-        pair (v1 absent for 1D cells -> 0).
+        Returns (keys, cell (F,), face (F,)) with F = sum of faces of all
+        cells.  1D/2D faces (1-2 vertices) encode into one int64 column:
+        ``v0 * (n_nodes + 1) + v1 + 1``; 3D faces (4 vertices) need two
+        columns (a single int64 would overflow past ~55k nodes), so
+        ``keys`` is (F,) or (F, 2) — ``find_neighbors`` matches both.
         """
         N = max(self.n_nodes, 1)
         keys, cells, faces = [], [], []
+        ncols = 1
         for chunk, start in zip(self._chunks, self._chunk_starts):
             geometry = self._geometries[chunk.geometry_id]
             k = chunk.node_maps.shape[0]
@@ -277,8 +280,15 @@ class Mesh:
                 elif verts.shape[1] == 2:
                     v = np.sort(verts, axis=1)
                     key = v[:, 0] * np.int64(N + 1) + v[:, 1] + 1
+                elif verts.shape[1] == 4:
+                    v = np.sort(verts, axis=1).astype(np.int64)
+                    key = np.stack(
+                        [v[:, 0] * np.int64(N + 1) + v[:, 1] + 1,
+                         v[:, 2] * np.int64(N + 1) + v[:, 3] + 1], axis=1)
+                    ncols = 2
                 else:
-                    raise NotImplementedError("3D face keys not implemented")
+                    raise NotImplementedError(
+                        f"{verts.shape[1]}-vertex face keys")
                 keys.append(key)
                 cells.append(
                     np.arange(start, start + k, dtype=np.int64))
@@ -286,6 +296,9 @@ class Mesh:
         if not keys:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
+        if ncols == 2:
+            keys = [k if k.ndim == 2 else np.stack(
+                [k, np.zeros_like(k)], axis=1) for k in keys]
         return (np.concatenate(keys), np.concatenate(cells),
                 np.concatenate(faces))
 
@@ -311,7 +324,7 @@ class Mesh:
 
         from .. import native
 
-        if native.available():
+        if native.available() and keys.ndim == 1:
             # O(F) open-addressing hash (raises on >2-shared faces)
             partner = native.match_keys(keys)
             m = partner >= 0
@@ -321,9 +334,14 @@ class Mesh:
             self._adj_face[i, fi] = fj
             return
 
-        order = np.argsort(keys, kind="stable")
-        ks = keys[order]
-        eq = ks[:-1] == ks[1:]
+        if keys.ndim == 2:
+            order = np.lexsort((keys[:, 1], keys[:, 0]))
+            ks = keys[order]
+            eq = np.all(ks[:-1] == ks[1:], axis=1)
+        else:
+            order = np.argsort(keys, kind="stable")
+            ks = keys[order]
+            eq = ks[:-1] == ks[1:]
         if np.any(eq[:-1] & eq[1:]):
             raise ValueError("a face is shared by more than 2 cells")
         first = np.nonzero(eq)[0]

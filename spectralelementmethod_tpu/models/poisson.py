@@ -65,7 +65,7 @@ def _masked_residual(A_raw, free, b, u):
 def _as_callable(value) -> Callable:
     if callable(value):
         return value
-    return lambda x, y: np.full_like(np.asarray(x, float), float(value))
+    return lambda *xs: np.full_like(np.asarray(xs[0], float), float(value))
 
 
 class BoundaryConditionMixin:
@@ -76,12 +76,12 @@ class BoundaryConditionMixin:
     """
 
     def set_dirichlet(self, boundary_name: str, value) -> None:
-        """Essential BC u = g(x, y) on a named boundary."""
+        """Essential BC u = g(x, y[, z]) on a named boundary."""
         g = _as_callable(value)
         nodes = self.disc.boundary_node_set(boundary_name)
         x = self.x_nodes[:, nodes]
         self._dirichlet_mask[nodes] = True
-        self._dirichlet_vals[nodes] = g(x[0], x[1])
+        self._dirichlet_vals[nodes] = g(*x)
 
     def set_neumann(self, boundary_name: str, value) -> None:
         """Natural BC: adds the contour integral ∫ g v dS to the RHS.
@@ -125,10 +125,12 @@ class Poisson(BoundaryConditionMixin):
         xg = disc.global_gll_coords()  # (2, n_nodes) GLL node positions
         self.x_nodes = xg
 
+        ndim = disc.mesh.ndim
+        coords = [disc.x_coeffs[:, d] for d in range(ndim)]
         coeff = None
         if coefficient is not None:
             cfun = _as_callable(coefficient)
-            coeff = cfun(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
+            coeff = cfun(*coords)
         G = disc.laplacian_factors(coeff)
 
         # host copies only; device copies are LAZY properties (_gix, _G,
@@ -139,9 +141,11 @@ class Poisson(BoundaryConditionMixin):
         self._G_host = np.asarray(G, dtype=dtype)
         self._D0 = jnp.asarray(disc.basis.subbases[0].D1, dtype=dtype)
         self._D1 = jnp.asarray(disc.basis.subbases[1].D1, dtype=dtype)
+        if ndim == 3:
+            self._D2 = jnp.asarray(disc.basis.subbases[2].D1, dtype=dtype)
 
         ffun = _as_callable(forcing)
-        f_gll = ffun(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
+        f_gll = ffun(*coords)
         # weak forcing: ∫ f phi = scatter(f * detJxW) at collocated GLL
         # quadrature (examples/poisson.py:200 "fe = JxW" for f=1);
         # host numpy — jnp consumers upload on use
@@ -181,6 +185,11 @@ class Poisson(BoundaryConditionMixin):
 
     def apply_operator(self, u) -> jnp.ndarray:
         """Raw weak Laplacian A u (no BC masking) — for tests/benchmarks."""
+        if self.disc.mesh.ndim == 3:
+            return sumfac.laplacian_apply_3d(
+                jnp.asarray(u, dtype=self.dtype), self._gix, self._G,
+                self._D0, self._D1, self._D2, self.disc.n_nodes,
+            )
         return sumfac.laplacian_apply(
             jnp.asarray(u, dtype=self.dtype), self._gix, self._G,
             self._D0, self._D1, self.disc.n_nodes,
@@ -196,8 +205,14 @@ class Poisson(BoundaryConditionMixin):
         """
         d = getattr(self, "_diag_host", None)
         if d is None:
-            de = sumfac.laplacian_diag_local_host(
-                self._G_host, np.asarray(self._D0), np.asarray(self._D1))
+            if self.disc.mesh.ndim == 3:
+                de = sumfac.laplacian_diag_local_host_3d(
+                    self._G_host, np.asarray(self._D0),
+                    np.asarray(self._D1), np.asarray(self._D2))
+            else:
+                de = sumfac.laplacian_diag_local_host(
+                    self._G_host, np.asarray(self._D0),
+                    np.asarray(self._D1))
             d = np.zeros(self.disc.n_nodes, dtype=de.dtype)
             np.add.at(d, self.disc.gather_nodes.ravel(), de.ravel())
             self._diag_host = d.astype(self.dtype)
@@ -220,9 +235,17 @@ class Poisson(BoundaryConditionMixin):
             dtype=self.dtype,
         )
 
-        A = sumfac.make_poisson_operator(
-            self._gix, self._G, self._D0, self._D1, disc.n_nodes, free
-        )
+        if disc.mesh.ndim == 3:
+            def A(u):
+                u = sumfac.masked(u, free)
+                v = sumfac.laplacian_apply_3d(
+                    u, self._gix, self._G, self._D0, self._D1, self._D2,
+                    disc.n_nodes)
+                return sumfac.masked(v, free)
+        else:
+            A = sumfac.make_poisson_operator(
+                self._gix, self._G, self._D0, self._D1, disc.n_nodes, free
+            )
         b = self._b + jnp.asarray(self._neumann, dtype=self.dtype)
         # eliminate Dirichlet DOFs: r_f = (b - A u_d)|_free
         r = sumfac.masked(b - self.apply_operator(u_d), free)
@@ -274,6 +297,10 @@ class Poisson(BoundaryConditionMixin):
         from ..ops.exchange import RollExchange, make_exchange
 
         disc = self.disc
+        if disc.mesh.ndim != 2:
+            raise NotImplementedError(
+                "solve_local (L-vector storage) is 2D-only; use solve() "
+                "for 3D meshes")
         ex = getattr(self, "_exchange", None)
         if ex is None:
             ex = self._exchange = make_exchange(disc, fused_pad=True)

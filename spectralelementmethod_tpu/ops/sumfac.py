@@ -101,6 +101,58 @@ def laplacian_diag_local_host(G, D0, D1):
     return d0 + d1 + cross
 
 
+def grad_3d(ue, D0, D1, D2):
+    """Parametric gradient of (E, p0, p1, p2) local fields (3D extension;
+    the reference is 2D-only, ``sem/geometry.py:25-29``)."""
+    u0 = jnp.einsum("ma,eabc->embc", D0, ue, precision="highest")
+    u1 = jnp.einsum("nb,eabc->eanc", D1, ue, precision="highest")
+    u2 = jnp.einsum("kc,eabc->eabk", D2, ue, precision="highest")
+    return u0, u1, u2
+
+
+def grad_transpose_3d(f0, f1, f2, D0, D1, D2):
+    """Adjoint of :func:`grad_3d`."""
+    v = jnp.einsum("mp,emqr->epqr", D0, f0, precision="highest")
+    v += jnp.einsum("nq,epnr->epqr", D1, f1, precision="highest")
+    v += jnp.einsum("kr,epqk->epqr", D2, f2, precision="highest")
+    return v
+
+
+def laplacian_apply_local_3d(ue, G, D0, D1, D2):
+    """Local 3D weak Laplacian; ``G``: (E, 6, *shape) packed upper
+    triangle [G00, G01, G02, G11, G12, G22] (``laplacian_factors``)."""
+    u0, u1, u2 = grad_3d(ue, D0, D1, D2)
+    f0 = G[:, 0] * u0 + G[:, 1] * u1 + G[:, 2] * u2
+    f1 = G[:, 1] * u0 + G[:, 3] * u1 + G[:, 4] * u2
+    f2 = G[:, 2] * u0 + G[:, 4] * u1 + G[:, 5] * u2
+    return grad_transpose_3d(f0, f1, f2, D0, D1, D2)
+
+
+def laplacian_apply_3d(u, gather_nodes, G, D0, D1, D2, n_nodes):
+    """Global matrix-free 3D weak Laplacian."""
+    ue = u[gather_nodes].reshape((-1,) + G.shape[-3:])
+    ve = laplacian_apply_local_3d(ue, G, D0, D1, D2)
+    return scatter_add(ve, gather_nodes, n_nodes)
+
+
+def laplacian_diag_local_host_3d(G, D0, D1, D2):
+    """Numpy host diagonal of the local 3D weak Laplacian."""
+    import numpy as np
+
+    G = np.asarray(G)
+    D0, D1, D2 = (np.asarray(D) for D in (D0, D1, D2))
+    d = np.einsum("emqr,mp->epqr", G[:, 0], D0**2)
+    d += np.einsum("epnr,nq->epqr", G[:, 3], D1**2)
+    d += np.einsum("epqk,kr->epqr", G[:, 5], D2**2)
+    dd0 = np.diag(D0)[:, None, None]
+    dd1 = np.diag(D1)[None, :, None]
+    dd2 = np.diag(D2)[None, None, :]
+    d += 2.0 * G[:, 1] * dd0 * dd1
+    d += 2.0 * G[:, 2] * dd0 * dd2
+    d += 2.0 * G[:, 4] * dd1 * dd2
+    return d
+
+
 def mass_apply_local(ue, detJxW):
     """Local weak identity (mass) operator on the GLL-collocated rule:
     diagonal, M_e u_e = detJxW * u_e (reference ``Me`` KroneckerArray,

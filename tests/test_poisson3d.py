@@ -1,0 +1,111 @@
+"""3D hexahedral elements (capability extension — the reference is
+2D-only, ``sem/geometry.py:25-29`` lists 3D as future work).
+
+Oracles: exact geometry identities (volume, closed-form 3x3 inverses),
+an exactly-representable linear Laplace solution, and spectral
+p-convergence on a manufactured sin-product solution.
+"""
+
+import numpy as np
+import pytest
+
+from spectralelementmethod_tpu.basis import gll_basis_3d
+from spectralelementmethod_tpu.core.discretization import Discretization
+from spectralelementmethod_tpu.core.mapping import det_inv_3x3
+from spectralelementmethod_tpu.mesh import box_mesh
+from spectralelementmethod_tpu.models.poisson import Poisson
+
+
+def test_det_inv_3x3_matches_numpy():
+    rng = np.random.RandomState(0)
+    m = rng.standard_normal((5, 3, 3, 2, 2, 2)) + np.eye(3)[None, :, :,
+                                                           None, None, None]
+    det, inv = det_inv_3x3(m)
+    mm = np.moveaxis(m, (1, 2), (-2, -1))         # (5, 2,2,2, 3, 3)
+    np.testing.assert_allclose(
+        np.moveaxis(np.linalg.det(mm), 0, 0),
+        np.moveaxis(det, (1,), (1,)), rtol=1e-12)
+    inv_np = np.moveaxis(np.linalg.inv(mm), (-2, -1), (1, 2))
+    np.testing.assert_allclose(inv, inv_np, rtol=1e-10, atol=1e-12)
+
+
+def test_box_mesh_adjacency_and_volume():
+    mesh = box_mesh(3, 2, 2, 3, x0=(0, 0, 0), x1=(3, 2, 2))
+    assert mesh.n_cells == 12
+    interior_faces = (mesh._adj_cell >= 0).sum() // 2
+    assert interior_faces == 2 * 2 * 2 + 3 * 1 * 2 + 3 * 2 * 1
+    disc = Discretization(mesh, gll_basis_3d(3))
+    vol = disc.integrate(np.ones(disc.n_nodes))
+    assert abs(vol - 12.0) < 1e-10
+
+
+def test_boundary_node_set_is_box_surface():
+    mesh = box_mesh(2, 2, 2, 2)
+    disc = Discretization(mesh, gll_basis_3d(2))
+    nodes = disc.boundary_node_set("ebc")
+    x = disc.global_gll_coords()[:, nodes]
+    on_surface = np.any(np.isclose(np.abs(x), 1.0, atol=1e-12), axis=0)
+    assert on_surface.all()
+    # count: full boundary of a 5^3 grid
+    assert nodes.size == 5**3 - 3**3
+
+
+def test_linear_laplace_exact():
+    mesh = box_mesh(3, 3, 3, 3)
+    disc = Discretization(mesh, gll_basis_3d(3))
+    prob = Poisson(disc, forcing=0.0, dtype=np.float64)
+    prob.set_dirichlet("ebc", lambda x, y, z: 0.1 * x + 0.2 * y - 0.05 * z)
+    sol = prob.solve(tol=1e-12, host_loop=True)
+    x, y, z = np.asarray(prob.x_nodes)
+    exact = 0.1 * x + 0.2 * y - 0.05 * z
+    assert np.abs(sol.u - exact).max() < 1e-11
+    assert bool(sol.cg.converged)
+
+
+@pytest.mark.parametrize("p,bound", [(2, 0.5), (4, 8e-3), (6, 8e-5),
+                                     (8, 4e-7)])
+def test_manufactured_p_convergence(p, bound):
+    """u = prod_i sin(pi x_i) on [-1,1]^3, f = 3 pi^2 u, u=0 on the
+    boundary; spectral (faster-than-algebraic) convergence in p.
+    Measured errors: 0.23 (p=2), 2.8e-3 (p=4), 2.2e-5 (p=6) — each
+    order-2 step gains ~2 digits, consistent with GLL-collocated
+    quadrature at 2x2x2 elements."""
+    def exact(x, y, z):
+        return np.sin(np.pi * x) * np.sin(np.pi * y) * np.sin(np.pi * z)
+
+    mesh = box_mesh(2, 2, 2, p)
+    disc = Discretization(mesh, gll_basis_3d(p))
+    prob = Poisson(
+        disc,
+        forcing=lambda x, y, z: 3 * np.pi**2 * exact(x, y, z),
+        dtype=np.float64)
+    prob.set_dirichlet("ebc", 0.0)
+    sol = prob.solve(tol=1e-12, host_loop=True)
+    x, y, z = np.asarray(prob.x_nodes)
+    err = np.abs(sol.u - exact(x, y, z)).max()
+    assert err < bound, err
+
+
+def test_variable_coefficient_3d():
+    """-div(c grad u) with c = 1 + x^2/4: linear u needs the matching
+    forcing f = -d/dx(c) * du/dx = -(x/2) * 1."""
+    mesh = box_mesh(3, 3, 3, 4)
+    disc = Discretization(mesh, gll_basis_3d(4))
+    prob = Poisson(
+        disc,
+        forcing=lambda x, y, z: -0.5 * x,
+        coefficient=lambda x, y, z: 1.0 + 0.25 * x * x,
+        dtype=np.float64)
+    prob.set_dirichlet("ebc", lambda x, y, z: x)
+    sol = prob.solve(tol=1e-13, host_loop=True)
+    x, _, _ = np.asarray(prob.x_nodes)
+    assert np.abs(sol.u - x).max() < 1e-9
+
+
+def test_solve_local_rejects_3d():
+    mesh = box_mesh(2, 2, 2, 2)
+    disc = Discretization(mesh, gll_basis_3d(2))
+    prob = Poisson(disc, dtype=np.float64)
+    prob.set_dirichlet("ebc", 0.0)
+    with pytest.raises(NotImplementedError, match="2D"):
+        prob.solve_local()
