@@ -199,24 +199,13 @@ def schur_solve(lmat, lrhs, csys: CondensedSystem, free_mask,
     x_ext : (n_ext_dofs,) condensed solution
     x_loc : (E, nd) full local solution (exterior + interior parts)
 
-    For repeated solves against ONE matrix (e.g. the preconditioner
-    applies inside a Krylov loop), use :func:`schur_factor` once +
-    :func:`schur_apply` per right-hand side — this function re-factorizes
-    every call (O(E n_int^3 + n_ext^3) vs the O(E n_int^2 + n_ext^2)
-    apply).
+    One-shot composition of :func:`schur_factor` + :func:`schur_apply`;
+    for repeated solves against ONE matrix (e.g. the preconditioner
+    applies inside a Krylov loop) factor once and apply per right-hand
+    side (O(E n_int^3 + n_ext^3) factor vs O(E n_int^2 + n_ext^2) apply).
     """
-    ne = csys.n_ext_ldof
-    sc_mat, sc_rhs, Kii, Kie = condense_local(lmat, lrhs, ne)
-    A, b = assemble_dense(
-        sc_mat, sc_rhs, jnp.asarray(csys.ext_dof_gidx),
-        csys.n_ext_dofs, rhs_extra,
-    )
-    x_ext = solve_condensed(A, b, free_mask)
-    x_ext_local = x_ext[jnp.asarray(csys.ext_dof_gidx)]
-    fi = lrhs[:, ne:]
-    x_int = back_substitute(Kii, Kie, fi, x_ext_local)
-    x_loc = jnp.concatenate([x_ext_local, x_int], axis=1)
-    return x_ext, x_loc
+    return schur_apply(schur_factor(lmat, csys, free_mask), lrhs, csys,
+                       rhs_extra)
 
 
 class SchurFactors(NamedTuple):
