@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--devices", type=int, default=None,
                     help="mesh size (default: all local devices)")
+    ap.add_argument("--comm", choices=["propagation", "shardmap"],
+                    default="propagation",
+                    help="halo exchange: XLA sharding propagation, or "
+                         "explicit ppermute inside shard_map "
+                         "(parallel.halo)")
     args = ap.parse_args()
 
     import jax
@@ -64,14 +69,20 @@ def main():
     prob.set_dirichlet("nbc", 0.0)
 
     dev_mesh = sh.device_mesh(n_dev)
-    A, r, M, u_dL, ex, _ = sh.sharded_local_poisson_problem(prob, dev_mesh)
-    print(f"element axis padded {disc.E} -> {ex.E} over {n_dev} shards")
+    A, r, M, u_dL, ex, _ = sh.sharded_local_poisson_problem(
+        prob, dev_mesh, comm=args.comm)
+    print(f"element axis padded {disc.E} -> {ex.E} over {n_dev} shards "
+          f"(comm={args.comm})")
 
+    transposed = args.comm == "shardmap"
+    dot = ex.dot_T if transposed else ex.dot
     t0 = time.perf_counter()
-    res = cg(A, r, M=M, tol=args.tol, max_iter=5000, dot=ex.dot)
+    res = cg(A, r, M=M, tol=args.tol, max_iter=5000, dot=dot)
     jax.block_until_ready(res.x)
     t = time.perf_counter() - t0
-    u = ex.global_from_local(np.asarray(u_dL + res.x))
+    uL = np.asarray(u_dL + res.x)
+    u = (ex.global_from_local_T(uL) if transposed
+         else ex.global_from_local(uL))
 
     err = prob.l2_error(u, ue)
     print(f"CG: {int(res.iterations)} iterations, |r| = "
