@@ -77,19 +77,24 @@ def replicated(mesh, *arrays):
 
 def make_sharded_poisson_operator(
     mesh, gather_nodes, G, D0, D1, n_nodes: int, free_mask,
-    axis: str = ELEM_AXIS,
+    axis: str = ELEM_AXIS, D2=None,
 ):
     """Sharded matrix-free weak Laplacian: psum-of-partials DSS.
 
     ``gather_nodes``/``G`` must already be padded & sharded on ``axis``;
     ``free_mask``/inputs are replicated.  Returns ``A(u) -> u``-shaped
-    callable usable inside jit/CG.
+    callable usable inside jit/CG.  Pass ``D2`` for 3D (hexahedral)
+    discretizations — ``G`` then carries the 6 packed factor components.
     """
 
     def local_apply(u, free, gix, Gs):
         # u, free: replicated (n_nodes,); gix/Gs: this shard's elements
         u = sumfac.masked(u, free)
-        partial = sumfac.laplacian_apply(u, gix, Gs, D0, D1, n_nodes)
+        if D2 is None:
+            partial = sumfac.laplacian_apply(u, gix, Gs, D0, D1, n_nodes)
+        else:
+            partial = sumfac.laplacian_apply_3d(u, gix, Gs, D0, D1, D2,
+                                                n_nodes)
         total = jax.lax.psum(partial, axis)
         return sumfac.masked(total, free)
 
@@ -133,6 +138,7 @@ def sharded_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS):
     A = make_sharded_poisson_operator(
         mesh, gix, G, problem._D0, problem._D1,
         problem.disc.n_nodes, free, axis=axis,
+        D2=getattr(problem, "_D2", None),
     )
     b = problem._b + jnp.asarray(problem._neumann, dtype=problem.dtype)
     r = _dirichlet_rhs(problem, A, b, u_d, free)

@@ -109,3 +109,23 @@ def test_solve_local_rejects_3d():
     prob.set_dirichlet("ebc", 0.0)
     with pytest.raises(NotImplementedError, match="2D"):
         prob.solve_local()
+
+
+def test_sharded_3d_solve_matches_single_device():
+    """Element-sharded 3D Poisson (replicated-vector psum DSS) over the
+    8-device CPU mesh == single-device solve."""
+    from spectralelementmethod_tpu.parallel import sharding as sh
+    from spectralelementmethod_tpu.solver.cg import cg
+
+    mesh = box_mesh(3, 2, 2, 3)
+    disc = Discretization(mesh, gll_basis_3d(3))
+    prob = Poisson(disc, forcing=1.0, dtype=np.float64)
+    prob.set_dirichlet("ebc", 0.0)
+    sol_single = prob.solve(tol=1e-12, host_loop=True)
+
+    dev_mesh = sh.device_mesh(8)
+    A, r, M, u_d, _ = sh.sharded_poisson_problem(prob, dev_mesh)
+    res = cg(A, r, M=M, tol=1e-12, max_iter=2000)
+    assert bool(res.converged)
+    u = np.asarray(u_d + res.x)
+    np.testing.assert_allclose(u, sol_single.u, atol=1e-9)
