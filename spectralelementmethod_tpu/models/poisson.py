@@ -376,9 +376,15 @@ class Poisson(BoundaryConditionMixin):
         fused_cg = None
         if cg_kernel not in ("auto", "plain", "fused", "fused-interpret"):
             raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
+        # auto engages the fused iteration only in the bf16-storage mode:
+        # measured at p=8/100k on v5e, XLA's own fusion of the plain
+        # vector ops already runs at ~85% of HBM peak (0.79 ms/iter) and
+        # the f32 fused kernels do not beat it (1.08-1.09); bf16 storage
+        # is the configuration with a real win (0.74) — see BASELINE.md
         want_fused = (
             cg_kernel in ("fused", "fused-interpret")
             or (cg_kernel == "auto" and not host_loop
+                and p_dtype is not None
                 and pallas_kernels_supported()))
         if (want_fused and precond == "jacobi" and transposed
                 and np.dtype(self.dtype) == np.float32):
