@@ -328,14 +328,13 @@ class _AffineFusedPrep:
             return None
         t_full = fused_affine_tile_shape(E, H_full, target_win)
         cost_full = (2 * t_full[1] / t_full[0]) if t_full else float("inf")
-        n_aux = (len({s for _d, s, *_r in far_e}) * self.ne
-                 + len({s for _d, s, *_r in far_v}))
-        # aux factor 1.0 from measurement (p=8, 104k el, v5e): the split
-        # kernel beat the full-halo one 0.365 vs 0.432 ms even where a
-        # 2.5x-priced model said otherwise - the epilogue's 18-row XLA
-        # rolls cost well under one n-row pass
-        cost_near = 2 * t_near[1] / t_near[0] + 1.0 * n_aux / self.n
-        return self.NEAR_HB if cost_near < cost_full else None
+        # Empirical rule (p=8 on v5e): the split pays a ~2-pass epilogue
+        # tax (the kernel output must re-materialize through the XLA
+        # far-roll concat), so it only wins once the full-halo window is
+        # degenerate — halo blocks comparable to the tile itself, the
+        # H ~ sqrt(E) large-mesh regime (measured: 100k full-halo beats
+        # split in-loop; 1M split 5.66 -> ~3 ms).
+        return self.NEAR_HB if cost_full >= 0.9 else None
 
     # ---- in-kernel building blocks (traced inside kernel bodies) --------
 
