@@ -287,9 +287,13 @@ class Poisson(BoundaryConditionMixin):
         ``cg_kernel``: 'auto' fuses whole CG iterations into two Pallas
         kernels per iteration when admissible on TPU (affine mesh, 'ne'
         layout, jacobi, f32 — :func:`..ops.pallas_kernels.
-        make_fused_cg_kernels`); 'fused' requires it, 'fused-interpret'
-        runs it in the Pallas interpreter (CPU testing), 'plain' keeps
-        the unfused apply + XLA vector ops.
+        make_fused_cg_kernels`) AND ``p_dtype`` selects bf16 storage —
+        the one fused configuration measured faster than XLA's own
+        fusion of the plain path (0.74 vs 0.79 ms/iter at p=8/100k on
+        v5e; the f32 fused kernels lose at 1.08+, see BASELINE.md).
+        'fused' forces it, 'fused-interpret' runs it in the Pallas
+        interpreter (CPU testing), 'plain' keeps the unfused apply + XLA
+        vector ops.
         ``p_dtype``: optional ``jnp.bfloat16`` storage for the fused-CG
         search direction (halves its HBM traffic; f32 accuracy is
         retained because Ap is computed from the stored direction).
