@@ -547,7 +547,7 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
 def make_fused_cg_kernels(exchange, Kcat, a, *,
                           precision: str = "high",
                           p_dtype=None,
-                          target_win: int = 1536,
+                          target_win: int | None = None,
                           max_halo="auto",
                           interpret: bool = False):
     """Two Pallas kernels fusing one whole PCG iteration (affine meshes).
@@ -593,15 +593,23 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
     Returns ``(kA, kB, G)`` with ``G`` the number of partial-sum tiles.
     Scalars (alpha, beta) are passed as (1, 1) float32 arrays.
     """
-    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
-                            max_halo)
-    n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
-    KT, M, aT = prep.KT, prep.M, prep.aT
     if p_dtype is not None and jnp.dtype(p_dtype) != jnp.bfloat16:
         raise ValueError(f"p_dtype must be None or bfloat16, got {p_dtype}")
     p_bf16 = p_dtype is not None
     if p_bf16 and precision != "high":
         raise ValueError("p_dtype=bfloat16 requires precision='high'")
+    if target_win is None:
+        # kernel A holds ~4x the plain apply kernel's per-lane VMEM
+        # state (r/p/inv windows + x + the stored direction); measured
+        # p=8/104k on v5e: bf16 state fits a 3072-lane window (0.46
+        # ms/iter, the sweet spot — 4352 overflows the 16 MB scoped
+        # stack), f32 state needs 1536
+        target_win = 3072 if p_bf16 else 1536
+
+    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
+                            max_halo)
+    n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
+    KT, M, aT = prep.KT, prep.M, prep.aT
     p_store = jnp.bfloat16 if p_bf16 else jnp.float32
 
     smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
