@@ -289,3 +289,17 @@ class TestFarClassSplit:
         expect_denom = float(ex.dot_T(r, jnp.asarray(expect_Ap)))
         assert abs(float(jnp.sum(dparts)) - expect_denom) / abs(
             expect_denom) < 1e-4
+
+    def test_auto_split_rule_scales(self):
+        """The empirical rule: split only when the full-halo window is
+        degenerate (halo blocks ~ tile size, the H ~ sqrt(E) regime)."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            _AffineFusedPrep)
+
+        ex, Kcat, a, _ = self._pieces(16, 16, 3)
+        # H=16 fits one 128-lane block: cost_full = 2*128/TE is small
+        prep = _AffineFusedPrep(ex, Kcat, a, "highest", 3840, "auto")
+        assert not prep.has_far
+        # shrink the window until full-halo is degenerate -> split
+        prep2 = _AffineFusedPrep(ex, Kcat, a, "highest", 256, "auto")
+        assert prep2.Hb == 128
