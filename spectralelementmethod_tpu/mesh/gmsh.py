@@ -1,4 +1,4 @@
-"""Binary Gmsh mesh import (2.2 and 4.1) / export (2.2).
+"""Binary Gmsh mesh import (2.2 and 4.1) / export (2.2 and 4.1).
 
 Parity target: reference ``sem/grid_importers.py`` (binary-only reader with
 PhysicalNames -> regions/boundaries, structured-dtype node/element blocks,
@@ -520,4 +520,124 @@ def save_msh(mesh: Mesh, file_path: str) -> None:
         for shape, elems in sorted(bulk_groups.items()):
             write_block(QUAD_TYPE_OF_N[shape[0]], elems)
 
+        f.write(b"\n$EndElements\n")
+
+
+def save_msh41(mesh: Mesh, file_path: str) -> None:
+    """Write a mesh as binary Gmsh 4.1 (``load_msh`` reads it back).
+
+    Capability extension — the reference has no writer at all
+    (``sem/grid_importers.py`` is read-only, 2.2-only).  Model structure:
+    one curve entity per named boundary and one surface entity per region,
+    each carrying exactly its physical tag; all nodes in a single block on
+    the first surface entity; one element block per (physical group,
+    element shape).
+    """
+    boundaries = mesh.boundary_names
+    regions = mesh.region_names
+    phys = []                       # (dim, id, name), ids 1-based
+    bnd_phys, reg_phys = {}, {}
+    for name in boundaries:
+        bnd_phys[name] = len(phys) + 1
+        phys.append((mesh.ndim - 1, len(phys) + 1, name))
+    for name in regions:
+        reg_phys[name] = len(phys) + 1
+        phys.append((mesh.ndim, len(phys) + 1, name))
+    # entity tags are per-dimension in gmsh; reuse the physical id as the
+    # entity tag so element blocks can name their entity directly
+    bnd_ent = {name: pid for name, pid in bnd_phys.items()}
+    reg_ent = {name: pid for name, pid in reg_phys.items()}
+
+    lo = mesh.nodes.min(axis=1)
+    hi = mesh.nodes.max(axis=1)
+    bbox = np.zeros(6)
+    bbox[: mesh.ndim] = lo
+    bbox[3: 3 + mesh.ndim] = hi
+
+    def w_u8(f, *vals):
+        f.write(np.asarray(vals, dtype="<u8").tobytes())
+
+    def w_i4(f, *vals):
+        f.write(np.asarray(vals, dtype="<i4").tobytes())
+
+    with open(file_path, "wb") as f:
+        f.write(b"$MeshFormat\n4.1 1 8\n")
+        f.write(np.array([1], dtype="<i4").tobytes())
+        f.write(b"\n$EndMeshFormat\n")
+
+        f.write(b"$PhysicalNames\n")
+        f.write(f"{len(phys)}\n".encode())
+        for dim, pid, name in phys:
+            f.write(f'{dim} {pid} "{name}"\n'.encode())
+        f.write(b"$EndPhysicalNames\n")
+
+        f.write(b"$Entities\n")
+        w_u8(f, 0, len(boundaries), len(regions), 0)
+        for name in boundaries:
+            w_i4(f, bnd_ent[name])
+            f.write(bbox.astype("<f8").tobytes())
+            w_u8(f, 1)
+            w_i4(f, bnd_phys[name])
+            w_u8(f, 0)                       # no bounding points
+        for name in regions:
+            w_i4(f, reg_ent[name])
+            f.write(bbox.astype("<f8").tobytes())
+            w_u8(f, 1)
+            w_i4(f, reg_phys[name])
+            w_u8(f, 0)                       # no bounding curves
+        f.write(b"\n$EndEntities\n")
+
+        n_nodes = mesh.n_nodes
+        f.write(b"$Nodes\n")
+        w_u8(f, 1, n_nodes, 1, n_nodes)
+        w_i4(f, mesh.ndim, reg_ent[regions[0]], 0)
+        w_u8(f, n_nodes)
+        f.write(np.arange(1, n_nodes + 1, dtype="<u8").tobytes())
+        coords = np.zeros((n_nodes, 3))
+        coords[:, : mesh.ndim] = mesh.nodes.T
+        f.write(coords.astype("<f8").tobytes())
+        f.write(b"\n$EndNodes\n")
+
+        # element blocks: one per (physical group, element shape)
+        from collections import defaultdict
+
+        bnd_blocks = defaultdict(list)      # (name, n_side) -> spiral lists
+        for name in boundaries:
+            for cell_num, face in mesh.boundary_faces(name):
+                sub = mesh.get_cell(cell_num).sub_cell(face)
+                lex = np.asarray(sub.node_ind_lexicographic).ravel()
+                perm = lex_to_spiral_permutation((lex.size,))
+                bnd_blocks[(name, lex.size)].append(lex[perm])
+        bulk_blocks = defaultdict(list)     # (region, shape) -> spiral lists
+        for cell in mesh.cells:
+            lex = cell.node_ind_lexicographic.ravel()
+            perm = lex_to_spiral_permutation(cell.geometry.shape)
+            bulk_blocks[(cell.region_name, cell.geometry.shape)].append(
+                lex[perm])
+
+        n_elems = sum(len(v) for v in bnd_blocks.values()) + sum(
+            len(v) for v in bulk_blocks.values())
+        f.write(b"$Elements\n")
+        w_u8(f, len(bnd_blocks) + len(bulk_blocks), n_elems, 1, n_elems)
+        tag = 1
+        for (name, n_side), elems in sorted(bnd_blocks.items()):
+            w_i4(f, mesh.ndim - 1, bnd_ent[name], LINE_TYPE_OF_N[n_side])
+            w_u8(f, len(elems))
+            dt = np.dtype([("tag", "<u8"), ("node_ix", "<u8", (n_side,))])
+            raw = np.zeros(len(elems), dtype=dt)
+            raw["tag"] = np.arange(tag, tag + len(elems))
+            raw["node_ix"] = np.asarray(elems) + 1
+            tag += len(elems)
+            f.write(raw.tobytes())
+        for (name, shape), elems in sorted(bulk_blocks.items()):
+            n_el_nodes = int(np.prod(shape))
+            w_i4(f, mesh.ndim, reg_ent[name], QUAD_TYPE_OF_N[shape[0]])
+            w_u8(f, len(elems))
+            dt = np.dtype([("tag", "<u8"),
+                           ("node_ix", "<u8", (n_el_nodes,))])
+            raw = np.zeros(len(elems), dtype=dt)
+            raw["tag"] = np.arange(tag, tag + len(elems))
+            raw["node_ix"] = np.asarray(elems) + 1
+            tag += len(elems)
+            f.write(raw.tobytes())
         f.write(b"\n$EndElements\n")

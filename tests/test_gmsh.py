@@ -420,3 +420,50 @@ class TestMsh41Fixture:
         sol = prob.solve_local(tol=1e-12, host_loop=True)
         x, _ = np.asarray(prob.x_nodes)
         assert np.abs(sol.u - x).max() < 1e-9
+
+
+class TestRoundTrip41:
+    """save_msh41 -> load_msh reproduces the mesh (4.1 writer)."""
+
+    @pytest.mark.parametrize("make", [
+        lambda: rectangle_mesh(3, 2, 4),
+        lambda: rectangle_mesh(2, 2, 1),
+        lambda: annulus_mesh(order=3, n_theta=4, n_r=3, r_outer=5.0),
+    ])
+    def test_save_load(self, make, tmp_path):
+        from spectralelementmethod_tpu.mesh.gmsh import save_msh41
+
+        mesh = make()
+        path = str(tmp_path / "mesh41.msh")
+        save_msh41(mesh, path)
+        loaded = load_msh(path, ndim=2)
+
+        assert loaded.n_nodes == mesh.n_nodes
+        assert loaded.n_cells == mesh.n_cells
+        np.testing.assert_allclose(loaded.nodes, mesh.nodes, atol=1e-15)
+        assert loaded.region_names == mesh.region_names
+        assert set(loaded.boundary_names) == set(mesh.boundary_names)
+        for name in mesh.boundary_names:
+            a = {tuple(p) for p in mesh.boundary_faces(name).tolist()}
+            b = {tuple(p) for p in loaded.boundary_faces(name).tolist()}
+            assert a == b, name
+        for c1, c2 in zip(mesh.cells, loaded.cells):
+            np.testing.assert_array_equal(
+                c1.node_ind_lexicographic, c2.node_ind_lexicographic
+            )
+            assert c1.region_name == c2.region_name
+
+    def test_adjacency_rebuilt(self, tmp_path):
+        from spectralelementmethod_tpu.mesh.gmsh import save_msh41
+
+        mesh = rectangle_mesh(3, 3, 2)
+        path = str(tmp_path / "m41.msh")
+        save_msh41(mesh, path)
+        loaded = load_msh(path, 2)
+        for i in range(mesh.n_cells):
+            c1, c2 = mesh.get_cell(i), loaded.get_cell(i)
+            for face in range(4):
+                n1, n2 = c1.neighbor(face), c2.neighbor(face)
+                assert (n1 is None) == (n2 is None)
+                if n1 is not None:
+                    assert n1.index == n2.index
