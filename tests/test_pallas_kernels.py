@@ -303,3 +303,107 @@ class TestFarClassSplit:
         # shrink the window until full-halo is degenerate -> split
         prep2 = _AffineFusedPrep(ex, Kcat, a, "highest", 256, "auto")
         assert prep2.Hb == 128
+
+
+class TestProceduralMasks:
+    """Roll-class masks synthesized from in-kernel iota predicates."""
+
+    def test_pattern_detection(self):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            _periodic_mask_params)
+
+        E = 40
+        m = np.ones(E, bool)
+        assert _periodic_mask_params(m) == ("all",)
+        m = np.ones(E, bool); m[:8] = False
+        assert _periodic_mask_params(m) == ("run", 0, 8)
+        m = np.ones(E, bool); m[32:] = False
+        assert _periodic_mask_params(m) == ("run", 32, 8)
+        m = np.ones(E, bool); m[7::8] = False
+        assert _periodic_mask_params(m) == ("iota", 7, 8, 1)
+        m = np.ones(E, bool); m[0::8] = False; m[1::8] = False
+        assert _periodic_mask_params(m) == ("iota", 0, 8, 2)
+        # irregular: falls back
+        m = np.ones(E, bool); m[[3, 11, 13]] = False
+        assert _periodic_mask_params(m) is None
+        # verify reconstruction rejects near-misses
+        m = np.ones(E, bool); m[7::8] = False; m[15] = True
+        assert _periodic_mask_params(m) is None
+
+    def test_rectangle_masks_all_procedural(self):
+        """On a structured rectangle mesh every near-class mask should
+        be synthesized (no mask rows streamed)."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+        from spectralelementmethod_tpu.ops import sumfac
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh import rectangle_mesh
+        from spectralelementmethod_tpu.models.poisson import Poisson
+
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", lambda x, y: 0.0)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        fused = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=3840, interpret=True)
+        kinds = fused._prep.mask_kinds
+        assert kinds and all(k[0] != "row" for k in kinds), kinds
+        # and the kernel still matches the XLA path exactly
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+        rng = np.random.RandomState(5)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        expected = np.asarray(A_xla(uT))
+        got = np.asarray(fused(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < 1e-5
+
+    def test_padded_exchange_cut(self):
+        """Pad-tail lanes must stay excluded when masks go procedural."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T, fused_affine_pad)
+        from spectralelementmethod_tpu.ops import sumfac
+        from spectralelementmethod_tpu.ops.exchange import make_exchange
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh import rectangle_mesh
+        from spectralelementmethod_tpu.models.poisson import Poisson
+
+        mesh = rectangle_mesh(18, 9, 3)    # E=162: needs padding
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", lambda x, y: 0.0)
+        ex = make_exchange(disc, fused_pad=True, fused_pad_min_e=0)
+        assert ex.E > ex.E_real
+        Gf = np.zeros((ex.E, 3, disc.n_loc), np.float32)
+        Gf[:disc.E] = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        W = disc.basis.weight_grid().reshape(-1)
+        a, _ = sumfac.affine_factorization(Gf, W)
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        fused = make_fused_affine_laplacian_T(
+            ex, Kcat, a, interpret=True)
+        assert fused._prep.pad_cut == ex.E_real
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+        rng = np.random.RandomState(6)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        expected = np.asarray(A_xla(uT))
+        got = np.asarray(fused(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < 1e-5
