@@ -55,7 +55,8 @@ def main():
           f"({time.perf_counter() - t0:.2f} s)")
 
     t0 = time.perf_counter()
-    sol = prob.solve(tol=1e-6 if args.f32 else 1e-12)
+    # production path: element-local L-vectors + pair/scatter DSS
+    sol = prob.solve_local(tol=1e-6 if args.f32 else 1e-12)
     x, y, z = np.asarray(prob.x_nodes)
     err = np.abs(sol.u - exact(x, y, z)).max()
     print(f"CG: {int(sol.cg.iterations)} iterations, "

@@ -301,10 +301,9 @@ class Poisson(BoundaryConditionMixin):
         from ..ops.exchange import RollExchange, make_exchange
 
         disc = self.disc
-        if disc.mesh.ndim != 2:
-            raise NotImplementedError(
-                "solve_local (L-vector storage) is 2D-only; use solve() "
-                "for 3D meshes")
+        if disc.mesh.ndim == 3:
+            return self._solve_local_3d(tol=tol, max_iter=max_iter,
+                                        host_loop=host_loop)
         ex = getattr(self, "_exchange", None)
         if ex is None:
             ex = self._exchange = make_exchange(disc, fused_pad=True)
@@ -428,6 +427,62 @@ class Poisson(BoundaryConditionMixin):
             u = ex.global_from_local_T(np.asarray(uL))
         else:
             u = ex.global_from_local(np.asarray(uL))
+        return PoissonSolution(u, res)
+
+    def _solve_local_3d(self, tol: float = 1e-12,
+                        max_iter: int | None = None,
+                        host_loop: bool = False) -> PoissonSolution:
+        """3D L-vector CG: local sum-factorized apply + pair/scatter DSS.
+
+        The 3D production path (``solve_local`` routes here): fields stay
+        element-local as (E, n_loc) lexicographic L-vectors, the operator
+        is :func:`..ops.sumfac.laplacian_apply_local_3d` followed by
+        :class:`..ops.exchange.PairScatterExchange` DSS — no global
+        gather/scatter inside the iteration.
+        """
+        from ..ops.exchange import make_exchange
+
+        disc = self.disc
+        ex = getattr(self, "_exchange", None)
+        if ex is None:
+            ex = self._exchange = make_exchange(disc)
+            self._op_cache = {}
+        shape = tuple(disc.shape)
+
+        def to_local(u_global):
+            return jnp.asarray(
+                ex.local_from_global(u_global).astype(self.dtype))
+
+        free = jnp.asarray((~self._dirichlet_mask)[ex.gather_lex])
+        D0, D1, D2 = self._D0, self._D1, self._D2
+        G = self._G.reshape((disc.E, 6) + shape)
+
+        def A_raw(uL):
+            ue = uL.reshape((ex.E, ) + shape)
+            ve = sumfac.laplacian_apply_local_3d(ue, G, D0, D1, D2)
+            return ex.dss(ve.reshape(ex.E, ex.n_loc))
+
+        def A(uL):
+            uL = sumfac.masked(uL, free)
+            return sumfac.masked(A_raw(uL), free)
+
+        b = np.asarray(self._b) + self._neumann
+        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
+        bL, u_dL = to_local(b), to_local(u_d)
+        r = _masked_residual(A_raw, free, bL, u_dL)
+
+        diagL = to_local(np.asarray(self.operator_diagonal()))
+        M = jacobi_preconditioner(diagL, free)
+        if max_iter is None:
+            max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
+        if host_loop:
+            res = cg_host(A, r, M=M, tol=tol, max_iter=max_iter,
+                          dot=ex.dot)
+        else:
+            w = ex._weights_as(np.dtype(self.dtype))
+            res = cg(A, r, M=M, tol=tol, max_iter=max_iter, dot_weight=w)
+        uL = u_dL + res.x
+        u = ex.global_from_local(np.asarray(uL))
         return PoissonSolution(u, res)
 
     def _build_fused_cg(self, ex, Gf, Dhat, cg_kernel: str, p_dtype,

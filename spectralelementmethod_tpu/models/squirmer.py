@@ -508,9 +508,7 @@ class SphereWithSlipVel:
             # batched restart ladder: k cycles per dispatch with
             # device-side freeze — one host sync per batch instead of one
             # per restart cycle (the cg block-ladder treatment)
-            issued, batch, done, rnorm = 0, 1, False, None
-            prev_rn = None
-            stagnated = False
+            issued, batch, done, rnorm = 0, 2, False, None
             while issued < max_restarts and not done:
                 k = min(batch, max_restarts - issued)
                 x, rnorm, _its, done_d = cycles(
@@ -518,18 +516,14 @@ class SphereWithSlipVel:
                 issued += k
                 done = bool(done_d)
                 batch = min(batch * 2, 16)
-                rn = float(rnorm)
-                if prev_rn is not None and not (rn < 0.5 * prev_rn):
-                    # attainable-accuracy floor: late Newton steps have
-                    # ||b|| ~ eps so gmres_tol*||Mb|| can sit below what
-                    # f64-with-f32-preconditioner can reach; burning the
-                    # whole restart budget there cost ~2 s per Newton
-                    # step (measured on v5e) for zero residual gain
-                    stagnated = True
-                    break
-                prev_rn = rn
-            if not done:
-                if stagnated:
+            if float(rnorm) > stop:
+                if done:
+                    # device-side stagnation freeze (_gmres_cycles): the
+                    # attainable-accuracy floor — late Newton steps have
+                    # ||b|| ~ eps, so gmres_tol*||Mb|| can sit below what
+                    # f64-with-f32-preconditioner arithmetic can reach;
+                    # burning the restart budget there cost ~2 s per
+                    # Newton step (measured on v5e) for zero gain
                     _log.debug(
                         "GMRES-IR stagnated at |r|=%.3e (stop=%.3e) after "
                         "%d restart cycles; correction at attainable "

@@ -584,6 +584,126 @@ class RollExchange(LocalExchange):
         return vT.at[ov:ov + 4].set(vsum)
 
 
+class PairScatterExchange:
+    """Dimension-generic L-vector DSS in **lexicographic** local order.
+
+    The 2D production exchanges (:class:`LocalExchange` /
+    :class:`RollExchange`) are quad-specific: edge-slot pairing plus a
+    vertex scatter over slot-blocked hierarchical storage.  This class
+    covers any conforming single-geometry NCube mesh — in particular 3D
+    hexahedra, where shared DOFs come in three kinds: face interiors
+    (always 2 copies), edge interiors and vertices (variable valence).
+    The split is by *multiplicity*, not topology:
+
+    * copies with multiplicity 2 exchange through one flat partner
+      gather (3D face interiors dominate the shared-DOF count, so the
+      bulk of the exchange is a single gather + add);
+    * copies with multiplicity >= 3 scatter-add into a compacted array
+      (one slot per distinct shared node) and gather back;
+    * multiplicity-1 copies (element interiors, domain boundary) are
+      untouched.
+
+    Orientation bookkeeping — the 8 ways a hex face can glue to its
+    neighbor — falls out of the global node ids for free: partners are
+    matched per *node*, not per face.
+
+    Net-new TPU design (the reference is 2D-only and serial;
+    ``sem/geometry.py:25-29`` marks 3D as future work).  Reference
+    behavior matched: scipy COO duplicate summation
+    (``sem/discrete.py:478-500``) generalized to hexahedra.
+    """
+
+    def __init__(self, disc, pad_to: int | None = None):
+        self.disc = disc
+        E = disc.E
+        Ep = E if pad_to is None else int(pad_to)
+        if Ep < E:
+            raise ValueError(f"pad_to={Ep} < E={E}")
+        self.E, self.E_real = Ep, E
+        self.n_loc = n = disc.n_loc
+        self.shape = tuple(disc.shape)
+
+        gather = np.zeros((Ep, n), dtype=np.int64)
+        gather[:E] = disc.gather_nodes
+        #: (Ep, n_loc) global node ids, lexicographic local order
+        #: (pad rows alias node 0; their values never enter reductions)
+        self.gather_lex = gather
+
+        gids = gather.reshape(-1).copy()
+        if Ep > E:
+            # fresh singleton ids for pad copies: they must never join a
+            # real node's reduction or multiplicity
+            gids[E * n:] = disc.n_nodes + np.arange((Ep - E) * n)
+        mult = np.bincount(gids)
+        m_copy = mult[gids]
+
+        two = np.nonzero(m_copy == 2)[0]
+        order = np.argsort(gids[two], kind="stable")
+        st = two[order].reshape(-1, 2)
+        self._pair_idx = jnp.asarray(np.concatenate([st[:, 0], st[:, 1]]))
+        self._pair_partner = jnp.asarray(
+            np.concatenate([st[:, 1], st[:, 0]]))
+
+        hi = np.nonzero(m_copy >= 3)[0]
+        uniq, seg = np.unique(gids[hi], return_inverse=True)
+        self._multi_idx = jnp.asarray(hi)
+        self._multi_seg = jnp.asarray(seg.astype(np.int32))
+        self._n_multi = int(uniq.size)
+
+        w = (1.0 / m_copy).reshape(Ep, n)
+        w[E:] = 0.0
+        self._weights_np = w
+
+    # -- conversions -------------------------------------------------------
+
+    def local_from_global(self, u_global) -> np.ndarray:
+        """(n_nodes[, k]) -> (E, n_loc[, k]) consistent L-vector."""
+        return np.asarray(u_global)[self.gather_lex]
+
+    def global_from_local(self, uL) -> np.ndarray:
+        """Consistent (E, n_loc[, k]) L-vector -> global (n_nodes[, k])."""
+        uL = np.asarray(uL)[:self.E_real]
+        out_shape = (self.disc.n_nodes,) + uL.shape[2:]
+        out = np.zeros(out_shape, dtype=uL.dtype)
+        out[self.gather_lex[:self.E_real].reshape(-1)] = uL.reshape(
+            (-1,) + uL.shape[2:])
+        return out
+
+    # -- the exchange ------------------------------------------------------
+
+    def dss(self, vL):
+        """Direct stiffness summation on an (E, n_loc[, k]) L-vector."""
+        import jax
+
+        v = jnp.asarray(vL)
+        flat = v.reshape((self.E * self.n_loc,) + v.shape[2:])
+        pair_sum = flat[self._pair_idx] + flat[self._pair_partner]
+        seg = jax.ops.segment_sum(
+            flat[self._multi_idx], self._multi_seg,
+            num_segments=self._n_multi)
+        out = flat.at[self._pair_idx].set(pair_sum)
+        out = out.at[self._multi_idx].set(seg[self._multi_seg])
+        return out.reshape(v.shape)
+
+    def dot(self, uL, vL):
+        """Global inner product from consistent L-vectors."""
+        prod = uL * vL
+        w = self._weights_as(prod.dtype)
+        if prod.ndim == 3:
+            w = w[..., None]
+        return jnp.sum(prod * w)
+
+    @property
+    def weights(self):
+        """(E, n_loc) inverse-multiplicity dot weights (float64 view)."""
+        return self._weights_as(np.float64)
+
+    _weights_as = LocalExchange._weights_as
+
+    def norm(self, uL):
+        return jnp.sqrt(self.dot(uL, uL))
+
+
 def make_exchange(disc, threshold: float = 0.25,
                   pad_to: int | None = None,
                   layout: str = "edges-first",
@@ -600,6 +720,10 @@ def make_exchange(disc, threshold: float = 0.25,
     (the kernel targets ~4k-lane tiles — padding tiny meshes to that
     size would dwarf them, and the XLA path is fine there).
     """
+    if len(disc.shape) != 2:
+        # 3D (and any non-quad NCube): multiplicity-split pair/scatter
+        # exchange in lexicographic order
+        return PairScatterExchange(disc, pad_to=pad_to)
     if disc.shape[0] != disc.shape[1]:
         # anisotropic orders: generic exchange (roll classes + the fused
         # kernels assume slot-uniform edge lengths)

@@ -633,6 +633,9 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
     (``..ops.sumfac.make_affine_element_matrices`` in the exchange's
     local node order).  ``a``: (E, 3) affine factor scales.
     """
+    from ..utils.hoist import ensure_recursion_headroom
+
+    ensure_recursion_headroom()
     prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
                             max_halo)
     n, E, G = prep.n, prep.E, prep.G
@@ -672,6 +675,9 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
         return res
 
     apply_local_dss._prep = prep      # introspection (tests, bench)
+    # hoisting Pallas operands to runtime jit parameters aborts the TPU
+    # runtime (see utils/hoist.py) — keep captures as inline literals
+    apply_local_dss._no_hoist = True
     return apply_local_dss
 
 
@@ -737,6 +743,9 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         # stack), f32 state needs 1536
         target_win = 3072 if p_bf16 else 1536
 
+    from ..utils.hoist import ensure_recursion_headroom
+
+    ensure_recursion_headroom()
     prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
                             max_halo)
     n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb

@@ -206,8 +206,16 @@ def _gmres_cycles(A, M, dot, m: int):
     the syncs to O(max_restarts / k).  Converged state short-circuits via
     ``lax.cond`` — frozen cycles do no Arnoldi work.
 
+    A cycle that fails to halve the residual while still above ``stop``
+    also freezes (stagnation at the attainable-accuracy floor: with a
+    reduced-precision preconditioner, ``stop`` relative to a tiny rhs can
+    sit below what the arithmetic can reach — burning restart cycles
+    there costs seconds per solve for zero gain).  Callers distinguish
+    the two exits by comparing the returned ``rnorm`` against ``stop``.
+
     Returns ``cycles(k, x, b, stop, A_c, M_c, dot_c) ->
-    (x, rnorm, total_new_its, done)``.
+    (x, rnorm, total_new_its, done)`` with ``done`` = converged OR
+    stagnated.
     """
     from functools import partial
 
@@ -219,9 +227,10 @@ def _gmres_cycles(A, M, dot, m: int):
 
         def one(_i, carry):
             def run(carry):
-                x, _rn, its, _done = carry
+                x, rn_prev, its, _done = carry
                 x2, rn2, dk = body(x, b, stop, A_c, M_c, dot_c)
-                return (x2, rn2, its + dk, rn2 <= stop)
+                stalled = (rn2 > 0.5 * rn_prev) & (rn2 > stop)
+                return (x2, rn2, its + dk, (rn2 <= stop) | stalled)
 
             return jax.lax.cond(carry[3], lambda c: c, run, carry)
 

@@ -15,10 +15,23 @@ arguments — which jit then lowers as ordinary parameters.
 
 from __future__ import annotations
 
+import sys
 import weakref
 
 import jax
 from jax import core as jcore
+
+
+def ensure_recursion_headroom(limit: int = 10000) -> None:
+    """Raise Python's recursion limit for deep JAX traces.
+
+    Tracing a Pallas kernel inside ``make_jaxpr`` inside a jitted solve
+    rides the default 1000-frame limit; at 1M-element operand counts the
+    promotion machinery tips over it (measured: RecursionError inside a
+    kernel ``%`` op).  Idempotent, only ever raises the limit.
+    """
+    if sys.getrecursionlimit() < limit:
+        sys.setrecursionlimit(limit)
 
 #: weak per-function cache: fn -> {aval signature -> (pure, consts)}.
 #: Returning the *same* pure-function object for repeated calls is what

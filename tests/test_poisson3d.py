@@ -102,13 +102,77 @@ def test_variable_coefficient_3d():
     assert np.abs(sol.u - x).max() < 1e-9
 
 
-def test_solve_local_rejects_3d():
-    mesh = box_mesh(2, 2, 2, 2)
-    disc = Discretization(mesh, gll_basis_3d(2))
-    prob = Poisson(disc, dtype=np.float64)
+class TestPairScatterExchange:
+    """3D L-vector DSS: multiplicity-split pair gather + compact scatter."""
+
+    def _ex(self, nx=3, ny=2, nz=2, p=3):
+        from spectralelementmethod_tpu.ops.exchange import (
+            PairScatterExchange)
+
+        mesh = box_mesh(nx, ny, nz, p)
+        disc = Discretization(mesh, gll_basis_3d(p))
+        return disc, PairScatterExchange(disc)
+
+    def test_dss_matches_global_scatter(self):
+        disc, ex = self._ex()
+        rng = np.random.RandomState(0)
+        vL = rng.standard_normal((disc.E, disc.n_loc))
+        # oracle: scatter-assemble globally, gather back
+        g = np.zeros(disc.n_nodes)
+        np.add.at(g, ex.gather_lex.ravel(), vL.ravel())
+        expect = g[ex.gather_lex]
+        got = np.asarray(ex.dss(vL))
+        np.testing.assert_allclose(got, expect, rtol=1e-13, atol=1e-13)
+
+    def test_dot_matches_global(self):
+        disc, ex = self._ex()
+        rng = np.random.RandomState(1)
+        u = rng.standard_normal(disc.n_nodes)
+        v = rng.standard_normal(disc.n_nodes)
+        got = float(ex.dot(ex.local_from_global(u),
+                           ex.local_from_global(v)))
+        assert abs(got - float(u @ v)) < 1e-10 * abs(u @ v)
+
+    def test_global_round_trip(self):
+        disc, ex = self._ex()
+        rng = np.random.RandomState(2)
+        u = rng.standard_normal(disc.n_nodes)
+        np.testing.assert_array_equal(
+            ex.global_from_local(ex.local_from_global(u)), u)
+
+    def test_multiplicity_partition(self):
+        """Every local copy is pair-exchanged, scatter-exchanged, or
+        private — exactly once."""
+        disc, ex = self._ex()
+        total = ex.E * ex.n_loc
+        counted = np.zeros(total, np.int64)
+        counted[np.asarray(ex._pair_idx)] += 1
+        counted[np.asarray(ex._multi_idx)] += 1
+        assert counted.max() <= 1
+        w = ex._weights_np.ravel()
+        private = np.nonzero(counted == 0)[0]
+        np.testing.assert_allclose(w[private], 1.0)
+
+
+def test_solve_local_3d_matches_global_solve():
+    """solve_local routes 3D meshes to the L-vector pair/scatter path
+    and reproduces the global-vector solve."""
+    def exact(x, y, z):
+        return np.sin(np.pi * x) * np.sin(np.pi * y) * np.sin(np.pi * z)
+
+    mesh = box_mesh(2, 2, 2, 5)
+    disc = Discretization(mesh, gll_basis_3d(5))
+    prob = Poisson(
+        disc,
+        forcing=lambda x, y, z: 3 * np.pi**2 * exact(x, y, z),
+        dtype=np.float64)
     prob.set_dirichlet("ebc", 0.0)
-    with pytest.raises(NotImplementedError, match="2D"):
-        prob.solve_local()
+    sol_g = prob.solve(tol=1e-12, host_loop=True)
+    sol_l = prob.solve_local(tol=1e-12)
+    np.testing.assert_allclose(sol_l.u, sol_g.u, atol=1e-10)
+    x, y, z = np.asarray(prob.x_nodes)
+    assert np.abs(sol_l.u - exact(x, y, z)).max() < 1e-3
+    assert bool(sol_l.cg.converged)
 
 
 def test_sharded_3d_solve_matches_single_device():
