@@ -308,6 +308,16 @@ class Poisson(BoundaryConditionMixin):
         if ex is None:
             ex = self._exchange = make_exchange(disc, fused_pad=True)
             self._op_cache = {}
+        if (cg_kernel in ("fused", "fused-interpret")
+                and isinstance(ex, RollExchange)
+                and ex.E == ex.E_real):
+            # small meshes skip the fused_pad min-size gate; an EXPLICIT
+            # fused request re-pads so an admissible (TE, Hb) lane tiling
+            # always exists (e.g. E=288 divides no 128-multiple tile)
+            ex2 = make_exchange(disc, fused_pad=True, fused_pad_min_e=0)
+            if getattr(ex2, "E", ex.E) != ex.E:
+                ex = self._exchange = ex2
+                self._op_cache = {}
 
         if vector_layout == "auto":
             vector_layout = "ne" if isinstance(ex, RollExchange) else "en"

@@ -288,9 +288,11 @@ class _AffineFusedPrep:
     NEAR_HB = 128
 
     def __init__(self, exchange, Kcat, a, precision: str,
-                 target_win: int, max_halo="auto"):
+                 target_win: int, max_halo="auto",
+                 cheap_far: bool = False):
         import numpy as np
 
+        self.cheap_far = cheap_far
         ex = exchange
         self.ex = ex
         self.n = n = ex.n_loc
@@ -340,6 +342,11 @@ class _AffineFusedPrep:
              for i, s in enumerate(v_slots)})
         self.n_aux = len(e_slots) * self.ne + len(v_slots)
         self.has_far = self.n_aux > 0
+        # compact far DESTINATION layout (kernel-B far fusion): one row
+        # block per far dst edge slot, one row per far dst vertex slot
+        self.far_e_dst = sorted({d for d, *_r in self._far_edge})
+        self.far_v_dst = sorted({d for d, *_r in self._far_vert})
+        self.n_far = len(self.far_e_dst) * self.ne + len(self.far_v_dst)
 
         tile = fused_affine_tile_shape(E, H, target_win)
         if tile is None:
@@ -427,7 +434,13 @@ class _AffineFusedPrep:
         # degenerate — halo blocks comparable to the tile itself, the
         # H ~ sqrt(E) large-mesh regime (measured: 100k full-halo beats
         # split in-loop; 1M split 5.66 -> ~3 ms).
-        return self.NEAR_HB if cost_full >= 0.9 else None
+        #
+        # cheap_far (fused-CG kernels): the far rows ride into kernel B's
+        # existing Ap stream (~0.6 extra passes over a ~20-row slice
+        # instead of ~2 full-array passes), so splitting pays off as soon
+        # as the full-halo window carries real redundancy.
+        thresh = 0.3 if self.cheap_far else 0.9
+        return self.NEAR_HB if cost_full >= thresh else None
 
     # ---- in-kernel building blocks (traced inside kernel bodies) --------
 
@@ -468,6 +481,55 @@ class _AffineFusedPrep:
             vert_rows[d_s] = vert_rows[d_s] + jnp.where(
                 mask[None, :], src, 0.0)
         return jnp.concatenate(edge_blks + vert_rows + [out[oi:]], axis=0)
+
+    def far_rows(self, aux):
+        """Compact far-class contributions in DESTINATION-row layout.
+
+        ``aux``: (n_aux, E) raw pre-DSS source rows from the kernel.
+        Returns (n_far, E): for each far dst edge slot an (ne, E) block,
+        then one row per far dst vertex slot — the rolled, masked class
+        sums ready to be ADDED to the near-DSS output at static sublane
+        offsets.  Rolls touch only the few aux rows (cheap XLA), unlike
+        :meth:`apply_far`, which rebuilds the whole (n, E) array; a
+        consumer kernel (fused-CG kernel B) adds these rows in VMEM while
+        it streams Ap anyway, so the corrected Ap is never materialized.
+        """
+        ne, E = self.ne, aux.shape[1]
+        e_pos = {d: i for i, d in enumerate(self.far_e_dst)}
+        v_pos = {d: i for i, d in enumerate(self.far_v_dst)}
+        eblk = [jnp.zeros((ne, E), jnp.float32) for _ in self.far_e_dst]
+        for d_f, s_f, delta, flip, mask in self._far_edge:
+            r0 = self._aux_row[("e", s_f)]
+            src = jnp.roll(aux[r0:r0 + ne], -delta, axis=1)
+            if flip:
+                src = src[::-1, :]
+            i = e_pos[d_f]
+            eblk[i] = eblk[i] + jnp.where(mask[None, :], src, 0.0)
+        vrows = [jnp.zeros((1, E), jnp.float32) for _ in self.far_v_dst]
+        for d_s, s_s, delta, mask in self._far_vert:
+            r0 = self._aux_row[("v", s_s)]
+            src = jnp.roll(aux[r0:r0 + 1], -delta, axis=1)
+            j = v_pos[d_s]
+            vrows[j] = vrows[j] + jnp.where(mask[None, :], src, 0.0)
+        return jnp.concatenate(eblk + vrows, axis=0)
+
+    def add_far(self, ap, far):
+        """In-kernel add of :meth:`far_rows` output into an (n, TE) tile.
+
+        Row bookkeeping only (slices + one sublane concat in VMEM) —
+        requires edges-first layout (enforced in __init__), where the
+        local row order is [edge slots | vertices | interior].
+        """
+        ne, ov, oi = self.ne, self.ov, self.oi
+        eblk = [ap[self.oe + f * ne: self.oe + (f + 1) * ne]
+                for f in range(4)]
+        for i, d in enumerate(self.far_e_dst):
+            eblk[d] = eblk[d] + far[i * ne:(i + 1) * ne]
+        vrows = [ap[ov + v: ov + v + 1] for v in range(4)]
+        off_v = len(self.far_e_dst) * ne
+        for j, d in enumerate(self.far_v_dst):
+            vrows[d] = vrows[d] + far[off_v + j: off_v + j + 1]
+        return jnp.concatenate(eblk + vrows + [ap[oi:]], axis=0)
 
     def dot_window(self, K_ref, u_win):
         """V = [K0;K1;K2] @ u_win at the configured precision.
@@ -523,19 +585,26 @@ class _AffineFusedPrep:
                   + jax.lax.broadcasted_iota(jnp.int32, (1, TE), 1))
         gmod_cache: dict[int, jnp.ndarray] = {}
 
+        def i32(v):
+            # int32 literals: a bare Python int materializes as an i64[]
+            # scalar under x64 (the squirmer stage enables it process-
+            # wide), and Mosaic's i64->i32 convert lowering recurses
+            # forever (observed RecursionError at 1M elements)
+            return jnp.int32(v)
+
         def kind_keep(kind):
             """Lane-keep predicate of a procedural kind (None = all)."""
             if kind[0] == "all":
                 return None
             if kind[0] == "run":
                 _, s0, L = kind
-                return (g_lane < s0) | (g_lane >= s0 + L)
+                return (g_lane < i32(s0)) | (g_lane >= i32(s0 + L))
             if kind[0] == "iota":
                 _, s0, P, L = kind
                 if P not in gmod_cache:
-                    gmod_cache[P] = g_lane % P
+                    gmod_cache[P] = g_lane % i32(P)
                 gm = gmod_cache[P]
-                return (gm < s0) | (gm >= s0 + L)
+                return (gm < i32(s0)) | (gm >= i32(s0 + L))
             _, k1, k2 = kind                    # "and"
             return kind_keep(k1) & kind_keep(k2)
 
@@ -545,7 +614,7 @@ class _AffineFusedPrep:
                 return src * m_ref[i:i + 1, :]
             keep = kind_keep(kind)
             if self.pad_cut is not None:
-                cut = g_lane < self.pad_cut
+                cut = g_lane < i32(self.pad_cut)
                 keep = cut if keep is None else keep & cut
             if keep is None:
                 return src
@@ -718,6 +787,15 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         induction; Dirichlet rows of r may accumulate values but never
         enter any reduction or update).
 
+    Far-class halo split: when the auto rule splits large-offset roll
+    classes out of the VMEM window (1M-element regime, H ~ sqrt(E)), kA
+    returns ``Ap`` as the pair ``(Ap_near, far_rows)`` — the near-DSS
+    result plus the compact (n_far, E) rolled far contributions — and kB
+    adds the far rows in VMEM while it streams Ap for the r update.  The
+    corrected Ap is never materialized in HBM (denominator partials use
+    the pre-DSS identity, so they are complete without it); drivers pass
+    kA's Ap to kB opaquely, so the split is invisible to them.
+
     ``p_dtype=jnp.bfloat16`` stores the search direction in bf16 (halves
     its HBM traffic; requires ``precision='high'``, where the matmul then
     needs only the two K-split passes).  ``target_win`` defaults smaller
@@ -747,7 +825,7 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
 
     ensure_recursion_headroom()
     prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
-                            max_halo)
+                            max_halo, cheap_far=True)
     n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
     KT, M, aT = prep.KT, prep.M, prep.aT
     p_store = jnp.bfloat16 if p_bf16 else jnp.float32
@@ -814,14 +892,23 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
             interpret=interpret,
         )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, x, KT, M, sc)
         if prep.has_far:
+            # the near-DSS Ap travels WITH its compact far rows; kernel B
+            # adds them in VMEM while streaming Ap for the r update, so
+            # the corrected Ap is never materialized in HBM (the
+            # apply_far concat rebuild costs ~2 full passes at 1M el)
             p_new, Ap, x_new, dparts, aux = res
-            return p_new, prep.apply_far(Ap, aux), x_new, dparts
+            return p_new, (Ap, prep.far_rows(aux)), x_new, dparts
         return res
 
-    def kernel_b(r_ref, ap_ref, i_ref, w_ref, alpha_ref,
-                 ro_ref, rz_ref, rn_ref):
+    def kernel_b(r_ref, ap_ref, i_ref, w_ref, *rest):
+        if prep.has_far:
+            far_ref, alpha_ref, ro_ref, rz_ref, rn_ref = rest
+            ap = prep.add_far(ap_ref[:], far_ref[:])
+        else:
+            alpha_ref, ro_ref, rz_ref, rn_ref = rest
+            ap = ap_ref[:]
         alpha = alpha_ref[0, 0]
-        r_new = r_ref[:] - alpha * ap_ref[:]
+        r_new = r_ref[:] - alpha * ap
         ro_ref[:] = r_new
         w = w_ref[:].astype(jnp.float32)
         z = i_ref[:].astype(jnp.float32) * r_new
@@ -830,7 +917,10 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         rn_ref[g, 0] = jnp.sum(w * r_new * r_new)
 
     cs_n = prep.center_spec(n)
-    b_specs = [cs_n, cs_n, cs_n, cs_n, smem_scalar]
+    b_specs = [cs_n, cs_n, cs_n, cs_n]
+    if prep.has_far:
+        b_specs.append(prep.center_spec(prep.n_far))
+    b_specs.append(smem_scalar)
     b_out_shapes = (
         jax.ShapeDtypeStruct((n, E), jnp.float32),
         jax.ShapeDtypeStruct((G, 1), jnp.float32),
@@ -840,6 +930,10 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
 
     def kB(r, Ap, inv, w_free, alpha):
         alpha = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+        args = (r, Ap, inv, w_free, alpha)
+        if prep.has_far:
+            Ap, far = Ap
+            args = (r, Ap, inv, w_free, far, alpha)
         return pl.pallas_call(
             kernel_b,
             out_shape=b_out_shapes,
@@ -847,7 +941,7 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
             in_specs=b_specs,
             out_specs=b_out_specs,
             interpret=interpret,
-        )(r, Ap, inv, w_free, alpha)
+        )(*args)
 
     kA._prep = kB._prep = prep        # introspection (tests, bench)
     return kA, kB, G

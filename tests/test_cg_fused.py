@@ -130,6 +130,88 @@ class TestKernels:
         with pytest.raises(ValueError, match="high"):
             _fused_pieces(prob, p_dtype=jnp.bfloat16, precision="highest")
 
+    def test_far_split_kernels_match_unfused(self):
+        """max_halo=1 forces the row-stride classes through the far path:
+        kA returns (Ap_near, far_rows) and kernel B completes the DSS in
+        VMEM — recovered here via kB with r=0, alpha=1 (r' = -Ap)."""
+        prob = _setup(32, 16, 2)          # stride 16 > max_halo -> far
+        ex, kA, kB, G, A_xla = _fused_pieces(prob, max_halo=1)
+        prep = kA._prep
+        assert prep.has_far and prep.n_far > 0
+        rng = np.random.RandomState(11)
+        r = jnp.asarray(np.asarray(ex.dss_T(jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32)))))
+        zeros = jnp.zeros_like(r)
+        # beta=0, inv=1: p' = r, Ap' = A r
+        p_new, Ap, x_new, dparts = kA(r, zeros, jnp.ones_like(r), zeros,
+                                      0.0, 0.0)
+        assert isinstance(Ap, tuple) and Ap[1].shape == (prep.n_far, ex.E)
+        expect_Ap = np.asarray(A_xla(r))
+        # near-only Ap must NOT equal the full apply (far classes exist
+        # on this mesh for real): guards against a silently empty split
+        scale = np.abs(expect_Ap).max()
+        assert np.abs(np.asarray(Ap[0]) - expect_Ap).max() / scale > 1e-3
+        rn, rzp, rn2p = kB(zeros, Ap, jnp.ones_like(r),
+                           jnp.asarray(np.asarray(ex.weights.T,
+                                                  np.float32)), 1.0)
+        assert np.abs(-np.asarray(rn) - expect_Ap).max() / scale < 1e-4
+        # pre-DSS denominator identity holds regardless of the split
+        expect_denom = float(ex.dot_T(r, jnp.asarray(expect_Ap)))
+        assert abs(float(jnp.sum(dparts)) - expect_denom) / abs(
+            expect_denom) < 1e-4
+
+    def test_far_split_cg_solves(self):
+        """End-to-end cg_fused through far-split kernels == plain CG."""
+        prob = _setup(32, 16, 2)
+        ex, kA, kB, G, A_xla = _fused_pieces(prob, max_halo=1)
+        assert kA._prep.has_far
+        free = jnp.asarray(np.ascontiguousarray(
+            (~prob._dirichlet_mask)[ex.gather_hier].T))
+        diagL = jnp.asarray(np.ascontiguousarray(
+            np.asarray(prob.operator_diagonal())[ex.gather_hier]
+            .astype(np.float32).T))
+        inv = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0)
+        w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+        w_free = jnp.where(free, w, 0.0)
+        b = np.asarray(prob._b) + prob._neumann
+        u_d = np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0)
+        bL = jnp.asarray(np.ascontiguousarray(
+            b[ex.gather_hier].astype(np.float32).T))
+        u_dL = jnp.asarray(np.ascontiguousarray(
+            u_d[ex.gather_hier].astype(np.float32).T))
+        r = jnp.where(free, bL - A_xla(u_dL), 0.0)
+        res_f = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=1e-6,
+                         max_iter=400)
+        Gf = prob._G_host.reshape(prob.disc.E, 3, -1).astype(np.float32)
+        A_free = sumfac.make_local_laplacian_operator(
+            ex, Gf, sumfac.make_stacked_derivative(
+                np.asarray(prob._D0), np.asarray(prob._D1)),
+            free, vector_layout="ne", backend="xla")
+        # baseline: the SAME fused kernels without the far split (full
+        # halo window, identical bf16x3 'high' precision) — isolates the
+        # far path as the only difference
+        kA0, kB0, _ = _fused_pieces(prob, max_halo=None)[1:4]
+        assert not kA0._prep.has_far
+        res_0 = cg_fused(kA0, kB0, r, inv=inv, w_free=w_free, tol=1e-6,
+                         max_iter=400)
+        res_p = cg(A_free, r, M=lambda v: inv * v, tol=1e-6, max_iter=400,
+                   dot_weight=w)
+        assert all(bool(s.converged) for s in (res_f, res_0, res_p))
+        # the strong check: the TRUE residual of the far-split solution is
+        # in the same fp-drift band as the full-halo fused one (a wrong
+        # far contribution would converge the recurrence to a different
+        # system's solution — orders of magnitude off, not a rounding
+        # factor)
+        def true_rn(x):
+            rt = r - jnp.where(free, A_xla(x), 0.0)
+            return float(jnp.sqrt(jnp.sum(w_free * rt * rt)))
+        assert true_rn(res_f.x) < 3 * true_rn(res_0.x) + 1e-12
+        xf, xp = np.asarray(res_f.x), np.asarray(res_p.x)
+        # x agreement vs plain CG is conditioning-limited (different fp
+        # paths and precisions, both stopped at tol=1e-6)
+        assert np.abs(xf - xp).max() / np.abs(xp).max() < 1e-2
+        assert abs(int(res_f.iterations) - int(res_p.iterations)) <= 5
+
 
 class TestSolveLocalFused:
     def test_matches_plain_cg_path(self):

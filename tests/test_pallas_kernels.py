@@ -282,9 +282,13 @@ class TestFarClassSplit:
         ones = jnp.ones_like(r)
         p_new, Ap, x_new, dparts = kA(r, jnp.zeros_like(r), ones,
                                       jnp.zeros_like(r), 0.0, 0.0)
+        # far-split kA returns (Ap_near, far_rows); kernel B adds the far
+        # rows in VMEM — prep.add_far is that same (pure-jnp) addition
+        assert isinstance(Ap, tuple)
+        Ap_full = kA._prep.add_far(Ap[0], Ap[1])
         expect_Ap = np.asarray(A_xla(r))     # p' = 1*r + 0 = r
         scale = np.abs(expect_Ap).max()
-        assert np.abs(np.asarray(Ap) - expect_Ap).max() / scale < 1e-4
+        assert np.abs(np.asarray(Ap_full) - expect_Ap).max() / scale < 1e-4
         # denominator is unaffected by the split (pre-DSS identity)
         expect_denom = float(ex.dot_T(r, jnp.asarray(expect_Ap)))
         assert abs(float(jnp.sum(dparts)) - expect_denom) / abs(
