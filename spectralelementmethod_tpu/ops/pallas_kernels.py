@@ -428,19 +428,23 @@ class _AffineFusedPrep:
             return None
         t_full = fused_affine_tile_shape(E, H_full, target_win)
         cost_full = (2 * t_full[1] / t_full[0]) if t_full else float("inf")
-        # Empirical rule (p=8 on v5e): the split pays a ~2-pass epilogue
-        # tax (the kernel output must re-materialize through the XLA
-        # far-roll concat), so it only wins once the full-halo window is
-        # degenerate — halo blocks comparable to the tile itself, the
-        # H ~ sqrt(E) large-mesh regime (measured: 100k full-halo beats
-        # split in-loop; 1M split 5.66 -> ~3 ms).
+        # Empirical rules (p=8 on v5e, measured twice each):
         #
-        # cheap_far (fused-CG kernels): the far rows ride into kernel B's
-        # existing Ap stream (~0.6 extra passes over a ~20-row slice
-        # instead of ~2 full-array passes), so splitting pays off as soon
-        # as the full-halo window carries real redundancy.
-        thresh = 0.3 if self.cheap_far else 0.9
-        return self.NEAR_HB if cost_full >= thresh else None
+        # Plain apply kernel (cheap_far=False): the apply_far concat
+        # rebuild costs ~2 full HBM passes, and measured in-loop the
+        # full-halo kernel wins even in the degenerate H ~ sqrt(E) window
+        # regime (1M: full 5.59-5.66 ms vs split 6.88-7.31) — so split
+        # ONLY when no admissible full-halo tiling exists at all.
+        #
+        # Fused-CG kernels (cheap_far=True): the far rows ride into
+        # kernel B's existing Ap stream (~1 extra pass over an ~18-row
+        # slice), so the split wins once the full-halo window is
+        # degenerate (1M: split 10.6 vs full 11.2 ms/iter) but loses
+        # while the halo is moderate (100k, cost_full=0.4: split ~9%
+        # slower).  0.75 separates the two measured regimes.
+        if not self.cheap_far:
+            return self.NEAR_HB if t_full is None else None
+        return self.NEAR_HB if cost_full >= 0.75 else None
 
     # ---- in-kernel building blocks (traced inside kernel bodies) --------
 

@@ -295,8 +295,12 @@ class TestFarClassSplit:
             expect_denom) < 1e-4
 
     def test_auto_split_rule_scales(self):
-        """The empirical rule: split only when the full-halo window is
-        degenerate (halo blocks ~ tile size, the H ~ sqrt(E) regime)."""
+        """Measured auto rules (BASELINE.md round-2d A/B, v5e p=8):
+        the plain apply kernel never wins from a split (full-halo 5.59 ms
+        vs split 6.88 at 1M) — it splits only when no admissible full
+        tiling exists; the CG kernels' far rows ride into kernel B
+        (cheap_far), where the split wins once the full-halo window is
+        degenerate (>= 0.75 redundancy: 1M yes, 100k no)."""
         from spectralelementmethod_tpu.ops.pallas_kernels import (
             _AffineFusedPrep)
 
@@ -304,9 +308,26 @@ class TestFarClassSplit:
         # H=16 fits one 128-lane block: cost_full = 2*128/TE is small
         prep = _AffineFusedPrep(ex, Kcat, a, "highest", 3840, "auto")
         assert not prep.has_far
-        # shrink the window until full-halo is degenerate -> split
+        # plain kernel: degenerate window (TE=128=Hb, cost_full=2) still
+        # keeps the full halo — a tiling exists
         prep2 = _AffineFusedPrep(ex, Kcat, a, "highest", 256, "auto")
-        assert prep2.Hb == 128
+        assert prep2.Hb == 128 and not prep2.has_far
+
+        # row stride 160 > NEAR_HB: splittable classes exist (the 1M-like
+        # regime, scaled down).  E=1280, Hb_full=256.
+        ex2, Kcat2, a2, _ = self._pieces(8, 160, 2)
+        # degenerate full window (TE=256=Hb_full, cost_full=2):
+        # plain kernel still keeps the full halo...
+        prep3 = _AffineFusedPrep(ex2, Kcat2, a2, "highest", 768, "auto")
+        assert not prep3.has_far and prep3.Hb == 256
+        # ...but the CG kernels (cheap_far) split there
+        prep4 = _AffineFusedPrep(ex2, Kcat2, a2, "highest", 768, "auto",
+                                 cheap_far=True)
+        assert prep4.has_far and prep4.Hb == 128
+        # CG kernels, moderate window (cost_full = 0.4 < 0.75) -> full
+        prep5 = _AffineFusedPrep(ex2, Kcat2, a2, "highest", 3840, "auto",
+                                 cheap_far=True)
+        assert not prep5.has_far
 
 
 class TestProceduralMasks:
