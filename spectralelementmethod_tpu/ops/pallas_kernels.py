@@ -35,6 +35,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _im32(f):
+    """Pin a BlockSpec index map's outputs to int32.
+
+    Under ``jax_enable_x64`` a Python literal in the returned tuple traces
+    as i64 while ``pl.program_id`` stays i32; Mosaic then fails to legalize
+    the mixed ``func.return (i64, i32)``.  Every index map in this module
+    goes through this wrapper so the kernels stay compilable regardless of
+    the process-wide x64 flag (the squirmer path flips it on).
+    """
+    def g(*args):
+        return tuple(jnp.asarray(v, jnp.int32) for v in f(*args))
+    return g
+
+
 def _laplacian_block_kernel(u_ref, g0_ref, g1_ref, g2_ref, dhat_ref,
                             out_ref):
     """One element tile: fused grad -> G-weighting -> grad^T in VMEM."""
@@ -81,9 +95,9 @@ def fused_laplacian_local(uL, g0, g1, g2, dhat, *, block_e: int = 512,
     te = max(8, min(block_e, E))
     grid = (pl.cdiv(E, te),)
 
-    row_spec = pl.BlockSpec((te, n), lambda i: (i, 0),
+    row_spec = pl.BlockSpec((te, n), _im32(lambda i: (i, 0)),
                             memory_space=pltpu.VMEM)
-    dhat_spec = pl.BlockSpec((2 * n, n), lambda i: (0, 0),
+    dhat_spec = pl.BlockSpec((2 * n, n), _im32(lambda i: (0, 0)),
                              memory_space=pltpu.VMEM)
 
     flops = 2 * E * n * (2 * n) * 2 + 6 * E * n
@@ -145,11 +159,11 @@ def fused_vector_laplacian_local(uL, g0, g1, g2, dhat, *,
     te = max(8, min(block_e, E))
     grid = (pl.cdiv(E, te),)
 
-    u_spec = pl.BlockSpec((te, kn), lambda i: (i, 0),
+    u_spec = pl.BlockSpec((te, kn), _im32(lambda i: (i, 0)),
                           memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((te, n), lambda i: (i, 0),
+    g_spec = pl.BlockSpec((te, n), _im32(lambda i: (i, 0)),
                           memory_space=pltpu.VMEM)
-    dhat_spec = pl.BlockSpec((2 * n, n), lambda i: (0, 0),
+    dhat_spec = pl.BlockSpec((2 * n, n), _im32(lambda i: (0, 0)),
                              memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
@@ -654,9 +668,9 @@ class _AffineFusedPrep:
         k, G, TE, Hb = self.k, self.G, self.TE, self.Hb
         return [
             pl.BlockSpec((rows, Hb),
-                         lambda i: (0, jnp.maximum(i * k - 1, 0)),
+                         _im32(lambda i: (0, jnp.maximum(i * k - 1, 0))),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, TE), lambda i: (0, i),
+            pl.BlockSpec((rows, TE), _im32(lambda i: (0, i)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (rows, Hb),
@@ -665,15 +679,15 @@ class _AffineFusedPrep:
         ]
 
     def center_spec(self, rows: int):
-        return pl.BlockSpec((rows, self.TE), lambda i: (0, i),
+        return pl.BlockSpec((rows, self.TE), _im32(lambda i: (0, i)),
                             memory_space=pltpu.VMEM)
 
     def const_specs(self):
         """Specs for the (K, mask) constant operands."""
         return [
-            pl.BlockSpec((self.KT.shape[0], self.n), lambda i: (0, 0),
+            pl.BlockSpec((self.KT.shape[0], self.n), _im32(lambda i: (0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((self.M.shape[0], self.TE), lambda i: (0, i),
+            pl.BlockSpec((self.M.shape[0], self.TE), _im32(lambda i: (0, i)),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -834,12 +848,12 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
     KT, M, aT = prep.KT, prep.M, prep.aT
     p_store = jnp.bfloat16 if p_bf16 else jnp.float32
 
-    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
+    smem_scalar = pl.BlockSpec((1, 1), _im32(lambda i: (0, 0)),
                                memory_space=pltpu.SMEM)
     # partial-sum outputs: one (G, 1) SMEM array whose FULL shape is the
     # block (Mosaic only allows blocks equal to the array dims or
     # 8x128-divisible); each grid step writes its own row via program_id
-    smem_out = pl.BlockSpec((G, 1), lambda i: (0, 0),
+    smem_out = pl.BlockSpec((G, 1), _im32(lambda i: (0, 0)),
                             memory_space=pltpu.SMEM)
 
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
@@ -865,7 +879,7 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         if aux_ref:
             aux_ref[0][:] = prep.aux_extract(S)
 
-    smem_pair = pl.BlockSpec((1, 2), lambda i: (0, 0),
+    smem_pair = pl.BlockSpec((1, 2), _im32(lambda i: (0, 0)),
                              memory_space=pltpu.SMEM)
     a_specs = (prep.halo_triple(n) + prep.halo_triple(n)
                + prep.halo_triple(n) + prep.halo_triple(3)
