@@ -42,20 +42,35 @@ def _bw(label, nbytes, dt_s):
 
 
 def _time_chain(fn, x0, iters=50):
+    """Per-iteration device time, dispatch latency differenced out.
+
+    One dispatch of an N-iteration fori chain carries the full ~28 ms
+    tunnel dispatch latency; dividing by N leaves ~28/N ms of fake
+    per-iteration cost (the first run of this probe did exactly that and
+    read 1.25 ms for a 0.29 ms apply).  Time chains of N and 2N
+    iterations and difference them instead.
+    """
     import jax
 
-    @jax.jit
-    def chain(x):
-        return jax.lax.fori_loop(0, iters, lambda i, v: fn(v), x)
+    def make(n):
+        @jax.jit
+        def chain(x):
+            return jax.lax.fori_loop(0, n, lambda i, v: fn(v), x)
+        return chain
 
-    out = chain(x0)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    chain_n, chain_2n = make(iters), make(2 * iters)
+
+    def best_of(chain, reps=3):
         jax.block_until_ready(chain(x0))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_n, t_2n = best_of(chain_n), best_of(chain_2n)
+    return max(t_2n - t_n, 1e-9) / iters
 
 
 def stage_x64():
@@ -123,6 +138,11 @@ def stage_copy():
 
             dt = _time_chain(copy_call, u)
             _bw(f"copy-E{E}-TE{TE}", 2 * n * E * 4, dt)
+
+            # 4 in + 2 out, double-buffered: stays under the 16 MB scoped
+            # VMEM limit only for TE <= 4096 (81*TE*(4+2)*3*2 bytes)
+            if n * TE * 18 * 2 > 15e6:
+                continue
 
             def multi_call(x):
                 return pl.pallas_call(

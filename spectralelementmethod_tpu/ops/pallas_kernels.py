@@ -303,10 +303,21 @@ class _AffineFusedPrep:
 
     def __init__(self, exchange, Kcat, a, precision: str,
                  target_win: int, max_halo="auto",
-                 cheap_far: bool = False):
+                 cheap_far: bool = False,
+                 external_operands: bool = False):
+        """``external_operands=True`` builds the kernel for per-shard use
+        inside ``shard_map``: the affine factors and the class masks are
+        runtime operands (they differ per shard) instead of baked
+        constants, every class mask streams as a row (procedural iota
+        masks would need the shard's global lane offset), and the far
+        split is disabled (callers pass ``max_halo=None``)."""
         import numpy as np
 
         self.cheap_far = cheap_far
+        self.external_operands = external_operands
+        if external_operands and max_halo is not None:
+            raise ValueError("external_operands requires max_halo=None "
+                             "(no far split inside shard_map)")
         ex = exchange
         self.ex = ex
         self.n = n = ex.n_loc
@@ -383,17 +394,27 @@ class _AffineFusedPrep:
         #: pad-tail cutoff: class masks are always False on pad elements,
         #: so procedural kinds AND-in ``g < pad_cut``
         self.pad_cut = Ereal if Ereal < E else None
-        rows = []
-        for m in ([m for *_c, m in near_e] + [m for *_c, m in near_v]):
-            mb = np.asarray(m, bool)
-            kind = (None if mb[Ereal:].any()
-                    else _periodic_mask_params(mb[:Ereal]))
-            if kind is None:
-                kind = ("row", len(rows))
-                rows.append(mb.astype(np.float32))
-            self.mask_kinds.append(kind)
-        self.M = (jnp.asarray(np.stack(rows, axis=0)) if rows
-                  else jnp.zeros((1, E), jnp.float32))       # (C_row, E)
+        if external_operands:
+            # per-shard masks arrive as a runtime operand: one row per
+            # class, in class order (edges first — stack_class_masks)
+            n_classes = len(near_e) + len(near_v)
+            self.mask_kinds = [("row", i) for i in range(n_classes)]
+            self.pad_cut = None          # pad lanes carried by the rows
+            self.M = None
+            self.n_mask_rows = max(1, n_classes)
+        else:
+            rows = []
+            for m in ([m for *_c, m in near_e] + [m for *_c, m in near_v]):
+                mb = np.asarray(m, bool)
+                kind = (None if mb[Ereal:].any()
+                        else _periodic_mask_params(mb[:Ereal]))
+                if kind is None:
+                    kind = ("row", len(rows))
+                    rows.append(mb.astype(np.float32))
+                self.mask_kinds.append(kind)
+            self.M = (jnp.asarray(np.stack(rows, axis=0)) if rows
+                      else jnp.zeros((1, E), jnp.float32))   # (C_row, E)
+            self.n_mask_rows = self.M.shape[0]
         self._far_edge = [(d, s, dl, f, jnp.asarray(np.asarray(m)))
                           for d, s, dl, f, m in self._far_edge]
         self._far_vert = [(d, s, dl, jnp.asarray(np.asarray(m)))
@@ -402,8 +423,8 @@ class _AffineFusedPrep:
         KT_np = np.concatenate(
             [Kcat[:, :n].T, Kcat[:, n:2 * n].T, Kcat[:, 2 * n:].T],
             axis=0).astype(np.float32)                       # (3n, n)
-        self.aT = jnp.asarray(
-            np.ascontiguousarray(np.asarray(a, np.float32).T))  # (3, E)
+        self.aT = (None if external_operands else jnp.asarray(
+            np.ascontiguousarray(np.asarray(a, np.float32).T)))  # (3, E)
         if precision not in ("highest", "high", "default"):
             raise ValueError(f"unknown precision {precision!r}")
         self.precision = precision
@@ -674,7 +695,7 @@ class _AffineFusedPrep:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (rows, Hb),
-                lambda i: (0, jnp.minimum((i + 1) * k, G * k - 1)),
+                _im32(lambda i: (0, jnp.minimum((i + 1) * k, G * k - 1))),
                 memory_space=pltpu.VMEM),
         ]
 
@@ -687,7 +708,8 @@ class _AffineFusedPrep:
         return [
             pl.BlockSpec((self.KT.shape[0], self.n), _im32(lambda i: (0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((self.M.shape[0], self.TE), _im32(lambda i: (0, i)),
+            pl.BlockSpec((self.n_mask_rows, self.TE),
+                         _im32(lambda i: (0, i)),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -766,6 +788,58 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
     # runtime (see utils/hoist.py) — keep captures as inline literals
     apply_local_dss._no_hoist = True
     return apply_local_dss
+
+
+def make_fused_affine_block_kernel(exchange, Kcat, *,
+                                   precision: str = "highest",
+                                   target_win: int = 4608,
+                                   interpret: bool = False):
+    """Per-shard variant of :func:`make_fused_affine_laplacian_T`.
+
+    Built for ``shard_map`` bodies (:func:`..parallel.halo.
+    make_sharded_fused_operator`): the affine factors and class masks
+    arrive as *runtime operands* — each shard runs the same traced kernel
+    on its own halo-extended element block with its own slices of the
+    global factor/mask arrays.  Full halo only (no far split).
+
+    ``exchange`` may be a lightweight view (``n_loc``/``ne``/offsets/
+    ``edge_classes``/``vert_classes``/``E`` = the extended block size).
+    Returns ``f(uT, aT, M) -> (n, E) f32`` with ``uT`` (n, E),
+    ``aT`` (3, E) affine factor scales, ``M`` (C, E) f32 class masks in
+    ``stack_class_masks`` order (C >= 1; pass one zero row if classless).
+    """
+    from ..utils.hoist import ensure_recursion_headroom
+
+    ensure_recursion_headroom()
+    prep = _AffineFusedPrep(exchange, Kcat, None, precision, target_win,
+                            max_halo=None, external_operands=True)
+    n, E, G = prep.n, prep.E, prep.G
+    KT = prep.KT
+
+    def kernel(uL_ref, uC_ref, uR_ref, aL_ref, aC_ref, aR_ref, K_ref,
+               m_ref, out_ref):
+        u_win = jnp.concatenate([uL_ref[:], uC_ref[:], uR_ref[:]], axis=1)
+        a_win = jnp.concatenate([aL_ref[:], aC_ref[:], aR_ref[:]], axis=1)
+        V = prep.dot_window(K_ref, u_win)
+        S = prep.affine_reduce(a_win, V)
+        out_ref[:] = prep.roll_dss(S, m_ref).astype(out_ref.dtype)
+
+    specs = (prep.halo_triple(n) + prep.halo_triple(3) + prep.const_specs())
+    out_spec = prep.center_spec(n)
+
+    def apply_block(uT, aT, M):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, E), uT.dtype),
+            grid=(G,),
+            in_specs=specs,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(uT, uT, uT, aT, aT, aT, KT, M)
+
+    apply_block._prep = prep
+    apply_block._no_hoist = True
+    return apply_block
 
 
 def make_fused_cg_kernels(exchange, Kcat, a, *,

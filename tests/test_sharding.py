@@ -108,3 +108,67 @@ def test_padded_exchange_matches_unpadded(problem):
     d0 = float(ex0.dot(jnp.asarray(v), jnp.asarray(v)))
     dp = float(exp.dot(jnp.asarray(vp), jnp.asarray(vp)))
     assert abs(d0 - dp) < 1e-10 * max(abs(d0), 1.0)
+
+
+class TestShardedFusedOperator:
+    """shard_map(ppermute halo + fused Pallas block kernel) == single-device
+    fused/XLA transposed apply (``parallel.halo.make_sharded_fused_operator``,
+    interpret mode)."""
+
+    def _build(self, nx, ny, p):
+        from spectralelementmethod_tpu.ops import sumfac
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        mesh = rectangle_mesh(nx, ny, p)
+        disc = Discretization(mesh, gll_basis_2d(p))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        A_ref = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+        return ex, Kcat, a, A_ref
+
+    @pytest.mark.parametrize("n_dev", [1, 2, 8])
+    def test_matches_single_device(self, n_dev):
+        from spectralelementmethod_tpu.parallel import halo
+
+        ex, Kcat, a, A_ref = self._build(32, 32, 3)   # E=1024
+        mesh = sh.device_mesh(n_dev)
+        A = halo.make_sharded_fused_operator(
+            ex, Kcat, a, mesh, interpret=True)
+        rng = np.random.RandomState(3)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        got = np.asarray(jax.jit(A)(uT))
+        expected = np.asarray(A_ref(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < 1e-5
+
+    def test_too_many_shards_raises(self):
+        from spectralelementmethod_tpu.parallel import halo
+
+        ex, Kcat, a, _ = self._build(16, 16, 3)       # E=256 -> Eb=32
+        mesh = sh.device_mesh(8)
+        with pytest.raises(ValueError, match="halo|shards"):
+            halo.make_sharded_fused_operator(ex, Kcat, a, mesh,
+                                             interpret=True)
+
+    def test_ppermute_in_hlo(self):
+        """The sharded fused apply lowers to collective-permute (and no
+        all-gather of the element axis)."""
+        from spectralelementmethod_tpu.parallel import halo
+
+        ex, Kcat, a, _ = self._build(32, 32, 3)
+        mesh = sh.device_mesh(8)
+        A = halo.make_sharded_fused_operator(
+            ex, Kcat, a, mesh, interpret=True)
+        uT = jnp.zeros((ex.n_loc, ex.E), jnp.float32)
+        txt = jax.jit(A).lower(uT).compile().as_text()
+        assert "collective-permute" in txt
+        assert "all-gather" not in txt
