@@ -38,11 +38,12 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--devices", type=int, default=None,
                     help="mesh size (default: all local devices)")
-    ap.add_argument("--comm", choices=["propagation", "shardmap"],
+    ap.add_argument("--comm", choices=["propagation", "shardmap", "shardmap-fused"],
                     default="propagation",
                     help="halo exchange: XLA sharding propagation, or "
                          "explicit ppermute inside shard_map "
-                         "(parallel.halo)")
+                         "(parallel.halo), or ppermute + the fused "
+                         "Pallas block kernel per shard")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +75,7 @@ def main():
     print(f"element axis padded {disc.E} -> {ex.E} over {n_dev} shards "
           f"(comm={args.comm})")
 
-    transposed = args.comm == "shardmap"
+    transposed = args.comm.startswith("shardmap")
     dot = ex.dot_T if transposed else ex.dot
     t0 = time.perf_counter()
     res = cg(A, r, M=M, tol=args.tol, max_iter=5000, dot=dot)

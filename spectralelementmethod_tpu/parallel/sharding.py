@@ -182,7 +182,11 @@ def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
     (verified by tests/test_sharding_hlo.py); ``comm='shardmap'`` uses the
     transposed (n, E) operator with the halo exchange written explicitly
     as ``ppermute`` inside ``shard_map`` (:mod:`.halo`) — guaranteed
-    communication pattern, f64-capable.
+    communication pattern, f64-capable; ``comm='shardmap-fused'`` runs
+    the fused Pallas apply+DSS kernel per shard inside the same explicit
+    ppermute halo exchange (:func:`.halo.make_sharded_fused_operator`) —
+    the single-chip production kernel at multi-chip scale (f32 affine
+    meshes; interpret-mode off TPU).
 
     Returns ``(A, r, M, u_dL, exchange, jmesh)``; solve with
     ``cg(A, r, M=M, dot=exchange.dot)`` and recover the global solution via
@@ -192,15 +196,20 @@ def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
     from ..ops.exchange import make_exchange
     from ..solver.cg import jacobi_preconditioner
 
-    if comm not in ("propagation", "shardmap"):
+    if comm not in ("propagation", "shardmap", "shardmap-fused"):
         raise ValueError(f"unknown comm {comm!r}")
-    transposed = comm == "shardmap"
+    transposed = comm in ("shardmap", "shardmap-fused")
     if mesh is None:
         mesh = device_mesh()
     n_shards = mesh.devices.size
     disc = problem.disc
     E, n_loc = disc.E, disc.n_loc
     Ep = pad_elements(E, n_shards)
+    if comm == "shardmap-fused":
+        # the fused block kernel tiles lanes in 128-wide blocks: each
+        # shard's element block must be a lane-block multiple
+        blk = 128 * n_shards
+        Ep = -(-E // blk) * blk
     ex = make_exchange(disc, pad_to=Ep)
 
     dtype = problem.dtype
@@ -236,7 +245,27 @@ def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
         for a in (free, bL, u_dL, diagL)
     )
 
-    if transposed:
+    if comm == "shardmap-fused":
+        from . import halo
+        from ..ops import pallas_kernels
+
+        if np.dtype(dtype) != np.float32:
+            raise ValueError("comm='shardmap-fused' runs the f32 Pallas "
+                             f"kernel; problem dtype is {np.dtype(dtype)}")
+        W = disc.basis.weight_grid().reshape(-1)
+        a_f, exact = sumfac.affine_factorization(Gf, W)
+        if not exact:
+            raise ValueError("comm='shardmap-fused' requires an affine "
+                             "mesh (use comm='shardmap')")
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        interp = not pallas_kernels.supported()
+        A = halo.make_sharded_fused_operator(
+            ex, Kcat, a_f, mesh, free_local=free_d, axis=axis,
+            interpret=interp)
+        A_raw = halo.make_sharded_fused_operator(
+            ex, Kcat, a_f, mesh, free_local=None, axis=axis,
+            interpret=interp)
+    elif transposed:
         from . import halo
 
         A = halo.make_sharded_local_operator(

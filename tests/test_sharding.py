@@ -172,3 +172,19 @@ class TestShardedFusedOperator:
         txt = jax.jit(A).lower(uT).compile().as_text()
         assert "collective-permute" in txt
         assert "all-gather" not in txt
+
+    def test_full_cg_solve_shardmap_fused(self):
+        """comm='shardmap-fused' CG solve == single-device solve (f32)."""
+        mesh2d = rectangle_mesh(16, 16, 3)
+        disc = Discretization(mesh2d, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", lambda x, y: 0.2 * ((x + 1) + (y + 1)))
+        sol_single = prob.solve(tol=1e-6, host_loop=True)
+
+        mesh = sh.device_mesh(2)                    # Eb=128 >= Hpad
+        A, r, M, u_dL, ex, _ = sh.sharded_local_poisson_problem(
+            prob, mesh, comm="shardmap-fused")
+        res = cg(A, r, M=M, tol=1e-6, max_iter=2000, dot=ex.dot_T)
+        assert bool(res.converged)
+        u = ex.global_from_local_T(np.asarray(u_dL + res.x))
+        np.testing.assert_allclose(u, sol_single.u, atol=5e-4)
