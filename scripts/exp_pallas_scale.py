@@ -209,18 +209,20 @@ def stage_kb_only():
     iters = 50
 
     @jax.jit
-    def chain_b(r, Ap):
+    def chain_b(r, Ap, inv, wf):
+        # inv/wf must be jit ARGS: captured they inline as (81, 1M)
+        # HLO literals and 413 the remote compile (324 MB payload)
         def body(i, r):
-            r2, rz, rn = kB(r, Ap, inv_d, wf_d, 0.3)
+            r2, rz, rn = kB(r, Ap, inv, wf, 0.3)
             return r2
         return jax.lax.fori_loop(0, iters, body, r)
 
-    out = chain_b(b0, ApA)
+    out = chain_b(b0, ApA, inv_d, wf_d)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain_b(b0, ApA))
+        jax.block_until_ready(chain_b(b0, ApA, inv_d, wf_d))
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({"metric": "ms_per_iter[1m-kB-only]",
                       "value": round(best / iters * 1e3, 3)}), flush=True)
