@@ -124,7 +124,16 @@ def main():
                          "iteration (ops.pallas_kernels."
                          "make_fused_cg_kernels); fused-bf16p also stores "
                          "the search direction in bf16")
+    ap.add_argument("--panel", type=int, default=0,
+                    help="panel width for the element order "
+                         "(parallel.partition.panel_order): shrinks the "
+                         "fused kernels' in-window halo from the row "
+                         "stride to the panel width at large E; 0 = "
+                         "lexicographic order")
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the environment may pin "
+                         "a remote TPU via sitecustomize)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -132,6 +141,9 @@ def main():
         args.reps = 5
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     if args.f64:
@@ -154,6 +166,12 @@ def main():
     _progress("building mesh+disc")
     t0 = time.perf_counter()
     mesh = rectangle_mesh(nx, ny, p)
+    if args.panel:
+        from spectralelementmethod_tpu.parallel.partition import (
+            panel_order, reorder_elements)
+
+        # rectangle_mesh orders elements ix*ny + iy (y fast)
+        mesh = reorder_elements(mesh, panel_order(ny, nx, args.panel))
     disc = Discretization(mesh, gll_basis_2d(p))
     t_setup = time.perf_counter() - t0
     E, n_loc, n_nodes = disc.E, disc.n_loc, disc.n_nodes

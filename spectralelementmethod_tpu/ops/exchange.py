@@ -359,7 +359,19 @@ class RollExchange(LocalExchange):
     MIN_CLASS_FRACTION = 0.02
 
     def __init__(self, disc, pad_to: int | None = None,
-                 layout: str = "edges-first"):
+                 layout: str = "edges-first",
+                 min_class_fraction: float | None = None):
+        """``min_class_fraction`` overrides :data:`MIN_CLASS_FRACTION`.
+
+        The default keeps only large classes (each class costs an O(E)
+        roll pass in the XLA dss, so tiny ones are cheaper as tail
+        gathers).  Panel-ordered meshes (:func:`..parallel.partition.
+        panel_order`) pass ``0.0``: their cross-panel-boundary pairs form
+        small but *uniform* classes (one per boundary direction) that
+        must stay classes — the fused kernels require zero tails and
+        route the large-offset classes through the compact far-class
+        epilogue.
+        """
         super().__init__(disc, pad_to=pad_to, layout=layout)
         if not self.is_square:
             raise NotImplementedError(
@@ -367,7 +379,10 @@ class RollExchange(LocalExchange):
                 "anisotropic meshes use LocalExchange (make_exchange "
                 "routes them there)")
         E, ne = self.E, self.ne
-        min_count = max(8, int(self.MIN_CLASS_FRACTION * E))
+        if min_class_fraction is None:
+            min_count = max(8, int(self.MIN_CLASS_FRACTION * E))
+        else:
+            min_count = max(1, int(float(min_class_fraction) * E))
 
         # ---- edge classes ------------------------------------------------
         pairs = self._pairs_np
@@ -708,7 +723,8 @@ def make_exchange(disc, threshold: float = 0.25,
                   pad_to: int | None = None,
                   layout: str = "edges-first",
                   fused_pad: bool = False,
-                  fused_pad_min_e: int = 20000):
+                  fused_pad_min_e: int = 20000,
+                  min_class_fraction: float | None = None):
     """Best exchange structure for ``disc``: roll classes when they cover
     enough of the mesh, generic gather otherwise.  ``pad_to`` pads the
     element axis with inert elements (for shard-divisible counts).
@@ -728,7 +744,20 @@ def make_exchange(disc, threshold: float = 0.25,
         # anisotropic orders: generic exchange (roll classes + the fused
         # kernels assume slot-uniform edge lengths)
         return LocalExchange(disc, pad_to=pad_to, layout=layout)
-    ex = RollExchange(disc, pad_to=pad_to, layout=layout)
+    ex = RollExchange(disc, pad_to=pad_to, layout=layout,
+                      min_class_fraction=min_class_fraction)
+    if (min_class_fraction is None
+            and (ex.n_edge_tail or ex.n_vert_tail)):
+        # tails may be small *uniform* classes below the default size
+        # threshold (panel-ordered meshes: one cross-panel-boundary class
+        # per direction).  Zero tails unlocks the fused kernels, which
+        # route large-offset classes through the compact far epilogue —
+        # worth a bounded number of extra roll classes.
+        ex2 = RollExchange(disc, pad_to=pad_to, layout=layout,
+                          min_class_fraction=0.0)
+        if (not (ex2.n_edge_tail or ex2.n_vert_tail)
+                and len(ex2.edge_classes) + len(ex2.vert_classes) <= 64):
+            ex = ex2
     if ex.tail_fraction > threshold:
         return LocalExchange(disc, pad_to=pad_to, layout=layout)
     if (fused_pad and pad_to is None and ex.E >= fused_pad_min_e
@@ -741,5 +770,6 @@ def make_exchange(disc, threshold: float = 0.25,
         H = max(deltas) if deltas else 1
         if fused_affine_tile_shape(ex.E, H) is None:
             ex = RollExchange(disc, pad_to=fused_affine_pad(ex.E, H),
-                              layout=layout)
+                              layout=layout,
+                              min_class_fraction=min_class_fraction)
     return ex

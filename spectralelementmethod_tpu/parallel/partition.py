@@ -50,6 +50,45 @@ def morton_order(centroids: np.ndarray, bits: int = 16) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+def panel_order(n_fast: int, n_slow: int, panel: int) -> np.ndarray:
+    """Panel permutation of a lexicographic structured element order.
+
+    For elements ordered ``index = slow * n_fast + fast`` (fast-axis
+    neighbors at offset 1, slow-axis neighbors at offset ``n_fast``),
+    regroup the fast axis into panels of ``panel`` columns traversed
+    slow-axis-major: ``key = (fast // panel, slow, fast % panel)``.
+    Face-neighbor offsets become
+
+    * fast-axis, within a panel: ±1 (unchanged);
+    * slow-axis: ±``panel`` (was ±``n_fast`` — the row stride);
+    * fast-axis, across a panel boundary: ±(``panel * n_slow - panel + 1``)
+      — a single *uniform* large offset touching only the boundary
+      columns (1/``panel`` of elements), which the fused kernels route
+      through the compact far-class epilogue.
+
+    This is the halo-shrinking reorder for the fused Pallas kernels at
+    large E (p=8/1M: the in-window halo drops from roundup(n_fast, 128)
+    to roundup(panel, 128) lanes per tile).  Returns ``perm`` with
+    ``new[i] = old[perm[i]]``; use :func:`reorder_elements` to apply it
+    to a mesh.  ``panel`` must divide ``n_fast`` — a ragged last panel
+    would make the cross-boundary offset slow-dependent (non-uniform →
+    exchange tails, which the fused kernels refuse).
+    """
+    if panel <= 0:
+        raise ValueError(f"panel must be positive, got {panel}")
+    if n_fast % panel:
+        raise ValueError(f"panel ({panel}) must divide n_fast ({n_fast})")
+    fast, slow = np.meshgrid(np.arange(n_fast), np.arange(n_slow),
+                             indexing="ij")
+    fast, slow = fast.ravel(), slow.ravel()      # index = slow*n_fast+fast
+    old_index = slow * n_fast + fast
+    key = ((fast // panel) * (n_slow * panel)
+           + slow * panel + fast % panel)
+    perm = np.empty(n_fast * n_slow, dtype=np.int64)
+    perm[key] = old_index
+    return perm
+
+
 def rcm_order(mesh: Mesh) -> np.ndarray:
     """Reverse Cuthill–McKee permutation of the element adjacency graph."""
     from scipy.sparse import coo_matrix

@@ -58,3 +58,62 @@ def test_reorder_preserves_boundaries(mesh16):
              for c, f in mesh16.boundary_faces(name)}
         b = {tuple(p) for p in re.boundary_faces(name).tolist()}
         assert a == b
+
+
+class TestPanelOrder:
+    """Panel reorder: shrinks roll-class offsets to the panel width, with
+    cross-panel boundaries as small uniform far classes (zero tails)."""
+
+    def test_is_permutation(self):
+        perm = pt.panel_order(16, 16, 4)
+        assert sorted(perm.tolist()) == list(range(256))
+        with pytest.raises(ValueError, match="divide"):
+            pt.panel_order(10, 16, 4)
+
+    def test_roll_classes(self, mesh16):
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        panel = 4
+        re = pt.reorder_elements(mesh16, pt.panel_order(16, 16, panel))
+        disc = Discretization(re, gll_basis_2d(2))
+        ex = RollExchange(disc, min_class_fraction=0.0)
+        assert ex.n_edge_tail == 0 and ex.n_vert_tail == 0
+        deltas = sorted({abs(int(c[2])) for c in ex.edge_classes})
+        # near: 1 (fast in-panel), panel (slow); far: the cross-panel
+        # offset panel*(n_slow-1)+1
+        cross = panel * 15 + 1
+        assert deltas == [1, panel, cross]
+
+    def test_fused_kernel_matches_on_panel_order(self, mesh16):
+        import jax.numpy as jnp
+
+        from spectralelementmethod_tpu.ops import sumfac
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        re = pt.reorder_elements(mesh16, pt.panel_order(16, 16, 4))
+        disc = Discretization(re, gll_basis_2d(2))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc, min_class_fraction=0.0)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        # max_halo=1 forces the cross-panel classes through the far
+        # epilogue (the 1M production configuration, scaled down)
+        fused = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=128, max_halo=4, interpret=True)
+        assert fused._prep.has_far
+        rng = np.random.RandomState(7)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        expected = np.asarray(A_xla(uT))
+        got = np.asarray(fused(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < 1e-5
