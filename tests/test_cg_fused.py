@@ -302,3 +302,57 @@ class TestSolveLocalFused:
         # times a modest conditioning factor (different fp paths)
         assert np.abs(xf - xp).max() / scale < 5e-4
         assert abs(int(res_f.iterations) - int(res_p.iterations)) <= 3
+
+
+def test_panel_order_cg_solves():
+    """Fused CG on a panel-ordered mesh: cross-panel classes ride the far
+    path (kernel-B add), solution matches the plain path."""
+    from spectralelementmethod_tpu.ops.exchange import make_exchange
+    from spectralelementmethod_tpu.parallel.partition import (
+        panel_order, reorder_elements)
+
+    mesh = rectangle_mesh(16, 16, 2)
+    mesh = reorder_elements(mesh, panel_order(16, 16, 4))
+    disc = Discretization(mesh, gll_basis_2d(2))
+    prob = Poisson(disc, forcing=lambda x, y: np.sin(np.pi * x),
+                   dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.1 * x)
+    ex = make_exchange(disc)          # auto-relaxed threshold: no tails
+    assert ex.n_edge_tail == 0 and ex.n_vert_tail == 0
+    Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(Gf, W)
+    assert exact
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    # max_halo=4 sends the cross-panel classes (delta 61) far
+    kA, kB, G = make_fused_cg_kernels(
+        ex, Kcat, a, interpret=True, target_win=128, max_halo=4,
+        precision="high", p_dtype=jnp.bfloat16)
+    assert kA._prep.has_far
+
+    free_np = (~prob._dirichlet_mask)[ex.gather_hier]
+    free = jnp.asarray(np.ascontiguousarray(free_np.T))
+    diagL = np.asarray(prob.operator_diagonal())[ex.gather_hier]
+    diagT = jnp.asarray(np.ascontiguousarray(diagL.T).astype(np.float32))
+    b0 = jnp.where(free, jnp.asarray(np.ascontiguousarray(
+        prob._b[ex.gather_hier].T).astype(np.float32)), 0.0)
+    inv = jnp.where(
+        free, 1.0 / jnp.where(diagT != 0, diagT, 1.0), 0.0
+    ).astype(jnp.bfloat16)
+    wf = jnp.where(
+        free, ex._weights_as(np.float32, transposed=True), 0.0
+    ).astype(jnp.bfloat16)
+
+    res = cg_fused(kA, kB, b0, inv=inv, w_free=wf, tol=1e-5,
+                   max_iter=400, block=50, p_dtype=jnp.bfloat16)
+    assert bool(res.converged)
+
+    A_xla = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, vector_layout="ne", backend="xla")
+    free_f = free.astype(jnp.float32)
+    Am = lambda v: jnp.where(free, A_xla(v * free_f), 0.0)  # noqa: E731
+    r_end = np.asarray(b0 - Am(res.x))
+    assert np.linalg.norm(r_end * np.asarray(wf, np.float32)) < 2e-4 * (
+        1 + np.linalg.norm(np.asarray(b0)))
