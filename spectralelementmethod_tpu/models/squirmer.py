@@ -536,7 +536,9 @@ class SphereWithSlipVel:
                         "stop=%.3e; Newton will apply an unconverged "
                         "correction",
                         max_restarts, float(rnorm), stop)
-            return np.asarray(x).reshape(disc.n_nodes, 2)
+            # stays on device: solve() accumulates the iterate there and
+            # downloads the field once per Newton solve
+            return x.reshape(disc.n_nodes, 2)
 
         return step
 
@@ -560,32 +562,47 @@ class SphereWithSlipVel:
 
         n_diverge = 0
         du_norm_last = np.inf
+        mixed = self.linear_solver == "gmres-ir"
+        # gmres-ir path: the iterate stays ON DEVICE across Newton steps —
+        # only the scalar ||du|| syncs per step; the full field downloads
+        # once at the end (device→host reads through a remote tunnel cost
+        # ~1 s per field, which dominated the warm Newton wall-clock)
+        soln_dev = (jnp.asarray(self.soln, dtype=self.dtype)
+                    if mixed else None)
+
+        def finish():
+            if mixed:
+                self.soln = np.asarray(soln_dev)
 
         for itn in range(it_max):
-            out = self._step_fn(
-                jnp.asarray(self.soln, dtype=self.dtype), n_rey, cint,
-                free_ext,
-            )
-            if self.linear_solver == "gmres-ir":
-                dsoln = out
+            if mixed:
+                dsoln = self._step_fn(soln_dev, n_rey, cint, free_ext)
+                soln_dev = soln_dev + dsoln
+                du_norm = float(jnp.linalg.norm(dsoln[:, 1]))
             else:
+                out = self._step_fn(
+                    jnp.asarray(self.soln, dtype=self.dtype), n_rey, cint,
+                    free_ext,
+                )
                 x_ext, x_loc = out
                 dsoln = self._dsoln_to_global(
                     np.asarray(x_ext), np.asarray(x_loc)
                 )
-            self.soln += dsoln
-
-            du_norm = float(np.linalg.norm(dsoln[:, 1]))
+                self.soln += dsoln
+                du_norm = float(np.linalg.norm(dsoln[:, 1]))
             if not np.isfinite(du_norm):
+                finish()
                 raise SolverFailure("Newton update is not finite")
             if du_norm > du_norm_last:
                 n_diverge += 1
                 if n_diverge >= max_n_diverge:
+                    finish()
                     raise SolverFailure(
                         f"Solution diverged {n_diverge} times "
                         f"(||du|| = {du_norm})"
                     )
             if np.isclose(du_norm, 0.0, atol=tol):
+                finish()
                 if verbose:
                     print(f" => Calculation converged in {itn} Newton "
                           f"iterations\n    ||du|| = {du_norm}")
@@ -594,6 +611,7 @@ class SphereWithSlipVel:
             if verbose:
                 print(f"[Iteration {itn}]: ||du|| = {du_norm}")
 
+        finish()
         raise SolverFailure(
             "Calculation failed to reach specified tolerance after "
             f"{it_max} Newton iterations.\n => Diff = {du_norm}"
