@@ -502,19 +502,23 @@ class SphereWithSlipVel:
             facs = factor(lmat, free_ext)
             A_c = (lmat, free_dof)
             M_c = (facs, free_dof)
-            stop = gmres_tol * float(prelude(bg, *M_c))
-            stop_d = jnp.asarray(stop, bg.dtype)
+            # stop stays on device; the host reads it fused with the
+            # ladder's convergence flag (one round trip per batch, not
+            # one extra per Newton step for the prelude norm)
+            stop_d = (jnp.asarray(gmres_tol, bg.dtype)
+                      * prelude(bg, *M_c))
             x = jnp.zeros_like(bg)
             # batched restart ladder: k cycles per dispatch with
             # device-side freeze — one host sync per batch instead of one
             # per restart cycle (the cg block-ladder treatment)
-            issued, batch, done, rnorm = 0, 2, False, None
+            issued, batch, done, rnorm, stop = 0, 2, False, None, None
             while issued < max_restarts and not done:
                 k = min(batch, max_restarts - issued)
                 x, rnorm, _its, done_d = cycles(
                     k, x, bg, stop_d, A_c, M_c, ())
                 issued += k
-                done = bool(done_d)
+                done, stop = jax.device_get((done_d, stop_d))
+                done, stop = bool(done), float(stop)
                 batch = min(batch * 2, 16)
             if float(rnorm) > stop:
                 if done:
