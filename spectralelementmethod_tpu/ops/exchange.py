@@ -373,11 +373,6 @@ class RollExchange(LocalExchange):
         epilogue.
         """
         super().__init__(disc, pad_to=pad_to, layout=layout)
-        if not self.is_square:
-            raise NotImplementedError(
-                "RollExchange requires square cell node grids; "
-                "anisotropic meshes use LocalExchange (make_exchange "
-                "routes them there)")
         E, ne = self.E, self.ne
         if min_class_fraction is None:
             min_count = max(8, int(self.MIN_CLASS_FRACTION * E))
@@ -470,6 +465,13 @@ class RollExchange(LocalExchange):
         self.vert_tail_dst = jnp.asarray(cp[vtail])
         self.vert_tail_src = jnp.asarray(pr[vtail])
         self.n_vert_tail = int(vtail.sum())
+        if not self.is_square and self.n_edge_tail:
+            # the tail path reshapes the edge block as (E*4, ne) —
+            # slot-uniform only; anisotropic meshes must be fully
+            # class-covered (make_exchange falls back to LocalExchange)
+            raise NotImplementedError(
+                "anisotropic RollExchange requires zero edge tails "
+                f"(got {self.n_edge_tail}); use LocalExchange")
 
     @property
     def tail_fraction(self) -> float:
@@ -493,20 +495,22 @@ class RollExchange(LocalExchange):
     def _dss_2d(self, vL):
         E, n = vL.shape
         ne, neb = self.ne, self.n_edge_block
+        eo, el = self.edge_off, self.edge_len
 
         oe, ov = self.off_edge, self.off_vert
-        # ---- edges -------------------------------------------------------
-        if ne > 0:
-            F = vL[:, oe:oe + neb]                     # (E, 4*ne)
+        # ---- edges (per-slot offsets: slot lengths differ when the cell
+        # node grid is anisotropic; class pairs connect equal lengths) ----
+        if neb > 0:
+            F = vL[:, oe:oe + neb]                     # (E, sum edge_len)
             recv = jnp.zeros_like(F)
             for d_f, s_f, delta, flip, mask in self.edge_classes:
                 src = jnp.roll(
-                    vL[:, oe + s_f * ne: oe + (s_f + 1) * ne], -delta,
+                    vL[:, oe + eo[s_f]: oe + eo[s_f] + el[s_f]], -delta,
                     axis=0)
                 if flip:
                     src = jnp.flip(src, axis=1)
                 src = jnp.where(mask[:, None], src, 0.0)
-                recv = recv.at[:, d_f * ne:(d_f + 1) * ne].add(src)
+                recv = recv.at[:, eo[d_f]:eo[d_f] + el[d_f]].add(src)
             if self.n_edge_tail:
                 Ff = F.reshape(E * 4, ne)
                 tr = Ff[self.edge_tail_src]
@@ -552,18 +556,19 @@ class RollExchange(LocalExchange):
     def _dss_T_2d(self, vT):
         n, E = vT.shape
         ne, neb = self.ne, self.n_edge_block
+        eo, el = self.edge_off, self.edge_len
         oe, ov = self.off_edge, self.off_vert
 
-        if ne > 0:
-            F = vT[oe:oe + neb]                        # (4*ne, E)
+        if neb > 0:
+            F = vT[oe:oe + neb]                        # (sum edge_len, E)
             recv = jnp.zeros_like(F)
             for d_f, s_f, delta, flip, mask in self.edge_classes:
-                src = jnp.roll(vT[oe + s_f * ne: oe + (s_f + 1) * ne],
+                src = jnp.roll(vT[oe + eo[s_f]: oe + eo[s_f] + el[s_f]],
                                -delta, axis=1)
                 if flip:
                     src = src[::-1, :]
                 src = jnp.where(mask[None, :], src, 0.0)
-                recv = recv.at[d_f * ne:(d_f + 1) * ne].add(src)
+                recv = recv.at[eo[d_f]:eo[d_f] + el[d_f]].add(src)
             if self.n_edge_tail:
                 # residual pairs: lane gathers are slow — go through the
                 # (E*4, ne) row form for the tail only (small by class
@@ -740,12 +745,13 @@ def make_exchange(disc, threshold: float = 0.25,
         # 3D (and any non-quad NCube): multiplicity-split pair/scatter
         # exchange in lexicographic order
         return PairScatterExchange(disc, pad_to=pad_to)
-    if disc.shape[0] != disc.shape[1]:
-        # anisotropic orders: generic exchange (roll classes + the fused
-        # kernels assume slot-uniform edge lengths)
+    try:
+        ex = RollExchange(disc, pad_to=pad_to, layout=layout,
+                          min_class_fraction=min_class_fraction)
+    except NotImplementedError:
+        # anisotropic node grid with edge tails: the roll fast path
+        # needs full class coverage there — generic exchange instead
         return LocalExchange(disc, pad_to=pad_to, layout=layout)
-    ex = RollExchange(disc, pad_to=pad_to, layout=layout,
-                      min_class_fraction=min_class_fraction)
     if (min_class_fraction is None
             and (ex.n_edge_tail or ex.n_vert_tail)):
         # tails may be small *uniform* classes below the default size

@@ -329,6 +329,10 @@ class _AffineFusedPrep:
         if not hasattr(ex, "edge_classes"):
             raise ValueError("fused-T kernel requires a roll-class "
                              "exchange (RollExchange)")
+        if self.ne is None:
+            raise ValueError("fused-T kernel requires square cell node "
+                             "grids (anisotropic orders use the XLA "
+                             "roll path)")
         if getattr(ex, "n_edge_tail", 1) or getattr(ex, "n_vert_tail", 1):
             raise ValueError("fused-T kernel requires zero exchange tails")
 

@@ -354,19 +354,25 @@ class TestAnisotropicExchange:
         mesh = rectangle_mesh(nx, ny, (p0, p1))
         return Discretization(mesh, gll_basis_2d(p0, p1))
 
-    def test_make_exchange_routes_to_local(self):
+    def test_make_exchange_routes_to_roll(self):
+        """Anisotropic structured meshes now take the roll fast path
+        (per-slot edge offsets); the fused Pallas kernels stay
+        square-only and reject ne=None exchanges."""
         from spectralelementmethod_tpu.ops.exchange import (
-            LocalExchange, RollExchange, make_exchange)
+            RollExchange, make_exchange)
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            _AffineFusedPrep)
 
         disc = self._disc()
         ex = make_exchange(disc)
-        assert isinstance(ex, LocalExchange)
-        assert not isinstance(ex, RollExchange)
+        assert isinstance(ex, RollExchange)
         assert not ex.is_square and ex.ne is None
         assert ex.edge_len == (5, 5, 3, 3)      # (m1-2, m1-2, m0-2, m0-2)
+        assert ex.n_edge_tail == 0              # classes cover all faces
         import pytest as _pytest
-        with _pytest.raises(NotImplementedError, match="square"):
-            RollExchange(disc)
+        with _pytest.raises(ValueError, match="square"):
+            _AffineFusedPrep(ex, np.zeros((38, 114)), np.zeros((ex.E, 3)),
+                             "highest", 4608)
 
     def test_dss_matches_global_scatter(self):
         """dss == gather(scatter_add(.)) — the defining property."""
