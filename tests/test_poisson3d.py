@@ -193,3 +193,84 @@ def test_sharded_3d_solve_matches_single_device():
     assert bool(res.converged)
     u = np.asarray(u_d + res.x)
     np.testing.assert_allclose(u, sol_single.u, atol=1e-9)
+
+
+class TestBoxRollExchange3D:
+    """Plane-roll tensor-product DSS == pair/scatter DSS on box meshes;
+    non-box element orders fall back."""
+
+    def _disc(self, nx=3, ny=2, nz=2, p=3):
+        mesh = box_mesh(nx, ny, nz, p)
+        return Discretization(mesh, gll_basis_3d(p))
+
+    def test_make_exchange_picks_roll(self):
+        from spectralelementmethod_tpu.ops.exchange import (
+            BoxRollExchange3D, make_exchange)
+
+        ex = make_exchange(self._disc())
+        assert isinstance(ex, BoxRollExchange3D)
+        assert ex.deltas == [4, 2, 1]            # (ny*nz, nz, 1)
+
+    def test_dss_matches_pair_scatter(self):
+        from spectralelementmethod_tpu.ops.exchange import (
+            BoxRollExchange3D, PairScatterExchange)
+
+        disc = self._disc(3, 3, 2, 4)
+        roll = BoxRollExchange3D(disc)
+        ps = PairScatterExchange(disc)
+        rng = np.random.RandomState(0)
+        vL = rng.standard_normal((disc.E, disc.n_loc))
+        np.testing.assert_allclose(
+            np.asarray(roll.dss(vL)), np.asarray(ps.dss(vL)),
+            rtol=1e-13, atol=1e-13)
+        # multi-component
+        vk = rng.standard_normal((disc.E, disc.n_loc, 2))
+        np.testing.assert_allclose(
+            np.asarray(roll.dss(vk)), np.asarray(ps.dss(vk)),
+            rtol=1e-13, atol=1e-13)
+
+    def test_padded(self):
+        from spectralelementmethod_tpu.ops.exchange import (
+            BoxRollExchange3D, PairScatterExchange)
+
+        disc = self._disc()
+        roll = BoxRollExchange3D(disc, pad_to=disc.E + 5)
+        ps = PairScatterExchange(disc)
+        rng = np.random.RandomState(1)
+        vL = rng.standard_normal((disc.E, disc.n_loc))
+        vp = np.concatenate([vL, np.zeros((5, disc.n_loc))])
+        got = np.asarray(roll.dss(vp))
+        np.testing.assert_allclose(got[:disc.E],
+                                   np.asarray(ps.dss(vL)),
+                                   rtol=1e-13, atol=1e-13)
+        np.testing.assert_allclose(got[disc.E:], 0.0)
+
+    def test_shuffled_order_falls_back(self):
+        from spectralelementmethod_tpu.ops.exchange import (
+            BoxRollExchange3D, PairScatterExchange, make_exchange)
+        from spectralelementmethod_tpu.parallel.partition import (
+            reorder_elements)
+
+        mesh = box_mesh(3, 2, 2, 2)
+        rng = np.random.RandomState(3)
+        shuffled = reorder_elements(mesh, rng.permutation(mesh.n_cells))
+        disc = Discretization(shuffled, gll_basis_3d(2))
+        with pytest.raises(NotImplementedError):
+            BoxRollExchange3D(disc)
+        ex = make_exchange(disc)
+        assert isinstance(ex, PairScatterExchange)
+        assert not isinstance(ex, BoxRollExchange3D)
+
+    def test_solve_local_uses_roll(self):
+        """3D solve_local routes through the roll exchange and matches
+        the global solve."""
+        from spectralelementmethod_tpu.ops.exchange import (
+            BoxRollExchange3D)
+
+        disc = self._disc(3, 3, 3, 3)
+        prob = Poisson(disc, dtype=np.float64)
+        prob.set_dirichlet("ebc", lambda x, y, z: 0.1 * (x + y + z))
+        sol_g = prob.solve(tol=1e-11, host_loop=True)
+        sol_l = prob.solve_local(tol=1e-11, host_loop=True)
+        assert isinstance(prob._exchange, BoxRollExchange3D)
+        np.testing.assert_allclose(sol_l.u, sol_g.u, atol=1e-8)
