@@ -159,6 +159,78 @@ def _dirichlet_rhs(problem, A_masked, b, u_d, free):
     return sumfac.masked(b - v, free)
 
 
+def sharded_local_poisson_problem_3d(problem, mesh=None,
+                                     axis: str = ELEM_AXIS):
+    """Element-sharded 3D L-vector CG setup (hexahedral production path).
+
+    Every iteration-state array is an (E_pad, n_loc) lexicographic
+    L-vector sharded over the element axis; the operator is the batched
+    sum-factorized 3D apply plus the plane-roll tensor-product DSS
+    (:class:`..ops.exchange.BoxRollExchange3D`) — under jit sharding
+    propagation its six element-axis plane rolls become
+    collective-permutes at shard boundaries, the 3D halo exchange
+    riding ICI.  Requires a structured box element order (the exchange
+    validates; no fallback here — the replicated-vector
+    :func:`sharded_poisson_problem` covers irregular 3D meshes).
+
+    Returns ``(A, r, M, u_dL, exchange, jmesh)``; solve with
+    ``cg(A, r, M=M, dot=exchange.dot)`` and recover the solution via
+    ``exchange.global_from_local(u_dL + x)``.
+    """
+    from ..ops.exchange import BoxRollExchange3D
+    from ..solver.cg import jacobi_preconditioner
+
+    if mesh is None:
+        mesh = device_mesh()
+    n_shards = mesh.devices.size
+    disc = problem.disc
+    if disc.mesh.ndim != 3:
+        raise ValueError("sharded_local_poisson_problem_3d requires a "
+                         "3D discretization")
+    E, n_loc = disc.E, disc.n_loc
+    shape = tuple(disc.shape)
+    Ep = pad_elements(E, n_shards)
+    ex = BoxRollExchange3D(disc, pad_to=Ep)
+
+    dtype = problem.dtype
+    G = np.zeros((Ep, 6) + shape, dtype=dtype)
+    G[:E] = np.asarray(problem._G, dtype=dtype).reshape(
+        (E, 6) + shape)
+    D0, D1, D2 = problem._D0, problem._D1, problem._D2
+
+    free = np.zeros((Ep, n_loc), dtype=bool)
+    free[:E] = (~problem._dirichlet_mask)[ex.gather_lex[:E]]
+
+    b = np.asarray(problem._b) + problem._neumann
+    u_d = np.where(problem._dirichlet_mask, problem._dirichlet_vals, 0.0)
+    bL = np.zeros((Ep, n_loc), dtype=dtype)
+    bL[:E] = ex.local_from_global(b)[:E]
+    u_dL = np.zeros((Ep, n_loc), dtype=dtype)
+    u_dL[:E] = ex.local_from_global(u_d)[:E]
+    diagL = np.ones((Ep, n_loc), dtype=dtype)
+    diagL[:E] = ex.local_from_global(
+        np.asarray(problem.operator_diagonal()))[:E]
+
+    sharding = NamedSharding(mesh, P(axis))
+    free_d, bL_d, u_dL_d, diag_d, G_d = (
+        jax.device_put(jnp.asarray(v), sharding)
+        for v in (free, bL, u_dL, diagL, G)
+    )
+
+    def A_raw(uL):
+        ue = uL.reshape((Ep,) + shape)
+        ve = sumfac.laplacian_apply_local_3d(ue, G_d, D0, D1, D2)
+        return ex.dss(ve.reshape(Ep, n_loc))
+
+    def A(uL):
+        uL = jnp.where(free_d, uL, 0.0)
+        return jnp.where(free_d, A_raw(uL), 0.0)
+
+    r = jnp.where(free_d, bL_d - A_raw(u_dL_d), 0.0)
+    M = jacobi_preconditioner(diag_d, free_d)
+    return A, r, M, u_dL_d, ex, mesh
+
+
 def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
                                   backend: str = "xla",
                                   comm: str = "propagation"):
