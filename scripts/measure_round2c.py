@@ -224,8 +224,15 @@ def onem_ab_stage():
 
 
 def main():
-    stage("squirmer (device-side stall freeze)", squirmer_stage)
-    stage("1M far-split A/B", onem_ab_stage)
+    import sys
+
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    if only in (None, "squirmer"):
+        stage("squirmer (device-side stall freeze)", squirmer_stage)
+    if only in (None, "1m"):
+        stage("1M far-split A/B", onem_ab_stage)
     banner("all stages done")
 
 
