@@ -182,6 +182,7 @@ class SphereWithSlipVel:
         }
 
         self._step_fn = None  # compiled Newton step
+        self._solve_dev_fn = None  # compiled whole-Newton device loop
 
     # -- reference-parity views --------------------------------------------
 
@@ -402,20 +403,18 @@ class SphereWithSlipVel:
 
         return step
 
-    def _make_step_mixed(self, gmres_tol: float = 1e-12, restart: int = 30,
-                         max_restarts: int = 40):
-        """Newton correction by f64 GMRES + f32 condensation preconditioner.
+    def _mixed_pieces(self, gmres_tol: float = 1e-12, restart: int = 30):
+        """(assemble, factor, prelude, cycles, n_dofs) for GMRES-IR.
 
-        TPU XLA's LuDecomposition is f32-only, so the direct batched
-        Schur pipeline cannot run in float64 there; instead the
-        correction system J dx = -R is solved with GMRES in float64
-        (batched Jacobian matvecs + scatter assembly — plain dot_generals,
-        fully supported) preconditioned by one full float32
-        static-condensation solve per Krylov vector.  With M accurate to
-        ~f32 roundoff the preconditioned system is within O(1e-7 cond(J))
-        of identity, so a handful of iterations reach f64 accuracy.
-        Returns the assembled global Newton update (n_nodes, 2).
+        Shared by the host restart ladder (:meth:`_make_step_mixed`) and
+        the whole-solve device loop (:meth:`_make_solve_mixed_device`);
+        memoized per (gmres_tol, restart) so both reuse one set of jitted
+        closures (and one GMRES-cycle compile cache).
         """
+        key = (float(gmres_tol), int(restart))
+        cache = getattr(self, "_mixed_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
         from ..solver.gmres import _euclidean_dot, _gmres_cycles
 
         disc = self.disc
@@ -496,6 +495,29 @@ class SphereWithSlipVel:
             Mb = Mpre(bg, facs, free_dof)
             return jnp.sqrt(jnp.real(jnp.vdot(Mb, Mb)))
 
+        pieces = (assemble, factor, prelude, cycles, n_dofs)
+        self._mixed_cache = (key, pieces)
+        return pieces
+
+    def _make_step_mixed(self, gmres_tol: float = 1e-12, restart: int = 30,
+                         max_restarts: int = 40):
+        """Newton correction by f64 GMRES + f32 condensation preconditioner.
+
+        TPU XLA's LuDecomposition is f32-only, so the direct batched
+        Schur pipeline cannot run in float64 there; instead the
+        correction system J dx = -R is solved with GMRES in float64
+        (batched Jacobian matvecs + scatter assembly — plain dot_generals,
+        fully supported) preconditioned by one full float32
+        static-condensation solve per Krylov vector.  With M accurate to
+        ~f32 roundoff the preconditioned system is within O(1e-7 cond(J))
+        of identity, so a handful of iterations reach f64 accuracy.
+        Returns the assembled global Newton update (n_nodes, 2), on
+        device.
+        """
+        assemble, factor, prelude, cycles, _n_dofs = self._mixed_pieces(
+            gmres_tol, restart)
+        disc = self.disc
+
         def step(soln_global, n_rey, cint, free_ext):
             lmat, bg, free_dof = assemble(
                 soln_global, jnp.asarray(n_rey, self.dtype), cint, free_ext)
@@ -546,15 +568,83 @@ class SphereWithSlipVel:
 
         return step
 
+    def _make_solve_mixed_device(self, gmres_tol: float = 1e-12,
+                                 restart: int = 30, max_restarts: int = 40):
+        """Whole-Newton-solve device loop (``newton_loop='device'``).
+
+        SURVEY hard-part #4 ("Newton-in-pjit control flow") taken fully
+        on device: assemble -> factor -> batched GMRES-IR ladder ->
+        update -> divergence/convergence accounting run inside ONE
+        ``lax.while_loop`` dispatch; the host reads back (soln, ||du||,
+        iterations, status) once.  Per-step GMRES diagnostics are not
+        logged in this mode (the host ladder remains the default).
+
+        Status codes: 0 = it_max exhausted, 1 = converged,
+        2 = diverged ``max_n_diverge`` times, 3 = non-finite update.
+        """
+        from functools import partial
+
+        pieces = self._mixed_pieces(gmres_tol, restart)
+        assemble, factor, prelude, cycles, n_dofs = pieces
+        k_max = int(max_restarts)
+
+        @partial(jax.jit, static_argnames=("it_max", "max_n_diverge"))
+        def newton_solve(soln0, n_rey, cint, free_ext, tol,
+                         it_max, max_n_diverge):
+            def cond(carry):
+                _soln, _du, _nd, itn, status = carry
+                return (status == 0) & (itn < it_max)
+
+            def body(carry):
+                soln, du_last, n_div, itn, _status = carry
+                lmat, bg, free_dof = assemble(soln, n_rey, cint, free_ext)
+                facs = factor(lmat, free_ext)
+                stop_d = (jnp.asarray(gmres_tol, bg.dtype)
+                          * prelude(bg, facs, free_dof))
+                x, _rn, _its, _done = cycles(
+                    k_max, jnp.zeros_like(bg), bg, stop_d,
+                    (lmat, free_dof), (facs, free_dof), ())
+                dsoln = x.reshape(soln.shape)
+                soln2 = soln + dsoln
+                du = jnp.linalg.norm(dsoln[:, 1])
+                n_div2 = n_div + jnp.where(du > du_last, 1, 0).astype(
+                    n_div.dtype)
+                # host-loop parity: non-finite, then divergence budget,
+                # then convergence
+                status2 = jnp.where(
+                    ~jnp.isfinite(du), 3,
+                    jnp.where(n_div2 >= max_n_diverge, 2,
+                              jnp.where(du <= tol, 1, 0)))
+                return (soln2, du, n_div2, itn + 1,
+                        status2.astype(jnp.int32))
+
+            init = (soln0, jnp.asarray(jnp.inf, jnp.float64
+                                       if soln0.dtype == jnp.float64
+                                       else jnp.float32),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32))
+            return jax.lax.while_loop(cond, body, init)
+
+        return newton_solve
+
     # -- Newton solve --------------------------------------------------------
 
     def solve(self, it_max: int = 10, tol: float = 1e-6,
-              max_n_diverge: int = 3, verbose: bool = True) -> None:
+              max_n_diverge: int = 3, verbose: bool = True,
+              newton_loop: str = "host") -> None:
         """Newton iteration on the condensed system.
 
         Parity: ``squirmer:389-457`` — divergence counting, convergence on
         ``||d vorticity||``.
+
+        ``newton_loop='device'`` (gmres-ir only) runs the whole Newton
+        iteration inside one ``lax.while_loop`` dispatch
+        (:meth:`_make_solve_mixed_device`): no per-step host syncs or
+        per-step progress prints — use on remote/tunneled backends where
+        each sync costs ~30 ms and each field download ~1 s.
         """
+        if newton_loop == "device" and self.linear_solver == "gmres-ir":
+            return self._solve_device(it_max, tol, max_n_diverge, verbose)
         if self._step_fn is None:
             self._step_fn = (self._make_step_mixed()
                              if self.linear_solver == "gmres-ir"
@@ -619,6 +709,35 @@ class SphereWithSlipVel:
         raise SolverFailure(
             "Calculation failed to reach specified tolerance after "
             f"{it_max} Newton iterations.\n => Diff = {du_norm}"
+        )
+
+    def _solve_device(self, it_max: int, tol: float, max_n_diverge: int,
+                      verbose: bool) -> None:
+        """One-dispatch Newton solve (see :meth:`solve` newton_loop)."""
+        if self._solve_dev_fn is None:
+            self._solve_dev_fn = self._make_solve_mixed_device()
+        n_rey = jnp.asarray(float(self.phys_params["N_Re"]), self.dtype)
+        cint = jnp.asarray(self.cint, dtype=self.dtype)
+        tol_d = jnp.asarray(tol, self.dtype)
+        soln, du, n_div, itn, status = self._solve_dev_fn(
+            jnp.asarray(self.soln, dtype=self.dtype), n_rey, cint,
+            self._free_ext, tol_d, it_max, max_n_diverge)
+        # one fused host fetch: status/scalars + the solved field
+        status, du, itn = (int(status), float(du), int(itn))
+        self.soln = np.asarray(soln)
+        if status == 3:
+            raise SolverFailure("Newton update is not finite")
+        if status == 2:
+            raise SolverFailure(
+                f"Solution diverged {max_n_diverge} times (||du|| = {du})")
+        if status == 1:
+            if verbose:
+                print(f" => Calculation converged in {itn - 1} Newton "
+                      f"iterations\n    ||du|| = {du}")
+            return
+        raise SolverFailure(
+            "Calculation failed to reach specified tolerance after "
+            f"{it_max} Newton iterations.\n => Diff = {du}"
         )
 
     def _dsoln_to_global(self, x_ext, x_loc) -> np.ndarray:

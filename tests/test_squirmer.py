@@ -189,6 +189,22 @@ class TestMixedPrecisionSolver:
         f_d, f_m = sq_d.calc_force(), sq_m.calc_force()
         assert abs(f_m - f_d) < 1e-8
 
+    def test_device_newton_loop_matches_host(self):
+        """newton_loop='device' (one lax.while_loop dispatch) == the host
+        restart-ladder loop."""
+        mesh = annulus_mesh(order=6, n_theta=6, n_r=10, r_outer=100.0,
+                            progression=1.6)
+        sq_h = sqm.Squirmer(mesh, order=6, linear_solver="gmres-ir")
+        sq_h.run(n_rey=0.5, beta=0.5, speed=0.95, verbose=False)
+
+        sq_d = sqm.Squirmer(mesh, order=6, linear_solver="gmres-ir")
+        sq_d.set_initial_guess()
+        sq_d.compute_operators(0.5)
+        sq_d.set_boundary_conditions(speed=0.95, beta=0.5)
+        sq_d.solve(verbose=False, newton_loop="device")
+        np.testing.assert_allclose(sq_d.soln, sq_h.soln, atol=1e-9)
+        assert abs(sq_d.calc_force() - sq_h.calc_force()) < 1e-9
+
 
 class TestSchurFactorApply:
     """schur_factor + schur_apply == schur_solve on the same system."""
