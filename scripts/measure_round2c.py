@@ -75,17 +75,34 @@ def squirmer_stage():
     t_warm = time.perf_counter() - t0
     print(json.dumps({"metric": "squirmer_warm_newton_s",
                       "value": round(t_warm, 2)}), flush=True)
+    # device-loop arm (one lax.while_loop dispatch per Newton solve)
+    sq.set_initial_guess()
+    sq.set_boundary_conditions(1.0, 1.0)
+    t0 = time.perf_counter()
+    sq.solve(it_max=10, tol=1e-6, newton_loop="device")
+    t_dev_cold = time.perf_counter() - t0
     sq.set_initial_guess()
     t0 = time.perf_counter()
-    speed = sq.calc_speed([0.99, 1.01], n_rey=1.0, beta=1.0)
-    t_speed = time.perf_counter() - t0
+    sq.solve(it_max=10, tol=1e-6, newton_loop="device")
+    t_dev = time.perf_counter() - t0
+    print(json.dumps({"metric": "squirmer_warm_newton_device_s",
+                      "value": round(t_dev, 2),
+                      "cold_s": round(t_dev_cold, 2)}), flush=True)
+
     golden = 0.92571156681483957
-    print(json.dumps({
-        "metric": "squirmer_calc_speed_s",
-        "value": round(t_speed, 2),
-        "speed": float(speed),
-        "golden_abs_err": abs(float(speed) - golden),
-    }), flush=True)
+    for tag, opts in (("", None),
+                      ("_device", {"newton_loop": "device"})):
+        sq.set_initial_guess()
+        t0 = time.perf_counter()
+        speed = sq.calc_speed([0.99, 1.01], n_rey=1.0, beta=1.0,
+                              flow_solver_opts=opts)
+        t_speed = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"squirmer_calc_speed{tag}_s",
+            "value": round(t_speed, 2),
+            "speed": float(speed),
+            "golden_abs_err": abs(float(speed) - golden),
+        }), flush=True)
 
 
 def onem_ab_stage():
