@@ -114,3 +114,42 @@ def test_sharded_fused_block_kernel_matches(pieces):
     expected = np.asarray(A_xla(uT))
     scale = np.abs(expected).max()
     assert np.abs(got - expected).max() / scale < 1e-5
+
+
+def test_panel_order_fused_apply_matches():
+    """Fused apply on a panel-ordered mesh (far classes through the
+    epilogue) compiles under real Mosaic and matches the XLA path."""
+    from spectralelementmethod_tpu.models.poisson import Poisson
+    from spectralelementmethod_tpu.ops.exchange import make_exchange
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        make_fused_affine_laplacian_T)
+    from spectralelementmethod_tpu.parallel.partition import (
+        panel_order, reorder_elements)
+
+    p = 8
+    mesh = rectangle_mesh(16, 16, p)
+    mesh = reorder_elements(mesh, panel_order(16, 16, 4))
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    ex = make_exchange(disc)
+    assert ex.n_edge_tail == 0 and ex.n_vert_tail == 0
+    Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(Gf, W)
+    assert exact
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    fused = make_fused_affine_laplacian_T(ex, Kcat, a, target_win=128,
+                                          max_halo=4)
+    assert fused._prep.has_far
+    A_xla = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, vector_layout="ne", backend="xla")
+    rng = np.random.RandomState(2)
+    uT = jnp.asarray(
+        rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+    got = np.asarray(fused(uT))
+    expected = np.asarray(A_xla(uT))
+    scale = np.abs(expected).max()
+    assert np.abs(got - expected).max() / scale < 1e-5
