@@ -168,7 +168,8 @@ class SphereWithSlipVel:
         self._int_global_nodes = gather_hier[:, self._n_ext_loc:]
 
         # ---- solution state (global, numpy float64) ----
-        self.soln = np.zeros((disc.n_nodes, 2))
+        self._soln_host = np.zeros((disc.n_nodes, 2))
+        self._soln_dev = None   # device-resident solution (lazy download)
 
         # ---- BC state ----
         #: True where the dof is FREE (unknown); (n_nodes, 2)
@@ -185,6 +186,40 @@ class SphereWithSlipVel:
         self._solve_dev_fn = None  # compiled whole-Newton device loop
 
     # -- reference-parity views --------------------------------------------
+
+    @property
+    def soln(self) -> np.ndarray:
+        """Global (n_nodes, 2) [psi, omega] solution.
+
+        Device-loop solves leave the field ON DEVICE (a device->host read
+        through a remote tunnel costs ~1 s); this property downloads it
+        on first host access and caches the host copy.
+        """
+        if self._soln_dev is not None:
+            # np.array, not asarray: device downloads are read-only views
+            self._soln_host = np.array(self._soln_dev, dtype=np.float64)
+            self._soln_dev = None
+        return self._soln_host
+
+    @soln.setter
+    def soln(self, v) -> None:
+        arr = np.asarray(v, dtype=np.float64)
+        if not arr.flags.writeable:
+            arr = arr.copy()
+        self._soln_host = arr
+        self._soln_dev = None
+
+    def _set_bc_rows(self, nodes, col, values) -> None:
+        """Dirichlet-row write into whichever solution copy is live
+        (functional ``.at`` update on device — no field download)."""
+        if self._soln_dev is not None:
+            d = self._soln_dev
+            loc = (nodes, slice(None)) if col is None else (nodes, col)
+            self._soln_dev = d.at[loc].set(values)
+        elif col is None:
+            self._soln_host[nodes, :] = values
+        else:
+            self._soln_host[nodes, col] = values
 
     @property
     def soln_vec(self) -> np.ndarray:
@@ -233,22 +268,23 @@ class SphereWithSlipVel:
         # sphere: psi = 0 (essential); slip velocity as natural BC on the
         # vorticity-definition equation (parity squirmer:126-145)
         sph = self._bnd_nodes["sphere"]
-        self.soln[sph, 0] = 0.0
+        self._set_bc_rows(sph, 0, 0.0)
         self.dof_free[sph, 0] = False
         self._apply_slip_cint(slip_vel)
 
         # symmetry axis: psi = 0, omega = 0 (squirmer:146-153)
         axis = self._bnd_nodes["symaxis"]
-        self.soln[axis, :] = 0.0
+        self._set_bc_rows(axis, None, 0.0)
         self.dof_free[axis, :] = False
 
         # outer shell: free stream at the swimming speed; omega = 0
         # (squirmer:154-161)
         shell = self._bnd_nodes["shell"]
-        self.soln[shell, 0] = -sfn_free_stream(xg[0, shell], xg[1, shell]) \
-            * speed
+        self._set_bc_rows(
+            shell, 0,
+            -sfn_free_stream(xg[0, shell], xg[1, shell]) * speed)
         self.dof_free[shell, 0] = False
-        self.soln[shell, 1] = 0.0
+        self._set_bc_rows(shell, 1, 0.0)
         self.dof_free[shell, 1] = False
 
         self._free_ext = jnp.asarray(self._ext_free_mask())
@@ -658,15 +694,20 @@ class SphereWithSlipVel:
         du_norm_last = np.inf
         mixed = self.linear_solver == "gmres-ir"
         # gmres-ir path: the iterate stays ON DEVICE across Newton steps —
-        # only the scalar ||du|| syncs per step; the full field downloads
-        # once at the end (device→host reads through a remote tunnel cost
-        # ~1 s per field, which dominated the warm Newton wall-clock)
-        soln_dev = (jnp.asarray(self.soln, dtype=self.dtype)
-                    if mixed else None)
+        # only the scalar ||du|| syncs per step; the field downloads
+        # lazily through the .soln property (device→host reads through a
+        # remote tunnel cost ~1 s per field, which dominated the warm
+        # Newton wall-clock)
+        if mixed:
+            soln_dev = (self._soln_dev if self._soln_dev is not None
+                        else jnp.asarray(self._soln_host,
+                                         dtype=self.dtype))
+        else:
+            soln_dev = None
 
         def finish():
             if mixed:
-                self.soln = np.asarray(soln_dev)
+                self._soln_dev, self._soln_host = soln_dev, None
 
         for itn in range(it_max):
             if mixed:
@@ -719,12 +760,15 @@ class SphereWithSlipVel:
         n_rey = jnp.asarray(float(self.phys_params["N_Re"]), self.dtype)
         cint = jnp.asarray(self.cint, dtype=self.dtype)
         tol_d = jnp.asarray(tol, self.dtype)
+        soln0 = (self._soln_dev if self._soln_dev is not None
+                 else jnp.asarray(self._soln_host, dtype=self.dtype))
         soln, du, n_div, itn, status = self._solve_dev_fn(
-            jnp.asarray(self.soln, dtype=self.dtype), n_rey, cint,
+            soln0.astype(self.dtype), n_rey, cint,
             self._free_ext, tol_d, it_max, max_n_diverge)
-        # one fused host fetch: status/scalars + the solved field
+        # scalars sync; the field itself stays on device (the .soln
+        # property downloads lazily — calc_force has a device path)
         status, du, itn = (int(status), float(du), int(itn))
-        self.soln = np.asarray(soln)
+        self._soln_dev, self._soln_host = soln, None
         if status == 3:
             raise SolverFailure("Newton update is not finite")
         if status == 2:
@@ -751,12 +795,86 @@ class SphereWithSlipVel:
 
     # -- force ---------------------------------------------------------------
 
+    def _make_calc_force_device(self, slip):
+        """Jitted on-device surface-stress quadrature (same math as the
+        numpy :meth:`calc_force`, vectorized over the sphere face cells).
+
+        Cached per slip-profile identity; used when the solution is
+        device-resident so a force evaluation costs one dispatch and one
+        scalar read instead of a full-field download.
+        """
+        cache = getattr(self, "_force_dev_cache", None)
+        if cache is not None and cache[0] is slip:
+            return cache[1]
+
+        from ..mesh.geometry import subface_slice
+
+        disc = self.disc
+        p1 = self.p1
+        fg = disc.face_geometry("sphere")
+        cells = np.asarray(fg.cells)
+        faces = np.asarray(fg.faces)
+        nc = cells.size
+        idx2d = np.arange(p1 * p1).reshape(p1, p1)
+        face_idx = np.stack([
+            np.asarray(subface_slice(int(f), idx2d, 2)) for f in faces])
+        invJ_np = np.asarray(disc.invJ)
+        invJ_S = np.stack([
+            np.stack([
+                np.stack([
+                    np.asarray(subface_slice(int(faces[i]),
+                                             invJ_np[cells[i], a, b], 2))
+                    for b in range(2)])
+                for a in range(2)])
+            for i in range(nc)])                       # (nc, 2, 2, m)
+
+        gath = jnp.asarray(disc.gather_nodes[cells])   # (nc, n_loc)
+        fidx = jnp.asarray(face_idx)                   # (nc, m)
+        invJ_d = jnp.asarray(invJ_S)
+        x_S = jnp.asarray(np.asarray(fg.x))            # (nc, 2, m)
+        dS = jnp.asarray(np.asarray(fg.dS))            # (nc, m)
+        wts = jnp.asarray(np.asarray(fg.weights))      # (m,)
+        D0 = jnp.asarray(np.asarray(disc.basis.subbases[0].D1))
+        D1 = jnp.asarray(np.asarray(disc.basis.subbases[1].D1))
+
+        @jax.jit
+        def force(soln, n_rey):
+            w_all = soln[:, 1][gath]                       # (nc, n_loc)
+            w_grid = w_all.reshape(nc, p1, p1)
+            dw0 = jnp.einsum("mj,ejn->emn", D0, w_grid)
+            dw1 = jnp.einsum("nk,emk->emn", D1, w_grid)
+            dw0_f = jnp.take_along_axis(dw0.reshape(nc, -1), fidx, 1)
+            dw1_f = jnp.take_along_axis(dw1.reshape(nc, -1), fidx, 1)
+            dw_du = jnp.stack([dw0_f, dw1_f], axis=1)      # (nc, 2, m)
+            w_S = jnp.take_along_axis(w_all, fidx, 1)      # (nc, m)
+            dw_dr = jnp.einsum("cam,caim,cim->cm", dw_du, invJ_d, x_S)
+            sin_th, cos_th = x_S[:, 0], x_S[:, 1]
+            sin2 = sin_th**2
+            vslip = slip(sin_th, cos_th)
+            bernouli = jnp.pi * n_rey * vslip**2 * sin_th * cos_th
+            w_asym = jnp.pi * (dw_dr + w_S) * sin2
+            viscous = -2.0 * jnp.pi * w_S * sin2
+            total = bernouli + w_asym + viscous
+            return jnp.sum(wts[None, :] * total * dS)
+
+        self._force_dev_cache = (slip, force)
+        return force
+
     def calc_force(self) -> float:
         """Total hydrodynamic force on the (unit) sphere.
 
         Surface-stress quadrature over the sphere faces
         (parity: ``squirmer:459-518``; unit radius assumed, as there).
+        When the solution is device-resident (device Newton loop), the
+        quadrature runs on device too — no field download.
         """
+        if self._soln_dev is not None:
+            force = self._make_calc_force_device(
+                self.phys_params["slip_profile"])
+            return float(force(
+                self._soln_dev,
+                jnp.asarray(float(self.phys_params["N_Re"]),
+                            self.dtype)))
         disc = self.disc
         fg = disc.face_geometry("sphere")
         n_rey = float(self.phys_params["N_Re"])
@@ -828,6 +946,12 @@ class Squirmer(SphereWithSlipVel):
 
     def set_boundary_conditions(self, speed=None, beta=None):
         if beta is None:
+            slip_profile = self.phys_params["slip_profile"]
+        elif (beta == self.phys_params.get("beta")
+                and "slip_profile" in self.phys_params):
+            # reuse the existing closure: its identity keys the jitted
+            # device-force cache (a fresh lambda per secant iteration
+            # would recompile calc_force every time)
             slip_profile = self.phys_params["slip_profile"]
         else:
             slip_profile = squirmer_vslip_profile(beta)

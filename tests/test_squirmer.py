@@ -202,8 +202,23 @@ class TestMixedPrecisionSolver:
         sq_d.compute_operators(0.5)
         sq_d.set_boundary_conditions(speed=0.95, beta=0.5)
         sq_d.solve(verbose=False, newton_loop="device")
+        # force BEFORE any host access: exercises the device-resident
+        # quadrature (no field download)
+        assert sq_d._soln_dev is not None
+        f_dev = sq_d.calc_force()
+        assert sq_d._soln_dev is not None      # still on device
         np.testing.assert_allclose(sq_d.soln, sq_h.soln, atol=1e-9)
-        assert abs(sq_d.calc_force() - sq_h.calc_force()) < 1e-9
+        assert sq_d._soln_dev is None          # property downloaded it
+        f_np = sq_d.calc_force()               # numpy quadrature path
+        assert abs(f_dev - f_np) < 1e-10
+        assert abs(f_dev - sq_h.calc_force()) < 1e-9
+
+        # BC writes on a live device copy (the next secant speed)
+        sq_d.solve(verbose=False, newton_loop="device")
+        sq_d.set_boundary_conditions(speed=0.96, beta=0.5)
+        assert sq_d._soln_dev is not None      # no download on BC write
+        sq_h.set_boundary_conditions(speed=0.96, beta=0.5)
+        np.testing.assert_allclose(sq_d.soln, sq_h.soln, atol=1e-9)
 
 
 class TestSchurFactorApply:
