@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--betas", type=float, nargs="*", default=None)
     ap.add_argument("--results", default=None, help="HDF5 results file "
                     "(enables checkpoint/resume)")
+    ap.add_argument("--newton-loop", choices=["host", "device"],
+                    default="host",
+                    help="run each Newton solve as one device dispatch "
+                         "(lax.while_loop) instead of host-stepped — "
+                         "fewer syncs on remote/tunneled backends")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     args = ap.parse_args()
@@ -73,7 +78,9 @@ def main():
             print(f"Re = {re:8.4g}  beta = {beta:6.3g}  U = {u:.12f}")
     else:
         sq.set_initial_guess()
-        speed = sq.calc_speed([0.99, 1.01], n_rey=args.re, beta=args.beta)
+        speed = sq.calc_speed(
+            [0.99, 1.01], n_rey=args.re, beta=args.beta,
+            flow_solver_opts={"newton_loop": args.newton_loop})
         print(f"\nswimming speed at Re={args.re}, beta={args.beta}: "
               f"{speed:.17f}")
         if abs(args.re - 1.0) < 1e-12 and abs(args.beta - 1.0) < 1e-12:
