@@ -124,6 +124,11 @@ def main():
                          "iteration (ops.pallas_kernels."
                          "make_fused_cg_kernels); fused-bf16p also stores "
                          "the search direction in bf16")
+    ap.add_argument("--defer-x", type=int, default=0,
+                    help="fused-CG deferred solution update: retain m "
+                         "search directions and catch x up once per m "
+                         "iterations (removes kernel A's x read+write; "
+                         "solver.cg.cg_fused defer_x)")
     ap.add_argument("--panel", type=int, default=0,
                     help="panel width for the element order "
                          "(parallel.partition.panel_order): shrinks the "
@@ -256,7 +261,7 @@ def main():
             kA, kB, _ = pallas_kernels.make_fused_cg_kernels(
                 ex, Kcat, a_f,
                 precision="high" if p_dt is not None else args.precision,
-                p_dtype=p_dt,
+                p_dtype=p_dt, defer_x=bool(args.defer_x),
                 interpret=not pallas_kernels.supported())
             aux_dt = jnp.bfloat16 if p_dt is not None else jnp.float32
             inv_d = jnp.where(
@@ -378,7 +383,8 @@ def main():
         def run_cg():
             return cg_fused_fn(kA_f, kB_f, r_cg, inv=inv_f, w_free=wf_f,
                                tol=cg_tol, max_iter=cg_iters,
-                               block=cg_iters, p_dtype=p_dt_f)
+                               block=cg_iters, p_dtype=p_dt_f,
+                               defer_x=args.defer_x)
     else:
         def run_cg():
             return cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters,
@@ -417,6 +423,7 @@ def main():
             "layout": args.layout,
             "precision": args.precision,
             "bf16": bool(args.bf16),
+            "defer_x": args.defer_x,
             "setup_s": round(t_setup, 2),
             "timing_reliable": timing_reliable,
             "baseline": "serial per-element numpy einsum apply "

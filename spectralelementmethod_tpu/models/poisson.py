@@ -266,7 +266,8 @@ class Poisson(BoundaryConditionMixin):
                     compute_dtype=None,
                     vector_layout: str = "auto",
                     cg_kernel: str = "auto",
-                    p_dtype=None) -> PoissonSolution:
+                    p_dtype=None,
+                    defer_x: int = 0) -> PoissonSolution:
         """Solve with CG on element-local (L-vector) storage.
 
         The production TPU path: no global gather/scatter in the iteration
@@ -297,6 +298,12 @@ class Poisson(BoundaryConditionMixin):
         ``p_dtype``: optional ``jnp.bfloat16`` storage for the fused-CG
         search direction (halves its HBM traffic; f32 accuracy is
         retained because Ap is computed from the stored direction).
+        ``defer_x``: m >= 2 (dividing 64) defers the fused-CG solution
+        update — the loop retains the last m directions and applies
+        ``x += sum alpha_j p_j`` once per m iterations, removing kernel
+        A's per-iteration x read+write (see
+        :func:`..solver.cg.cg_fused`).  Only meaningful with a fused
+        ``cg_kernel``.
         """
         from ..ops.exchange import RollExchange, make_exchange
 
@@ -401,12 +408,13 @@ class Poisson(BoundaryConditionMixin):
                 and pallas_kernels_supported()))
         if (want_fused and precond == "jacobi" and transposed
                 and np.dtype(self.dtype) == np.float32):
-            key = ("cg_fused", cg_kernel, str(p_dtype))
+            key = ("cg_fused", cg_kernel, str(p_dtype), bool(defer_x))
             fused_cg = self._op_cache.get(key)
             if fused_cg is None:
                 try:
                     fused_cg = self._build_fused_cg(ex, Gf, Dhat, cg_kernel,
-                                                    p_dtype, free_local)
+                                                    p_dtype, free_local,
+                                                    defer_x=bool(defer_x))
                 except ValueError:
                     if cg_kernel != "auto":
                         raise
@@ -420,7 +428,8 @@ class Poisson(BoundaryConditionMixin):
         if fused_cg is not None:
             kA, kB, inv, w_free = fused_cg
             res = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=tol,
-                           max_iter=max_iter, p_dtype=p_dtype)
+                           max_iter=max_iter, p_dtype=p_dtype,
+                           defer_x=defer_x)
             uL = u_dL + res.x
             u = ex.global_from_local_T(np.asarray(uL))
             return PoissonSolution(u, res)
@@ -496,7 +505,7 @@ class Poisson(BoundaryConditionMixin):
         return PoissonSolution(u, res)
 
     def _build_fused_cg(self, ex, Gf, Dhat, cg_kernel: str, p_dtype,
-                        free_local):
+                        free_local, defer_x: bool = False):
         """(kA, kB, inv, w_free) for the fused Pallas CG iteration.
 
         Raises ValueError when the mesh/exchange is inadmissible (caller
@@ -516,7 +525,7 @@ class Poisson(BoundaryConditionMixin):
         kA, kB, _ = pallas_kernels.make_fused_cg_kernels(
             ex, Kcat, a,
             precision="high" if p_dtype is not None else "highest",
-            p_dtype=p_dtype,
+            p_dtype=p_dtype, defer_x=defer_x,
             interpret=cg_kernel == "fused-interpret")
 
         diagL = jnp.asarray(np.ascontiguousarray(

@@ -851,6 +851,7 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
                           p_dtype=None,
                           target_win: int | None = None,
                           max_halo="auto",
+                          defer_x: bool = False,
                           interpret: bool = False):
     """Two Pallas kernels fusing one whole PCG iteration (affine meshes).
 
@@ -891,6 +892,18 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
     corrected Ap is never materialized in HBM (denominator partials use
     the pre-DSS identity, so they are complete without it); drivers pass
     kA's Ap to kB opaquely, so the split is invisible to them.
+
+    ``defer_x=True`` removes the solution update from kernel A entirely
+    (x is neither read nor written per iteration — the largest remaining
+    per-iteration traffic item, 2 f32 passes).  kA then has the signature
+    ``kA(r, p, inv, beta) -> (p', Ap', denom_parts)`` and the *driver*
+    (:func:`..solver.cg.cg_fused` with ``defer_x=m``) retains the last m
+    search directions in the loop carry and applies
+    ``x += sum_j alpha_j p_j`` once per m iterations as one fused XLA
+    pass — amortized ``(2 + m/2)/m`` passes instead of 2 (0.75 at m=8
+    with bf16 directions).  The m slots are ordinary carried arrays
+    written at static unroll positions, so no scalar-prefetch indexing
+    or in-place aliasing is involved anywhere.
 
     ``p_dtype=jnp.bfloat16`` stores the search direction in bf16 (halves
     its HBM traffic; requires ``precision='high'``, where the matmul then
@@ -933,6 +946,62 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
     # 8x128-divisible); each grid step writes its own row via program_id
     smem_out = pl.BlockSpec((G, 1), _im32(lambda i: (0, 0)),
                             memory_space=pltpu.SMEM)
+
+    if defer_x:
+        def kernel_a_d(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
+                       K_ref, m_ref, sc_ref, po_ref, apo_ref, d_ref,
+                       *aux_ref):
+            beta = sc_ref[0, 0]
+            r_win = jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
+            p_win = jnp.concatenate([pL[:], pC[:], pR[:]], axis=1)
+            i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
+            a_win = jnp.concatenate([aL[:], aC[:], aR[:]], axis=1)
+            pn = (i_win.astype(jnp.float32) * r_win
+                  + beta * p_win.astype(jnp.float32))
+            # Ap must be computed from the *stored* direction: round first
+            pn_st = pn.astype(p_store)
+            V = prep.dot_window(K_ref, pn_st)
+            S = prep.affine_reduce(a_win, V)
+            po_ref[:] = pn_st[:, Hb:Hb + TE]
+            apo_ref[:] = prep.roll_dss(S, m_ref)
+            d_ref[pl.program_id(0), 0] = jnp.sum(
+                pn_st[:, Hb:Hb + TE].astype(jnp.float32)
+                * S[:, Hb:Hb + TE])
+            if aux_ref:
+                aux_ref[0][:] = prep.aux_extract(S)
+
+        smem_beta = pl.BlockSpec((1, 1), _im32(lambda i: (0, 0)),
+                                 memory_space=pltpu.SMEM)
+        d_specs = (prep.halo_triple(n) + prep.halo_triple(n)
+                   + prep.halo_triple(n) + prep.halo_triple(3)
+                   + prep.const_specs() + [smem_beta])
+        d_out_shapes = [
+            jax.ShapeDtypeStruct((n, E), p_store),
+            jax.ShapeDtypeStruct((n, E), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1), jnp.float32),
+        ]
+        d_out_specs = [prep.center_spec(n), prep.center_spec(n), smem_out]
+        if prep.has_far:
+            d_out_shapes.append(
+                jax.ShapeDtypeStruct((prep.n_aux, E), jnp.float32))
+            d_out_specs.append(prep.center_spec(prep.n_aux))
+
+        def kA_d(r, p, inv, beta):
+            sc = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+            res = pl.pallas_call(
+                kernel_a_d,
+                out_shape=tuple(d_out_shapes),
+                grid=(G,),
+                in_specs=d_specs,
+                out_specs=tuple(d_out_specs),
+                interpret=interpret,
+            )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, KT, M, sc)
+            if prep.has_far:
+                p_new, Ap, dparts, aux = res
+                return p_new, (Ap, prep.far_rows(aux)), dparts
+            return res
+    else:
+        kA_d = None
 
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
                  x_ref, K_ref, m_ref, sc_ref, po_ref, apo_ref, xo_ref,
@@ -1039,7 +1108,10 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
             interpret=interpret,
         )(*args)
 
+    if defer_x:
+        kA = kA_d
     kA._prep = kB._prep = prep        # introspection (tests, bench)
+    kA._defer_x = defer_x
     return kA, kB, G
 
 

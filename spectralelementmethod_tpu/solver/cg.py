@@ -288,6 +288,7 @@ def cg_fused(
     max_iter: int = 1000,
     block: int = 64,
     p_dtype=None,
+    defer_x: int = 0,
 ) -> CGResult:
     """PCG where each iteration is two fused Pallas kernels.
 
@@ -314,23 +315,47 @@ def cg_fused(
     never touches x or p); the loop exit adds the pending alpha * p
     term.  Frozen (converged / diverged / budget-spent) iterations run
     with alpha = beta = 0, which pins x, r, rz and rn2 exactly.
+
+    ``defer_x=m`` (m >= 2, dividing 64) requires kernels built with
+    ``defer_x=True`` and defers the solution update: the loop carries the
+    last m search directions (written at static unroll positions — no
+    copies, no aliasing) and applies ``x += sum_j alpha_j p_j`` once per
+    m iterations as a single fused XLA pass, cutting kernel A's x
+    read+write (2 f32 HBM passes/iter) to an amortized ``(2 + m/2)/m``.
+    x is exact at every super-iteration boundary, which is where the
+    ladder snapshots state, so no pending term remains at exit.
     """
     ftype = jnp.float32
     tol = jnp.asarray(tol, dtype=ftype)
     atol = jnp.asarray(atol, dtype=ftype)
 
     p_bf16 = p_dtype is not None and jnp.dtype(p_dtype) == jnp.bfloat16
-    init_k, block_k = _cg_fused_kernels(kA, kB, p_bf16)
+    if defer_x:
+        if not getattr(kA, "_defer_x", False):
+            raise ValueError("defer_x > 0 requires kernels built with "
+                             "make_fused_cg_kernels(defer_x=True)")
+        if defer_x < 2 or 64 % defer_x:
+            raise ValueError(f"defer_x must divide 64, got {defer_x}")
+        init_k, block_k = _cg_fused_kernels_deferred(kA, kB, defer_x,
+                                                     p_bf16)
+        RN2, STOP2, RN2MIN = 6, 8, 9
+    elif getattr(kA, "_defer_x", False):
+        raise ValueError("kernels built with defer_x=True need "
+                         "cg_fused(..., defer_x=m)")
+    else:
+        init_k, block_k = _cg_fused_kernels(kA, kB, p_bf16)
+        RN2, STOP2, RN2MIN = 7, 9, 10
     state = init_k(b, inv, w_free, tol, atol,
                    jnp.asarray(max_iter, dtype=jnp.int32))
 
     # same geometric block ladder as cg() (see comment there)
-    RN2, STOP2, RN2MIN = 7, 9, 10
     issued = 0
     best_state, best_rn2 = state, float("inf")
     while issued < max_iter:
         remaining = -(-(max_iter - issued) // 64) * 64
         n = min(block, remaining)
+        if defer_x:
+            n = -(-n // defer_x) * defer_x   # whole super-iterations
         state = block_k(n, state, inv, w_free)
         issued += n
         rn2_now = float(state[RN2])
@@ -342,9 +367,14 @@ def cg_fused(
             break
         block = min(block * 2, 4096)
 
-    x, r, p, rz, rz_prev, a_prev, k_dev, rn2, _, stop2, _ = best_state
-    # x lags one direction: apply the pending update (0 when frozen)
-    x = x + a_prev * p.astype(x.dtype)
+    if defer_x:
+        # x caught up at every super-iteration boundary — nothing pending
+        x, r, _P, rz, rz_prev, k_dev, rn2, _, stop2, _ = best_state
+    else:
+        (x, r, p, rz, rz_prev, a_prev, k_dev, rn2, _, stop2,
+         _) = best_state
+        # x lags one direction: apply the pending update (0 when frozen)
+        x = x + a_prev * p.astype(x.dtype)
     rnorm = jnp.sqrt(rn2)
     return CGResult(x, k_dev, rnorm, rn2 <= stop2)
 
@@ -396,6 +426,73 @@ def _cg_fused_kernels(kA, kB, p_bf16: bool = False):
                     stop2, rn2_min)
 
         return jax.lax.fori_loop(0, n, body, state)
+
+    return init, block
+
+
+@lru_cache(maxsize=16)
+def _cg_fused_kernels_deferred(kA, kB, m: int, p_bf16: bool = False):
+    """Jitted (init, block) for the deferred-x fused CG (defer_x=m).
+
+    One ``fori_loop`` step is a *super-iteration* of m statically
+    unrolled CG iterations.  The m most recent search directions live in
+    the carry as m separate arrays, each (re)written at its own fixed
+    unroll position — the carry structure never permutes, so XLA's
+    while-loop buffer assignment stays copy-free.  The solution update
+    ``x += sum_j alpha_j p_j`` happens once at the end of each
+    super-iteration as one fused XLA expression (m direction reads + one
+    x read + one x write), replacing kernel A's per-iteration x
+    read+write.  Frozen (converged/diverged) inner iterations run with
+    alpha = beta = 0, so their slots contribute exactly nothing.
+    """
+
+    @jax.jit
+    def init(b, inv, w_free, tol, atol, max_iter):
+        r0 = b.astype(jnp.float32)
+        x0 = jnp.zeros_like(r0)
+        p_store = jnp.bfloat16 if p_bf16 else r0.dtype
+        P0 = tuple(jnp.zeros_like(r0, dtype=p_store) for _ in range(m))
+        wf = w_free.astype(jnp.float32)
+        rn0 = jnp.sum(wf * r0 * r0)
+        rz0 = jnp.sum(wf * r0 * (inv.astype(jnp.float32) * r0))
+        stop2 = jnp.maximum(tol * tol * rn0, atol * atol)
+        return (x0, r0, P0, rz0, rz0, jnp.array(0, dtype=jnp.int32),
+                rn0, max_iter, stop2, rn0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(n, state, inv, w_free):
+        def super_body(i, st):
+            (x, r, P, rz, rz_prev, k, rn2, max_it, stop2, rn2_min) = st
+            P = list(P)
+            alphas = []
+            for j in range(m):
+                done = ((rn2 <= stop2) | (k >= max_it)
+                        | (rn2 > 1e6 * rn2_min) | ~jnp.isfinite(rn2))
+                beta = jnp.where(
+                    (k == 0) | done, 0.0,
+                    rz / jnp.where(rz_prev != 0, rz_prev, 1.0))
+                # the previous direction: written at the preceding unroll
+                # position (slot m-1 of the previous super-iteration for
+                # j = 0); all-zero at k = 0, where beta = 0 anyway
+                p_new, Ap, dparts = kA(r, P[(j - 1) % m], inv, beta)
+                denom = jnp.sum(dparts)
+                alpha = jnp.where(
+                    done, 0.0, rz / jnp.where(denom != 0, denom, 1.0))
+                r, rzp, rn2p = kB(r, Ap, inv, w_free, alpha)
+                rn2_new = jnp.sum(rn2p)
+                k = k + jnp.where(done, 0, 1).astype(k.dtype)
+                rn2_min = jnp.where(done, rn2_min,
+                                    jnp.minimum(rn2_min, rn2_new))
+                rz_prev, rz, rn2 = rz, jnp.sum(rzp), rn2_new
+                P[j] = p_new
+                alphas.append(alpha)
+            # deferred catch-up: one fused pass over the m stored slots
+            for j in range(m):
+                x = x + alphas[j] * P[j].astype(jnp.float32)
+            return (x, r, tuple(P), rz, rz_prev, k, rn2, max_it, stop2,
+                    rn2_min)
+
+        return jax.lax.fori_loop(0, n // m, super_body, state)
 
     return init, block
 

@@ -356,3 +356,107 @@ def test_panel_order_cg_solves():
     r_end = np.asarray(b0 - Am(res.x))
     assert np.linalg.norm(r_end * np.asarray(wf, np.float32)) < 2e-4 * (
         1 + np.linalg.norm(np.asarray(b0)))
+
+
+class TestDeferredX:
+    """defer_x=m: kernel A without the solution update; the driver
+    retains the last m directions and catches x up once per m
+    iterations (one fused XLA pass)."""
+
+    def test_kernel_a_deferred_matches_unfused(self):
+        prob = _setup()
+        ex, kA, kB, G, A_xla = _fused_pieces(prob, defer_x=True)
+        rng = np.random.RandomState(3)
+        r = np.asarray(ex.dss_T(jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))))
+        p = np.asarray(ex.dss_T(jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))))
+        inv = np.asarray(ex.dss_T(jnp.asarray(
+            rng.uniform(0.5, 1.5, (ex.n_loc, ex.E)).astype(np.float32))))
+        beta = 0.7
+        p_new, Ap, dparts = kA(jnp.asarray(r), jnp.asarray(p),
+                               jnp.asarray(inv), beta)
+        expect_p = inv * r + beta * p
+        np.testing.assert_allclose(np.asarray(p_new), expect_p,
+                                   rtol=1e-5, atol=1e-5)
+        expect_Ap = np.asarray(A_xla(jnp.asarray(expect_p)))
+        scale = np.abs(expect_Ap).max()
+        assert np.abs(np.asarray(Ap) - expect_Ap).max() / scale < 1e-4
+        expect_denom = float(ex.dot_T(jnp.asarray(expect_p),
+                                      jnp.asarray(expect_Ap)))
+        assert abs(float(jnp.sum(dparts))
+                   - expect_denom) / abs(expect_denom) < 1e-4
+
+    def test_deferred_solve_matches_plain(self):
+        prob = _setup()
+        sol_plain = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                     cg_kernel="plain")
+        sol_d = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                 cg_kernel="fused-interpret", defer_x=4)
+        assert bool(sol_d.cg.converged)
+        scale = np.abs(sol_plain.u).max()
+        assert np.abs(sol_d.u - sol_plain.u).max() / scale < 1e-4
+        assert abs(int(sol_d.cg.iterations)
+                   - int(sol_plain.cg.iterations)) <= 3
+
+    def test_deferred_bf16_direction(self):
+        prob = _setup()
+        sol_plain = prob.solve_local(tol=1e-5, vector_layout="ne",
+                                     cg_kernel="plain")
+        sol_d = prob.solve_local(tol=1e-5, vector_layout="ne",
+                                 cg_kernel="fused-interpret",
+                                 p_dtype=jnp.bfloat16, defer_x=8)
+        assert bool(sol_d.cg.converged)
+        scale = np.abs(sol_plain.u).max()
+        assert np.abs(sol_d.u - sol_plain.u).max() / scale < 1e-3
+        assert (int(sol_d.cg.iterations)
+                <= int(sol_plain.cg.iterations) + 15)
+
+    def test_deferred_far_split_cg_solves(self):
+        """defer_x composes with the far-class kernel split."""
+        prob = _setup(32, 16, 2)
+        ex, kA, kB, G, A_xla = _fused_pieces(prob, max_halo=1,
+                                             defer_x=True)
+        assert kA._prep.has_far
+        free = jnp.asarray(np.ascontiguousarray(
+            (~prob._dirichlet_mask)[ex.gather_hier].T))
+        diagL = jnp.asarray(np.ascontiguousarray(
+            np.asarray(prob.operator_diagonal())[ex.gather_hier]
+            .astype(np.float32).T))
+        inv = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0),
+                        0.0)
+        w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+        w_free = jnp.where(free, w, 0.0)
+        b = np.asarray(prob._b) + prob._neumann
+        u_d = np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0)
+        bL = jnp.asarray(np.ascontiguousarray(
+            b[ex.gather_hier].astype(np.float32).T))
+        u_dL = jnp.asarray(np.ascontiguousarray(
+            u_d[ex.gather_hier].astype(np.float32).T))
+        r = jnp.where(free, bL - A_xla(u_dL), 0.0)
+        res_d = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=1e-6,
+                         max_iter=400, defer_x=4)
+        Gf = prob._G_host.reshape(prob.disc.E, 3, -1).astype(np.float32)
+        A_free = sumfac.make_local_laplacian_operator(
+            ex, Gf, sumfac.make_stacked_derivative(
+                np.asarray(prob._D0), np.asarray(prob._D1)),
+            free, vector_layout="ne", backend="xla")
+        res_p = cg(A_free, r, M=lambda v: inv * v, tol=1e-6,
+                   max_iter=400, dot_weight=w)
+        assert bool(res_d.converged) and bool(res_p.converged)
+        xd, xp = np.asarray(res_d.x), np.asarray(res_p.x)
+        assert np.abs(xd - xp).max() / np.abs(xp).max() < 1e-2
+        assert abs(int(res_d.iterations) - int(res_p.iterations)) <= 5
+
+    def test_mismatched_kernels_raise(self):
+        prob = _setup()
+        _, kA_d, kB, _, _ = _fused_pieces(prob, defer_x=True)
+        _, kA_0, _, _, _ = _fused_pieces(prob)
+        r = jnp.zeros((kA_d._prep.n, kA_d._prep.E), jnp.float32)
+        one = jnp.ones_like(r)
+        with pytest.raises(ValueError, match="defer_x"):
+            cg_fused(kA_d, kB, r, inv=one, w_free=one)     # missing m
+        with pytest.raises(ValueError, match="defer_x"):
+            cg_fused(kA_0, kB, r, inv=one, w_free=one, defer_x=4)
+        with pytest.raises(ValueError, match="divide"):
+            cg_fused(kA_d, kB, r, inv=one, w_free=one, defer_x=7)
