@@ -1,0 +1,13 @@
+#!/bin/bash
+# Runs once when the TPU terminal recovers (launched by the poll loop).
+# Stages ordered cheapest-first; one process on the chip at a time.
+cd /root/repo
+echo "### round2f batch (squirmer profile/wall-clock, DMA streams, panel A/B)"
+timeout 14400 python scripts/measure_round2f.py
+echo "### deferred-x fused-CG A/B"
+timeout 5400 python scripts/measure_deferx.py
+echo "### TPU-tier kernel tests"
+timeout 3600 python -m pytest tests_tpu/ -q
+echo "### default bench (the driver's headline invocation)"
+timeout 3600 python bench.py
+echo "### all recovery stages done at $(date -u)"

@@ -153,3 +153,16 @@ def test_panel_order_fused_apply_matches():
     expected = np.asarray(A_xla(uT))
     scale = np.abs(expected).max()
     assert np.abs(got - expected).max() / scale < 1e-5
+
+
+def test_deferred_x_fused_cg_on_device(pieces):
+    """defer_x kernels compile under real Mosaic and solve end-to-end."""
+    *_rest, prob = pieces
+    sol_plain = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                 cg_kernel="plain")
+    sol_d = prob.solve_local(tol=1e-6, vector_layout="ne",
+                             cg_kernel="fused", p_dtype=jnp.bfloat16,
+                             defer_x=8)
+    assert bool(sol_d.cg.converged)
+    scale = np.abs(sol_plain.u).max()
+    assert np.abs(sol_d.u - sol_plain.u).max() / scale < 1e-3
