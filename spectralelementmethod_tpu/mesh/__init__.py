@@ -23,6 +23,7 @@ from .geometry import (
     subface_slice,
 )
 from .mesh import Cell, CellBase, Mesh, SubCell
+from .porder import mesh_with_order
 
 __all__ = [
     "Geometry",
@@ -43,4 +44,5 @@ __all__ = [
     "structured_patch_mesh",
     "mapped_mesh",
     "geometric_progression",
+    "mesh_with_order",
 ]

@@ -274,9 +274,12 @@ class Poisson(BoundaryConditionMixin):
         (structured neighbor exchange instead; :mod:`..ops.exchange`).
         Iterates are mathematically identical to :meth:`solve`.
 
-        ``precond``: "jacobi" (point diagonal) or "fdm" (element-local
+        ``precond``: "jacobi" (point diagonal), "fdm" (element-local
         fast-diagonalization additive Schwarz, ~2.7x fewer iterations at
-        ~1.5x cost per iteration; :mod:`..solver.fdm`).
+        ~1.5x cost per iteration; :mod:`..solver.fdm`), or "pmg"
+        (two-level p-multigrid V-cycle with an exact tensor-grid coarse
+        solve where admissible — h-independent iteration counts,
+        :mod:`..solver.pmg`; pass ``{"pmg": {...}}`` to tune).
         ``structure``/``compute_dtype`` forward to
         :func:`..ops.sumfac.make_local_laplacian_operator` (affine factor
         compression; bf16 matmul inputs).
@@ -382,6 +385,23 @@ class Poisson(BoundaryConditionMixin):
                     make_fdm_preconditioner(
                         ex, self._G_host, disc.basis, free_local,
                         dtype=self.dtype, vector_layout=vector_layout))
+        elif precond == "pmg" or isinstance(precond, dict):
+            # two-level p-multigrid (solver/pmg.py): exact tensor-grid
+            # coarse solve where admissible -> h-independent iteration
+            # counts.  precond={"pmg": ...kwargs} tunes levels/smoothing.
+            from ..solver.pmg import make_pmg_preconditioner
+
+            pmg_kw = dict(precond.get("pmg", {})) if isinstance(
+                precond, dict) else {}
+            if not transposed:
+                raise ValueError("precond='pmg' requires the 'ne' layout")
+            key = ("M", "pmg", vector_layout, tuple(sorted(pmg_kw.items())))
+            M = self._op_cache.get(key)
+            if M is None:
+                M = self._op_cache[key] = make_pmg_preconditioner(
+                    disc, ex, Gf, A, ~self._dirichlet_mask,
+                    np.asarray(self.operator_diagonal()),
+                    dtype=self.dtype, **pmg_kw)
         else:
             M = self._op_cache.get(("M", "jacobi", vector_layout))
             if M is None:

@@ -1,0 +1,453 @@
+"""Two-level p-multigrid preconditioner for the L-vector CG path.
+
+The reference solves its systems with a sparse direct factorization of
+the statically-condensed matrix (``sem/discrete.py:502-528``) — viable
+at its ~135-element scale, hopeless at 10^5-10^6 elements.  The
+TPU-native replacement is matrix-free PCG, whose point-Jacobi iteration
+count grows like ``p * nx`` (thousands at bench scale).  This module
+cuts that multiplicatively with the classic spectral-element two-level
+scheme (Lottes & Fischer 2005 lineage): smooth the high-order modes
+element-locally, correct the rest on a low-order (p_c in {1, 2}) space
+sharing the same mesh.
+
+Everything maps to TPU strengths:
+
+* **transfers** are one ``(n_c, n_f) @ (n_f, E)`` MXU matmul each —
+  the coarse basis evaluated at the fine GLL lattice, tensorized and
+  permuted to the L-vector node order at setup;
+* **smoothing** is fixed-degree Chebyshev acceleration of any SPD
+  element-local preconditioner (point Jacobi or the FDM additive
+  Schwarz of :mod:`.fdm`) — pure polynomial in ``B A``, so the V-cycle
+  stays linear and symmetric and plain CG applies (no flexible variant
+  needed);
+* the **coarse level** is built from the same affine factors ``a`` of
+  :func:`..ops.sumfac.affine_factorization` with order-``p_c``
+  reference matrices — no new geometry work; on uniform tensor-product
+  meshes (``rectangle_mesh``) it is solved **exactly** by global fast
+  diagonalization: one host eigendecomposition per axis at setup, two
+  dense ``(N, N)`` grid matmuls per application.  The exact coarse
+  solve makes iteration counts h-independent (~O(10)) where Jacobi
+  needs thousands.  Non-tensor affine meshes fall back to a fixed-degree
+  Chebyshev coarse sweep (documented h-dependence).
+
+Construction is host-side; the returned closure is pure jnp on
+``(n_f, E)`` transposed L-vectors and composes with
+:func:`..models.poisson.Poisson.solve_local(precond="pmg")`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev acceleration of an SPD preconditioner
+
+
+def chebyshev_smoother(A, B, lmax: float, lmin: float, degree: int):
+    """Fixed-degree Chebyshev iteration for ``A z = r`` (zero start).
+
+    ``A``/``B`` are the operator and an SPD preconditioner application
+    (Jacobi inverse-diagonal, FDM Schwarz, ...); the iteration targets
+    the interval ``[lmin, lmax]`` of ``B A``'s spectrum.  The result is
+    a fixed polynomial ``z = p(B A) B r``, hence linear and symmetric
+    whenever A and B are — safe inside a CG preconditioner (unlike
+    stationary relaxation with an adaptive step).  ``degree`` applies of
+    A and B each.
+    """
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def S(r):
+        d = (1.0 / theta) * B(r)
+        z = d
+        rho = 1.0 / sigma
+        res = r
+        for _ in range(degree - 1):
+            res = res - A(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * B(res)
+            z = z + d
+            rho = rho_new
+        return z
+
+    return S
+
+
+def estimate_lmax(A, B, shape, dtype=np.float32, iters: int = 30,
+                  safety: float = 1.05) -> float:
+    """Power-iteration estimate of ``lmax(B A)`` (masked subspace).
+
+    Deterministic start vector; one jitted ``fori_loop`` of ``iters``
+    applications at setup time.  ``B A`` is similar to the symmetric
+    ``B^1/2 A B^1/2``, so the norm-growth factor converges to the true
+    spectral radius; ``safety`` pads the estimate (Chebyshev bounds must
+    cover the top eigenvalue).
+    """
+    rng = np.random.RandomState(0)
+    v0 = jnp.asarray(rng.standard_normal(shape).astype(dtype))
+
+    @jax.jit
+    def run(v):
+        def body(i, carry):
+            v, _ = carry
+            w = B(A(v)).astype(v.dtype)
+            nrm = jnp.sqrt(jnp.sum(w * w)).astype(v.dtype)
+            return w / nrm, nrm
+
+        return jax.lax.fori_loop(0, iters, body,
+                                 (v, jnp.asarray(1.0, v.dtype)))
+
+    _, lam = run(v0)
+    return float(lam) * safety
+
+
+# ---------------------------------------------------------------------------
+# Exact coarse solve on uniform tensor-product grids
+
+
+class GridFDM:
+    """Global fast-diagonalization solve of the coarse operator.
+
+    On a uniform tensor-product mesh the assembled affine coarse
+    operator separates exactly: ``A_c = a0 K_x (x) M_y + a2 M_x (x)
+    K_y`` with 1D assembled GLL stiffness/lumped-mass matrices along
+    each element row/column (the cross-element sum of Kronecker
+    products factorizes axis by axis).  One generalized symmetric
+    eigendecomposition per axis (host, at setup) then inverts the free
+    sub-block with two dense grid matmuls:
+
+        u = S_x [ (S_x^T G S_y) / (a0 lam_x_i + a2 lam_y_j) ] S_y^T
+
+    Use :meth:`try_build`; it returns ``None`` unless every
+    precondition verifiably holds (uniform affine factors, no mixed
+    term, tensor element numbering, per-side-uniform Dirichlet data) —
+    callers then fall back to the Chebyshev coarse sweep.
+    """
+
+    def __init__(self, P0, P1, nx, ny, Sx, Sy, lamx, lamy, a0, a2,
+                 fx0, fx1, fy0, fy1, Er, Ec):
+        self.p0, self.p1 = P0, P1
+        self.nx, self.ny = nx, ny
+        self.Sx, self.Sy = Sx, Sy
+        self.lam = a0 * np.asarray(lamx)[:, None] + \
+            a2 * np.asarray(lamy)[None, :]
+        self.fx0, self.fx1, self.fy0, self.fy1 = fx0, fx1, fy0, fy1
+        self.Er, self.Ec = Er, Ec
+        self._inv_lam = jnp.asarray((1.0 / self.lam).astype(np.float32))
+        self.Sx = jnp.asarray(np.asarray(Sx, np.float32))
+        self.Sy = jnp.asarray(np.asarray(Sy, np.float32))
+
+    # -- L-vector <-> grid ---------------------------------------------------
+
+    def _to_grid(self, rc):
+        """Consistent hier L-vector (n_c, Ec) -> grid (N0, N1)."""
+        p0, p1, nx, ny = self.p0, self.p1, self.nx, self.ny
+        lex = rc[self._lex_rows][:, :self.Er].reshape(
+            p0 + 1, p1 + 1, nx, ny)
+        core = jnp.transpose(lex[:p0, :p1], (2, 0, 3, 1)).reshape(
+            nx * p0, ny * p1)
+        east = jnp.transpose(lex[p0, :p1, -1, :], (1, 0)).reshape(
+            1, ny * p1)
+        north = jnp.transpose(lex[:p0, p1, :, -1], (1, 0)).reshape(
+            nx * p0, 1)
+        ne = lex[p0, p1, -1, -1].reshape(1, 1)
+        return jnp.concatenate([
+            jnp.concatenate([core, north], axis=1),
+            jnp.concatenate([east, ne], axis=1),
+        ], axis=0)
+
+    def _from_grid(self, G):
+        """Grid (N0, N1) -> consistent hier L-vector (n_c, Ec)."""
+        p0, p1, nx, ny = self.p0, self.p1, self.nx, self.ny
+        rows = []
+        for a in range(p0 + 1):
+            cols = []
+            for b in range(p1 + 1):
+                cols.append(G[a:a + (nx - 1) * p0 + 1:p0,
+                              b:b + (ny - 1) * p1 + 1:p1])
+            rows.append(jnp.stack(cols, axis=0))
+        lex = jnp.stack(rows, axis=0)               # (p0+1, p1+1, nx, ny)
+        flat = lex.reshape((p0 + 1) * (p1 + 1), self.Er)
+        if self.Ec > self.Er:
+            flat = jnp.pad(flat, ((0, 0), (0, self.Ec - self.Er)))
+        return flat[self._hier_rows]
+
+    def __call__(self, rc):
+        G = self._to_grid(rc)
+        Gf = G[self.fx0:self.fx1, self.fy0:self.fy1]
+        t = self.Sx.T @ Gf @ self.Sy
+        t = t * self._inv_lam
+        Uf = self.Sx @ t @ self.Sy.T
+        U = jnp.zeros_like(G)
+        U = U.at[self.fx0:self.fx1, self.fy0:self.fy1].set(Uf)
+        return self._from_grid(U)
+
+    # -- construction ----------------------------------------------------------
+
+    @staticmethod
+    def _assemble_1d(khat, what, n_el):
+        """Global 1D assembled stiffness (dense) and lumped mass (diag)."""
+        p = khat.shape[0] - 1
+        N = n_el * p + 1
+        K = np.zeros((N, N))
+        m = np.zeros(N)
+        for e in range(n_el):
+            s = slice(e * p, e * p + p + 1)
+            K[s, s] += khat
+            m[e * p:e * p + p + 1] += what
+        return K, m
+
+    @staticmethod
+    def _side_interval(fgrid):
+        """Free index interval of an outer-product grid mask, or None."""
+        fx = fgrid.any(axis=1)
+        fy = fgrid.any(axis=0)
+        if not np.array_equal(fgrid, fx[:, None] & fy[None, :]):
+            return None
+        ivs = []
+        for f in (fx, fy):
+            idx = np.nonzero(f)[0]
+            if idx.size == 0 or not np.array_equal(
+                    idx, np.arange(idx[0], idx[-1] + 1)):
+                return None
+            ivs.append((int(idx[0]), int(idx[-1] + 1)))
+        return ivs
+
+    @classmethod
+    def try_build(cls, ex_c, basis_c, a, free_c_np, hier):
+        """GridFDM for (ex_c, coarse basis, affine factors) or None."""
+        Er = ex_c.E_real
+        a = np.asarray(a)[:Er]
+        scale = np.abs(a).max() + 1e-300
+        if (np.abs(a - a[0]).max() > 1e-10 * scale
+                or np.abs(a[0, 1]) > 1e-10 * scale):
+            return None                      # non-uniform or sheared cells
+        a0, a2 = float(a[0, 0]), float(a[0, 2])
+        nm = np.asarray(ex_c.gather_hier[:Er])
+        # back to lexicographic local order
+        inv_hier = np.argsort(hier)
+        nm = nm[:, inv_hier].reshape(Er, *basis_c.coeff_shape)
+        p0, p1 = nm.shape[1] - 1, nm.shape[2] - 1
+        # infer the tensor element numbering e = i * ny + j
+        adj1 = (nm[:-1, 0, -1] == nm[1:, 0, 0])
+        ny = int(np.argmin(adj1)) + 1 if not adj1.all() else Er
+        if Er % ny:
+            return None
+        nx = Er // ny
+        expect = np.ones(Er - 1, bool)
+        expect[ny - 1::ny] = False
+        if not np.array_equal(adj1, expect):
+            return None
+        if not np.array_equal(nm.reshape(nx, ny, p0 + 1, p1 + 1)
+                              [:-1, :, -1, :],
+                              nm.reshape(nx, ny, p0 + 1, p1 + 1)
+                              [1:, :, 0, :]):
+            return None
+        # grid Dirichlet data must be per-side uniform (outer product)
+        obj = cls.__new__(cls)
+        obj.p0, obj.p1, obj.nx, obj.ny = p0, p1, nx, ny
+        obj.Er, obj.Ec = Er, ex_c.E
+        lex_rows = inv_hier
+        obj._lex_rows = np.asarray(lex_rows)
+        obj._hier_rows = np.asarray(hier)
+        fgrid = np.asarray(
+            obj._to_grid(jnp.asarray(
+                np.ascontiguousarray(free_c_np.T.astype(np.float32)))))
+        fgrid = fgrid > 0.5
+        ivs = cls._side_interval(fgrid)
+        if ivs is None:
+            return None
+        (fx0, fx1), (fy0, fy1) = ivs
+        # 1D eigenpairs on the free sub-blocks
+        out = []
+        for d, n_el, (i0, i1) in ((0, nx, (fx0, fx1)), (1, ny, (fy0, fy1))):
+            sub = basis_c.get_subbasis(d)
+            w1 = np.asarray(basis_c.quad_rule.weights[d], np.float64)
+            D1 = np.asarray(sub.D1, np.float64)
+            khat = D1.T @ np.diag(w1) @ D1
+            K, m = cls._assemble_1d(0.5 * (khat + khat.T), w1, n_el)
+            K, m = K[i0:i1, i0:i1], m[i0:i1]
+            ms = 1.0 / np.sqrt(m)
+            lam, Q = np.linalg.eigh(ms[:, None] * K * ms[None, :])
+            out.append((np.maximum(lam, 1e-300), ms[:, None] * Q))
+        (lamx, Sx), (lamy, Sy) = out
+        obj.__init__(p0, p1, nx, ny, Sx, Sy, lamx, lamy, a0, a2,
+                     fx0, fx1, fy0, fy1, Er, ex_c.E)
+        obj._lex_rows = np.asarray(lex_rows)
+        obj._hier_rows = np.asarray(hier)
+        return obj
+
+
+# ---------------------------------------------------------------------------
+# The preconditioner factory
+
+
+def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
+                            *,
+                            p_coarse: int = 1,
+                            smoother: str = "jacobi",
+                            degree: int = 3,
+                            alpha: float = 4.0,
+                            coarse: str = "auto",
+                            coarse_degree: int = 24,
+                            coarse_interval: float = 100.0,
+                            dtype=np.float32):
+    """Symmetric two-level p-MG V-cycle preconditioner on 'ne' L-vectors.
+
+    Parameters
+    ----------
+    disc : fine Discretization (2D, single geometry).
+    ex_f : fine exchange (provides hier order, weights, dss_T, padding).
+    Gf : (E, 3, n_f) fine geometric factor fields; must factorize
+        affinely (:func:`..ops.sumfac.affine_factorization`) — the
+        coarse operator reuses the per-element scales with order-p_c
+        reference matrices.
+    A_f : masked fine operator on (n_f, E) transposed L-vectors.
+    free_global : (n_nodes,) bool — global non-Dirichlet mask.
+    diag_global : (n_nodes,) fine assembled operator diagonal.
+    p_coarse : coarse polynomial order (must divide the fine order).
+    smoother : "jacobi" (Chebyshev-accelerated point Jacobi) or "fdm"
+        (Chebyshev-accelerated FDM additive Schwarz, :mod:`.fdm` —
+        stronger on intra-element modes, ~2 extra matmuls per apply).
+    degree : Chebyshev smoothing degree (applies of A_f per half-sweep).
+    alpha : smoothing targets ``[lmax/alpha, lmax]``.
+    coarse : "fdm" forces the exact tensor-grid solve (ValueError if
+        inadmissible), "chebyshev" forces the iterative fallback,
+        "auto" tries fdm first.
+    coarse_degree / coarse_interval : Chebyshev fallback parameters
+        (degree applies over ``[lmax_c/coarse_interval, lmax_c]``).
+
+    Returns ``M`` with introspection attributes ``M._coarse_kind``
+    (``"fdm"``/``"chebyshev"``) and ``M._levels``.
+    """
+    from ..basis import gll_basis_2d
+    from ..core.discretization import Discretization
+    from ..mesh.porder import mesh_with_order
+    from ..ops import sumfac
+    from ..ops.exchange import make_exchange
+    from .cg import jacobi_preconditioner
+
+    if disc.mesh.ndim != 2:
+        raise NotImplementedError("pmg: 2D only (3D coarse path TODO)")
+    if np.dtype(dtype) != np.float32:
+        raise NotImplementedError("pmg preconditions the f32 CG path")
+
+    basis_f = disc.basis
+    W_f = basis_f.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(np.asarray(Gf), W_f)
+    if not exact:
+        raise ValueError("pmg requires an affine mesh (the coarse "
+                         "operator reuses the affine factor scales)")
+
+    # ---- coarse level ------------------------------------------------------
+    mesh_c = mesh_with_order(disc.mesh, p_coarse)
+    basis_c = gll_basis_2d(p_coarse)
+    disc_c = Discretization(mesh_c, basis_c)
+    ex_c = make_exchange(disc_c)
+    if ex_c.E_real != ex_f.E_real:
+        raise AssertionError("fine/coarse exchanges disagree on E_real")
+    Er, Ef, Ec = ex_f.E_real, ex_f.E, ex_c.E
+    n_f, n_c = ex_f.n_loc, ex_c.n_loc
+
+    W_c = basis_c.weight_grid().reshape(-1)
+    # f32 operand dtype: the operator factory derives its compute dtype
+    # from the factor array (pmg preconditions the f32 CG path)
+    Gf_c = (a[:Er, :, None] * W_c[None, None, :]).astype(np.float32)
+    Dhat_c = sumfac.make_stacked_derivative(
+        np.asarray(basis_c.get_D1_matrix(0)),
+        np.asarray(basis_c.get_D1_matrix(1)))
+    free_c_np = np.asarray(free_global, bool)[ex_c.gather_hier]
+    free_c = jnp.asarray(np.ascontiguousarray(free_c_np.T))
+    A_c = sumfac.make_local_laplacian_operator(
+        ex_c, Gf_c, Dhat_c, free_c, structure="affine",
+        vector_layout="ne", assume_masked_input=True)
+
+    # coarse Jacobi diagonal: affine element-matrix diagonals, assembled
+    Kcat_c = sumfac.make_affine_element_matrices(Dhat_c, W_c,
+                                                 order=ex_c.hier)
+    dblk = np.stack([np.diag(Kcat_c[:, i * n_c:(i + 1) * n_c])
+                     for i in range(3)])                       # (3, n_c)
+    d_loc = a[:Er] @ dblk                                      # (Er, n_c)
+    d_glob = np.zeros(disc.mesh.n_nodes)
+    np.add.at(d_glob, np.asarray(ex_c.gather_hier[:Er]), d_loc)
+    diagL_c = np.ascontiguousarray(
+        d_glob[ex_c.gather_hier].T).astype(np.float32)         # (n_c, Ec)
+    B_c = jacobi_preconditioner(jnp.asarray(diagL_c), free_c)
+
+    # ---- transfers -----------------------------------------------------------
+    P = np.ones((1, 1))
+    for d in range(2):
+        P1 = np.asarray(basis_c.get_subbasis(d)(
+            basis_f.get_subbasis(d).nodes), np.float64)
+        P = np.kron(P, P1)                                    # lex x lex
+    P = P[np.ix_(np.asarray(ex_f.hier), np.asarray(ex_c.hier))]
+    P_d = jnp.asarray(P.astype(np.float32))                   # (n_f, n_c)
+    w_f = jnp.asarray(np.asarray(
+        ex_f._weights_as(np.float32, transposed=True)))
+    free_f_np = np.asarray(free_global, bool)[ex_f.gather_hier]
+    free_f = jnp.asarray(np.ascontiguousarray(free_f_np.T))
+
+    def restrict(r):
+        loc = P_d.T @ (w_f * r)[:, :Er]
+        if Ec > Er:
+            loc = jnp.pad(loc, ((0, 0), (0, Ec - Er)))
+        return jnp.where(free_c, ex_c.dss_T(loc), 0.0)
+
+    def prolong(ec):
+        ef = P_d @ ec[:, :Er]
+        if Ef > Er:
+            ef = jnp.pad(ef, ((0, 0), (0, Ef - Er)))
+        return jnp.where(free_f, ef, 0.0)
+
+    # ---- smoother ------------------------------------------------------------
+    if smoother == "fdm":
+        from .fdm import make_fdm_preconditioner
+
+        B_f = make_fdm_preconditioner(ex_f, np.asarray(Gf), basis_f,
+                                      free_f, dtype=np.float32,
+                                      vector_layout="ne")
+    elif smoother == "jacobi":
+        diagL_f = np.ascontiguousarray(
+            np.asarray(diag_global)[ex_f.gather_hier].T).astype(np.float32)
+        B_f = jacobi_preconditioner(jnp.asarray(diagL_f), free_f)
+    else:
+        raise ValueError(f"unknown smoother {smoother!r}")
+    lmax_f = estimate_lmax(A_f, B_f, (n_f, Ef))
+    S_f = chebyshev_smoother(A_f, B_f, lmax_f, lmax_f / alpha, degree)
+
+    # ---- coarse solve ----------------------------------------------------------
+    grid = None
+    if coarse in ("auto", "fdm"):
+        grid = GridFDM.try_build(ex_c, basis_c, a,
+                                 np.asarray(free_c_np), ex_c.hier)
+        if grid is None and coarse == "fdm":
+            raise ValueError(
+                "coarse='fdm' needs a uniform tensor-product mesh with "
+                "per-side-uniform Dirichlet data")
+    if grid is not None:
+        C = grid
+        coarse_kind = "fdm"
+    else:
+        lmax_c = estimate_lmax(A_c, B_c, (n_c, Ec))
+        C = chebyshev_smoother(A_c, B_c, lmax_c,
+                               lmax_c / coarse_interval, coarse_degree)
+        coarse_kind = "chebyshev"
+
+    # ---- symmetric V-cycle -----------------------------------------------------
+    def M(r):
+        z = S_f(r)
+        ec = C(restrict(r - A_f(z)))
+        z = z + prolong(ec)
+        return z + S_f(r - A_f(z))
+
+    M._coarse_kind = coarse_kind
+    M._levels = (int(np.asarray(basis_f.coeff_shape)[0] - 1), p_coarse)
+    M._lmax_f = lmax_f
+    M._restrict, M._prolong, M._coarse = restrict, prolong, C
+    M._A_c = A_c
+    return M

@@ -1,0 +1,226 @@
+"""Two-level p-multigrid preconditioner (solver/pmg.py) + mesh order change.
+
+Oracle layers:
+
+1. ``mesh_with_order``: exact sublattice node identities, shared node
+   array, boundary copy, coarse quadrature integrates the area;
+2. transfer adjointness and V-cycle symmetry in the weighted L-vector
+   inner product (what CG requires of a preconditioner);
+3. the exact tensor-grid coarse solve (GridFDM) really inverts the
+   coarse operator;
+4. end-to-end ``Poisson.solve_local(precond="pmg")``: same solution as
+   Jacobi-CG at a fraction of the iterations, h-independent counts.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spectralelementmethod_tpu.basis import gll_basis_2d
+from spectralelementmethod_tpu.core.discretization import Discretization
+from spectralelementmethod_tpu.mesh import (annulus_mesh, mesh_with_order,
+                                            rectangle_mesh)
+from spectralelementmethod_tpu.models.poisson import Poisson
+from spectralelementmethod_tpu.ops import sumfac
+from spectralelementmethod_tpu.ops.exchange import make_exchange
+from spectralelementmethod_tpu.solver.pmg import (GridFDM,
+                                                  make_pmg_preconditioner)
+
+
+def _problem(nx=12, ny=10, p=4, all_dirichlet=True):
+    mesh = rectangle_mesh(nx, ny, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, forcing=lambda x, y: np.sin(np.pi * x)
+                   * np.cos(np.pi * y), dtype=np.float32)
+    prob.set_dirichlet("ebc", 0.0)
+    if all_dirichlet:
+        prob.set_dirichlet("nbc", 0.0)
+    return prob
+
+
+def _pieces(prob):
+    disc = prob.disc
+    ex = make_exchange(disc)
+    Gf = prob._G_host.reshape(disc.E, 3, -1)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    free_np = (~prob._dirichlet_mask)[ex.gather_hier]
+    free = jnp.asarray(np.ascontiguousarray(free_np.T))
+    A = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, free, vector_layout="ne", assume_masked_input=True)
+    return ex, Gf, A, free, free_np
+
+
+class TestMeshWithOrder:
+    def test_sublattice_identity(self):
+        mesh = rectangle_mesh(4, 3, 8)
+        mc = mesh_with_order(mesh, 2)
+        nmf = mesh.cell_blocks()[0][2].reshape(12, 9, 9)
+        nmc = mc.cell_blocks()[0][2]
+        assert np.array_equal(nmf[:, ::4, ::4], nmc)
+        assert mc.nodes is mesh.nodes          # shared, ids preserved
+        assert list(mc.boundary_names) == list(mesh.boundary_names)
+        assert np.array_equal(mc.boundary_faces("ebc"),
+                              mesh.boundary_faces("ebc"))
+
+    def test_coarse_quadrature_area(self):
+        mc = mesh_with_order(rectangle_mesh(4, 3, 8), 1)
+        disc = Discretization(mc, gll_basis_2d(1))
+        assert abs(float(np.sum(disc.detJxW)) - 4.0) < 1e-12
+
+    def test_indivisible_order_raises(self):
+        with pytest.raises(ValueError, match="divide"):
+            mesh_with_order(rectangle_mesh(2, 2, 5), 2)
+
+
+class TestVCycle:
+    def test_symmetric_in_weighted_dot(self):
+        prob = _problem()
+        ex, Gf, A, free, free_np = _pieces(prob)
+        M = make_pmg_preconditioner(
+            prob.disc, ex, Gf, A, ~prob._dirichlet_mask,
+            np.asarray(prob.operator_diagonal()), p_coarse=1)
+        assert M._coarse_kind == "fdm"
+        w = jnp.asarray(np.asarray(
+            ex._weights_as(np.float32, transposed=True)))
+        rng = np.random.RandomState(1)
+        aa = jnp.where(free, ex.dss_T(jnp.asarray(
+            rng.standard_normal(free.shape).astype(np.float32))), 0.0)
+        bb = jnp.where(free, ex.dss_T(jnp.asarray(
+            rng.standard_normal(free.shape).astype(np.float32))), 0.0)
+        d1 = float(jnp.sum(w * M(aa) * bb))
+        d2 = float(jnp.sum(w * aa * M(bb)))
+        assert abs(d1 - d2) / abs(d1) < 1e-4
+
+    def test_transfer_adjointness(self):
+        """<P ec, r>_wf == <ec, R r>_wc (global P^T identity)."""
+        prob = _problem()
+        ex, Gf, A, free, free_np = _pieces(prob)
+        M = make_pmg_preconditioner(
+            prob.disc, ex, Gf, A, ~prob._dirichlet_mask,
+            np.asarray(prob.operator_diagonal()), p_coarse=2)
+        ex_c = M._A_c.exchange if hasattr(M._A_c, "exchange") else None
+        from spectralelementmethod_tpu.mesh import mesh_with_order as mo
+        mesh_c = mo(prob.disc.mesh, 2)
+        disc_c = Discretization(mesh_c, gll_basis_2d(2))
+        ex_c = make_exchange(disc_c)
+        w_f = jnp.asarray(np.asarray(
+            ex._weights_as(np.float32, transposed=True)))
+        w_c = jnp.asarray(np.asarray(
+            ex_c._weights_as(np.float32, transposed=True)))
+        rng = np.random.RandomState(2)
+        r = jnp.where(free, ex.dss_T(jnp.asarray(
+            rng.standard_normal(free.shape).astype(np.float32))), 0.0)
+        free_c = jnp.asarray(np.ascontiguousarray(
+            ((~prob._dirichlet_mask)[ex_c.gather_hier]).T))
+        ec = jnp.where(free_c, ex_c.dss_T(jnp.asarray(
+            rng.standard_normal((ex_c.n_loc, ex_c.E))
+            .astype(np.float32))), 0.0)
+        lhs = float(jnp.sum(w_f * M._prolong(ec) * r))
+        rhs = float(jnp.sum(w_c * ec * M._restrict(r)))
+        assert abs(lhs - rhs) / (abs(lhs) + 1e-30) < 1e-4
+
+    def test_grid_fdm_inverts_coarse_operator(self):
+        prob = _problem(nx=7, ny=5, p=4)
+        ex, Gf, A, free, free_np = _pieces(prob)
+        M = make_pmg_preconditioner(
+            prob.disc, ex, Gf, A, ~prob._dirichlet_mask,
+            np.asarray(prob.operator_diagonal()), p_coarse=2)
+        assert M._coarse_kind == "fdm"
+        mesh_c = mesh_with_order(prob.disc.mesh, 2)
+        disc_c = Discretization(mesh_c, gll_basis_2d(2))
+        ex_c = make_exchange(disc_c)
+        free_c = jnp.asarray(np.ascontiguousarray(
+            ((~prob._dirichlet_mask)[ex_c.gather_hier]).T))
+        rng = np.random.RandomState(3)
+        rc = jnp.where(free_c, ex_c.dss_T(jnp.asarray(
+            rng.standard_normal((ex_c.n_loc, ex_c.E))
+            .astype(np.float32))), 0.0)
+        uc = M._coarse(rc)
+        back = np.asarray(M._A_c(uc))
+        ref = np.asarray(rc)
+        assert np.abs(back - ref).max() / np.abs(ref).max() < 1e-4
+
+    def test_chebyshev_fallback_on_nonuniform_mesh(self):
+        """Graded rectangle: affine cells (axis-aligned) but non-uniform
+        sizes -> GridFDM inadmissible -> Chebyshev coarse, still a
+        working preconditioner."""
+        from spectralelementmethod_tpu.mesh import (geometric_progression,
+                                                    structured_patch_mesh)
+
+        p = 4
+        mesh = structured_patch_mesh(
+            geometric_progression(-1.0, 1.0, 10, 1.3),
+            np.linspace(-1.0, 1.0, 9), p, lambda U, V: (U, V),
+            boundary_names={"west": "ebc", "south": "ebc",
+                            "north": "nbc", "east": "nbc"})
+        disc = Discretization(mesh, gll_basis_2d(p))
+        prob = Poisson(disc, forcing=1.0, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        prob.set_dirichlet("nbc", 0.0)
+        ex, Gf, A, free, free_np = _pieces(prob)
+        M = make_pmg_preconditioner(
+            prob.disc, ex, Gf, A, ~prob._dirichlet_mask,
+            np.asarray(prob.operator_diagonal()), p_coarse=2)
+        assert M._coarse_kind == "chebyshev"
+        with pytest.raises(ValueError, match="tensor"):
+            make_pmg_preconditioner(
+                prob.disc, ex, Gf, A, ~prob._dirichlet_mask,
+                np.asarray(prob.operator_diagonal()), p_coarse=2,
+                coarse="fdm")
+        sol = prob.solve_local(
+            tol=1e-6, vector_layout="ne",
+            precond={"pmg": {"p_coarse": 2}})
+        assert bool(sol.cg.converged)
+
+
+class TestSolveLocalPMG:
+    def test_matches_jacobi_with_far_fewer_iterations(self):
+        prob = _problem(nx=24, ny=24, p=4)
+        sol_j = prob.solve_local(tol=1e-6, precond="jacobi",
+                                 vector_layout="ne")
+        prob2 = _problem(nx=24, ny=24, p=4)
+        sol_m = prob2.solve_local(tol=1e-6,
+                                  precond={"pmg": {"p_coarse": 2}},
+                                  vector_layout="ne")
+        assert bool(sol_m.cg.converged)
+        scale = np.abs(sol_j.u).max()
+        assert np.abs(sol_m.u - sol_j.u).max() / scale < 1e-3
+        assert int(sol_m.cg.iterations) * 4 <= int(sol_j.cg.iterations)
+
+    def test_h_independent_iterations(self):
+        counts = []
+        for nx in (8, 16, 32):
+            prob = _problem(nx=nx, ny=nx, p=4)
+            sol = prob.solve_local(tol=1e-6,
+                                   precond={"pmg": {"p_coarse": 2}},
+                                   vector_layout="ne")
+            counts.append(int(sol.cg.iterations))
+        # 16x the elements, (nearly) flat count — Jacobi would triple+
+        assert counts[-1] <= counts[0] + 6
+
+    def test_mixed_bc_fast_coarse(self):
+        """ebc on west+south only: per-side trimming still admissible."""
+        prob = _problem(nx=12, ny=10, p=4, all_dirichlet=False)
+        sol = prob.solve_local(tol=1e-6, precond="pmg",
+                               vector_layout="ne")
+        assert bool(sol.cg.converged)
+        M = prob._op_cache[("M", "pmg", "ne", ())]
+        assert M._coarse_kind == "fdm"
+        sol_j = _problem(nx=12, ny=10, p=4,
+                         all_dirichlet=False).solve_local(
+            tol=1e-6, precond="jacobi", vector_layout="ne")
+        scale = np.abs(sol_j.u).max()
+        assert np.abs(sol.u - sol_j.u).max() / scale < 1e-3
+
+    def test_fdm_smoother_variant(self):
+        prob = _problem(nx=16, ny=16, p=4)
+        sol = prob.solve_local(
+            tol=1e-6, vector_layout="ne",
+            precond={"pmg": {"p_coarse": 2, "smoother": "fdm"}})
+        assert bool(sol.cg.converged)
+        prob_j = _problem(nx=16, ny=16, p=4)
+        sol_j = prob_j.solve_local(tol=1e-6, precond="jacobi",
+                                   vector_layout="ne")
+        assert (int(sol.cg.iterations) * 4 <= int(sol_j.cg.iterations))
