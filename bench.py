@@ -124,6 +124,13 @@ def main():
                          "iteration (ops.pallas_kernels."
                          "make_fused_cg_kernels); fused-bf16p also stores "
                          "the search direction in bf16")
+    ap.add_argument("--precond", choices=["jacobi", "fdm", "pmg"],
+                    default="jacobi",
+                    help="CG preconditioner for the plain local path: "
+                         "point Jacobi, FDM additive Schwarz, or the "
+                         "two-level p-multigrid V-cycle (solver/pmg.py; "
+                         "exact tensor-grid coarse solve - "
+                         "h-independent iteration counts)")
     ap.add_argument("--defer-x", type=int, default=0,
                     help="fused-CG deferred solution update: retain m "
                          "search directions and catch x up once per m "
@@ -232,6 +239,23 @@ def main():
             assume_masked_input=True)
         diagL = to_local(prob.operator_diagonal())
         M = jacobi_preconditioner(diagL, free)
+        if args.precond != "jacobi":
+            if args.cg_mode != "plain" or not transposed:
+                raise SystemExit("--precond fdm/pmg requires "
+                                 "--cg-mode plain and the ne layout")
+            _progress(f"building {args.precond} preconditioner")
+            if args.precond == "fdm":
+                from spectralelementmethod_tpu.solver.fdm import (
+                    make_fdm_preconditioner)
+                M = make_fdm_preconditioner(ex, Gf, disc.basis, free,
+                                            dtype=dtype,
+                                            vector_layout="ne")
+            else:
+                from spectralelementmethod_tpu.solver.pmg import (
+                    make_pmg_preconditioner)
+                M = make_pmg_preconditioner(
+                    disc, ex, Gf, A_cg, ~prob._dirichlet_mask,
+                    np.asarray(prob.operator_diagonal()), p_coarse=2)
         u_dL = to_local(
             np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0))
         bL = to_local(prob._b)
@@ -424,6 +448,7 @@ def main():
             "precision": args.precision,
             "bf16": bool(args.bf16),
             "defer_x": args.defer_x,
+            "precond": args.precond,
             "setup_s": round(t_setup, 2),
             "timing_reliable": timing_reliable,
             "baseline": "serial per-element numpy einsum apply "

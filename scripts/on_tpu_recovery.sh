@@ -8,6 +8,6 @@ echo "### deferred-x fused-CG A/B"
 timeout 5400 python scripts/measure_deferx.py
 echo "### TPU-tier kernel tests"
 timeout 3600 python -m pytest tests_tpu/ -q
-echo "### default bench (the driver's headline invocation)"
-timeout 3600 python bench.py
+echo "### solve records (plain / fused / deferred / pmg, 100k + 1M)"
+timeout 10800 python scripts/measure_solve.py
 echo "### all recovery stages done at $(date -u)"
