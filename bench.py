@@ -142,6 +142,19 @@ def main():
                          "fused kernels' in-window halo from the row "
                          "stride to the panel width at large E; 0 = "
                          "lexicographic order")
+    ap.add_argument("--nrhs", type=int, default=1,
+                    help="batch N right-hand sides through one operator "
+                         "read (ops.sumfac.make_multi_rhs_laplacian_T): "
+                         "with --structure general the (3, n, E) factor "
+                         "slabs stream once per element tile for all N "
+                         "RHS. Applies to the apply metric; the CG "
+                         "metric stays single-RHS")
+    ap.add_argument("--structure", choices=["auto", "general", "affine"],
+                    default="auto",
+                    help="geometric-factor handling: auto detects affine "
+                         "meshes and compresses to 3 scalars/element; "
+                         "general forces the full (3, n, E) slab read "
+                         "(the curved-mesh configuration)")
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the environment may pin "
@@ -227,8 +240,22 @@ def main():
         _progress("building operators")
         one_apply = sumfac.make_local_laplacian_operator(
             ex, Gf, Dhat, backend=backend, precision=args.precision,
-            compute_dtype=cdt, vector_layout=vlayout)
+            compute_dtype=cdt, vector_layout=vlayout,
+            structure=args.structure)
         vec0 = to_local(u_global)
+        if args.nrhs > 1:
+            if not transposed or args.cg_mode != "plain":
+                raise SystemExit("--nrhs > 1 requires the ne layout and "
+                                 "--cg-mode plain")
+            A_multi = sumfac.make_multi_rhs_laplacian_T(
+                ex, Gf, Dhat, args.nrhs,
+                backend="xla" if args.kernel == "xla-local" else "auto",
+                precision=args.precision,
+                structure=("general" if args.structure == "auto"
+                           else args.structure))
+            vec_multi = jnp.stack([
+                to_local(rng.random_sample(n_nodes).astype(dtype))
+                for _ in range(args.nrhs)])
         dot = ex.dot_T if transposed else ex.dot
         free_np = (~prob._dirichlet_mask)[ex.gather_hier]
         free = jnp.asarray(np.ascontiguousarray(free_np.T) if transposed
@@ -299,6 +326,9 @@ def main():
         if args.cg_mode != "plain":
             raise SystemExit("--cg-mode fused requires --kernel local/"
                              "xla-local")
+        if args.nrhs > 1:
+            raise SystemExit("--nrhs > 1 requires --kernel local/"
+                             "xla-local")
         dot = None
         free = jnp.asarray(~prob._dirichlet_mask)
         gix_d, G_d = prob._gix, prob._G      # lazy device uploads
@@ -335,9 +365,15 @@ def main():
     def _dot(a, b):
         return jnp.vdot(a, b) if dot is None else dot(a, b)
 
+    if args.nrhs > 1:
+        apply_timed, vec_timed = A_multi, vec_multi
+        dot = None                    # chain normalizer: plain vdot
+    else:
+        apply_timed, vec_timed = one_apply, vec0
+
     from spectralelementmethod_tpu.utils.hoist import hoist_closure
-    A_pure, A_consts = hoist_closure(one_apply, vec0)
-    d_pure, d_consts = hoist_closure(_dot, vec0, vec0)
+    A_pure, A_consts = hoist_closure(apply_timed, vec_timed)
+    d_pure, d_consts = hoist_closure(_dot, vec_timed, vec_timed)
 
     @jax.jit
     def apply_chain(u, n_reps, A_c, d_c):
@@ -357,12 +393,12 @@ def main():
         best = float("inf")
         for _ in range(tries):
             t0 = time.perf_counter()
-            apply_chain(vec0, n_reps, A_consts, d_consts).block_until_ready()
+            apply_chain(vec_timed, n_reps, A_consts, d_consts).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         return best
 
     _progress("apply_chain warmup (compile)")
-    apply_chain(vec0, reps, A_consts, d_consts).block_until_ready()
+    apply_chain(vec_timed, reps, A_consts, d_consts).block_until_ready()
     _progress("apply_chain timing")
     t_n = time_chain(reps)
     t_2n = time_chain(2 * reps)
@@ -379,9 +415,15 @@ def main():
     t_apply = max(t_2n - t_n, 1e-9) / reps
     t_dispatch = max(2 * t_n - t_2n, 0.0)
 
-    flops = sumfac.element_apply_flops(E, p1, p1)
+    flops = sumfac.element_apply_flops(E, p1, p1) * args.nrhs
     gflops = flops / t_apply / 1e9
-    bytes_per_apply = E * p1 * p1 * np.dtype(dtype).itemsize * (1 + 3 + 1)
+    if args.nrhs > 1:
+        # general-path traffic model: k (u in + out) passes + 3 shared
+        # factor slabs (the amortization being measured)
+        passes = 2 * args.nrhs + 3
+    else:
+        passes = 1 + 3 + 1
+    bytes_per_apply = E * p1 * p1 * np.dtype(dtype).itemsize * passes
     gbps = bytes_per_apply / t_apply / 1e9
 
     # reference-style numpy baseline on a subsample
@@ -391,7 +433,7 @@ def main():
         u_global, disc.gather_nodes,
         prob._G_host.astype(dtype), D.astype(dtype),
         n_nodes, n_sample)
-    t_np_full = t_np * E / n_sample
+    t_np_full = t_np * E / n_sample * args.nrhs   # k reference applies
     vs_baseline = t_np_full / t_apply
 
     # CG wall-clock (Dirichlet "ebc" system, Jacobi preconditioner)
@@ -446,6 +488,9 @@ def main():
             "kernel": args.kernel,
             "layout": args.layout,
             "precision": args.precision,
+            "nrhs": args.nrhs,
+            "apply_ms_per_rhs": round(t_apply * 1e3 / args.nrhs, 3),
+            "structure": args.structure,
             "bf16": bool(args.bf16),
             "defer_x": args.defer_x,
             "precond": args.precond,

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..core.discretization import Discretization
 from ..ops import sumfac
-from ..solver.cg import (CGResult, cg, cg_fused, cg_host,
+from ..solver.cg import (CGResult, cg, cg_batched, cg_fused, cg_host,
                          jacobi_preconditioner)
 from ..utils.hoist import hoist_closure
 
@@ -259,6 +259,95 @@ class Poisson(BoundaryConditionMixin):
         u = np.asarray(u_d + res.x)
         return PoissonSolution(u, res)
 
+    def _local_setup(self, precond, structure, compute_dtype,
+                     vector_layout):
+        """Shared L-vector solve setup (used by :meth:`solve_local` and
+        :meth:`solve_local_batch`).
+
+        Resolves the layout, builds/caches the masked and raw operators
+        and the preconditioner in ``_op_cache`` (stable function objects
+        are what let the CG kernel/jit caches hit across repeated
+        solves), and returns everything the drivers need as a dict.
+        Assumes ``self._exchange`` exists.
+        """
+        from ..ops.exchange import RollExchange
+
+        disc = self.disc
+        ex = self._exchange
+        if vector_layout == "auto":
+            vector_layout = "ne" if isinstance(ex, RollExchange) else "en"
+        transposed = vector_layout == "ne"
+
+        def to_local(u_global):
+            lv = ex.local_from_global(u_global).astype(self.dtype)
+            return jnp.asarray(np.ascontiguousarray(lv.T) if transposed
+                               else lv)
+
+        Gf = self._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(self._D0), np.asarray(self._D1)
+        )
+        free_np = (~self._dirichlet_mask)[ex.gather_hier]
+        free_local = jnp.asarray(
+            np.ascontiguousarray(free_np.T) if transposed else free_np)
+        op_key = ("A", structure, str(compute_dtype), vector_layout)
+        A = self._op_cache.get(op_key)
+        if A is None:
+            # CG iterates are masked by induction (M masks its output,
+            # x0 = 0): skip the apply's input-mask pass
+            A = self._op_cache[op_key] = sumfac.make_local_laplacian_operator(
+                ex, Gf, Dhat, free_local, structure=structure,
+                compute_dtype=compute_dtype, vector_layout=vector_layout,
+                assume_masked_input=True,
+            )
+        raw_key = ("A_raw", structure, str(compute_dtype), vector_layout)
+        A_raw = self._op_cache.get(raw_key)
+        if A_raw is None:
+            A_raw = self._op_cache[raw_key] = (
+                sumfac.make_local_laplacian_operator(
+                    ex, Gf, Dhat, None, structure=structure,
+                    compute_dtype=compute_dtype,
+                    vector_layout=vector_layout,
+                ))
+
+        if precond == "fdm":
+            from ..solver.fdm import make_fdm_preconditioner
+
+            M = self._op_cache.get(("M", "fdm", vector_layout))
+            if M is None:
+                M = self._op_cache[("M", "fdm", vector_layout)] = (
+                    make_fdm_preconditioner(
+                        ex, self._G_host, disc.basis, free_local,
+                        dtype=self.dtype, vector_layout=vector_layout))
+        elif precond == "pmg" or isinstance(precond, dict):
+            # two-level p-multigrid (solver/pmg.py): exact tensor-grid
+            # coarse solve where admissible -> h-independent iteration
+            # counts.  precond={"pmg": ...kwargs} tunes levels/smoothing.
+            from ..solver.pmg import make_pmg_preconditioner
+
+            pmg_kw = dict(precond.get("pmg", {})) if isinstance(
+                precond, dict) else {}
+            if not transposed:
+                raise ValueError("precond='pmg' requires the 'ne' layout")
+            key = ("M", "pmg", vector_layout, tuple(sorted(pmg_kw.items())))
+            M = self._op_cache.get(key)
+            if M is None:
+                M = self._op_cache[key] = make_pmg_preconditioner(
+                    disc, ex, Gf, A, ~self._dirichlet_mask,
+                    np.asarray(self.operator_diagonal()),
+                    dtype=self.dtype, **pmg_kw)
+        else:
+            M = self._op_cache.get(("M", "jacobi", vector_layout))
+            if M is None:
+                diag = np.asarray(self.operator_diagonal())
+                diagL = to_local(diag)
+                M = self._op_cache[("M", "jacobi", vector_layout)] = (
+                    jacobi_preconditioner(diagL, free_local))
+
+        return dict(ex=ex, transposed=transposed, to_local=to_local,
+                    vector_layout=vector_layout, A=A, A_raw=A_raw, M=M,
+                    free_local=free_local, Gf=Gf, Dhat=Dhat)
+
     def solve_local(self, tol: float = 1e-12, max_iter: int | None = None,
                     host_loop: bool = False,
                     precond: str = "jacobi",
@@ -329,86 +418,21 @@ class Poisson(BoundaryConditionMixin):
                 ex = self._exchange = ex2
                 self._op_cache = {}
 
-        if vector_layout == "auto":
-            vector_layout = "ne" if isinstance(ex, RollExchange) else "en"
-        transposed = vector_layout == "ne"
-
-        def to_local(u_global):
-            lv = ex.local_from_global(u_global).astype(self.dtype)
-            return jnp.asarray(np.ascontiguousarray(lv.T) if transposed
-                               else lv)
-
-        Gf = self._G_host.reshape(disc.E, 3, -1)
-        Dhat = sumfac.make_stacked_derivative(
-            np.asarray(self._D0), np.asarray(self._D1)
-        )
-        free_np = (~self._dirichlet_mask)[ex.gather_hier]
-        free_local = jnp.asarray(
-            np.ascontiguousarray(free_np.T) if transposed else free_np)
-        # cache operator closures per mode: repeated solves (continuation,
-        # parameter sweeps) then reuse the same function objects, which is
-        # what lets the CG kernel/jit caches hit instead of recompiling
-        op_key = ("A", structure, str(compute_dtype), vector_layout)
-        A = self._op_cache.get(op_key)
-        if A is None:
-            # CG iterates are masked by induction (M masks its output,
-            # x0 = 0): skip the apply's input-mask pass
-            A = self._op_cache[op_key] = sumfac.make_local_laplacian_operator(
-                ex, Gf, Dhat, free_local, structure=structure,
-                compute_dtype=compute_dtype, vector_layout=vector_layout,
-                assume_masked_input=True,
-            )
+        ctx = self._local_setup(precond, structure, compute_dtype,
+                                vector_layout)
+        ex, transposed, to_local = ctx["ex"], ctx["transposed"], \
+            ctx["to_local"]
+        vector_layout = ctx["vector_layout"]
+        A, A_raw, M = ctx["A"], ctx["A_raw"], ctx["M"]
+        free_local = ctx["free_local"]
+        Gf, Dhat = ctx["Gf"], ctx["Dhat"]
 
         # rhs and Dirichlet lift in local form
         b = np.asarray(self._b) + self._neumann
         u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
         bL = to_local(b)
         u_dL = to_local(u_d)
-
-        raw_key = ("A_raw", structure, str(compute_dtype), vector_layout)
-        A_raw = self._op_cache.get(raw_key)
-        if A_raw is None:
-            A_raw = self._op_cache[raw_key] = (
-                sumfac.make_local_laplacian_operator(
-                    ex, Gf, Dhat, None, structure=structure,
-                    compute_dtype=compute_dtype,
-                    vector_layout=vector_layout,
-                ))
         r = _masked_residual(A_raw, free_local, bL, u_dL)
-
-        if precond == "fdm":
-            from ..solver.fdm import make_fdm_preconditioner
-
-            M = self._op_cache.get(("M", "fdm", vector_layout))
-            if M is None:
-                M = self._op_cache[("M", "fdm", vector_layout)] = (
-                    make_fdm_preconditioner(
-                        ex, self._G_host, disc.basis, free_local,
-                        dtype=self.dtype, vector_layout=vector_layout))
-        elif precond == "pmg" or isinstance(precond, dict):
-            # two-level p-multigrid (solver/pmg.py): exact tensor-grid
-            # coarse solve where admissible -> h-independent iteration
-            # counts.  precond={"pmg": ...kwargs} tunes levels/smoothing.
-            from ..solver.pmg import make_pmg_preconditioner
-
-            pmg_kw = dict(precond.get("pmg", {})) if isinstance(
-                precond, dict) else {}
-            if not transposed:
-                raise ValueError("precond='pmg' requires the 'ne' layout")
-            key = ("M", "pmg", vector_layout, tuple(sorted(pmg_kw.items())))
-            M = self._op_cache.get(key)
-            if M is None:
-                M = self._op_cache[key] = make_pmg_preconditioner(
-                    disc, ex, Gf, A, ~self._dirichlet_mask,
-                    np.asarray(self.operator_diagonal()),
-                    dtype=self.dtype, **pmg_kw)
-        else:
-            M = self._op_cache.get(("M", "jacobi", vector_layout))
-            if M is None:
-                diag = np.asarray(self.operator_diagonal())
-                diagL = to_local(diag)
-                M = self._op_cache[("M", "jacobi", vector_layout)] = (
-                    jacobi_preconditioner(diagL, free_local))
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
@@ -466,6 +490,89 @@ class Poisson(BoundaryConditionMixin):
             u = ex.global_from_local_T(np.asarray(uL))
         else:
             u = ex.global_from_local(np.asarray(uL))
+        return PoissonSolution(u, res)
+
+    def solve_local_batch(self, forcings, tol: float = 1e-12,
+                          max_iter: int | None = None,
+                          precond: str = "jacobi",
+                          structure: str = "auto",
+                          compute_dtype=None,
+                          vector_layout: str = "auto") -> PoissonSolution:
+        """Solve ``-div(c grad u_j) = f_j`` for a batch of forcings.
+
+        One operator, one preconditioner, one CG ladder for all k
+        right-hand sides (:func:`..solver.cg.cg_batched`): each RHS
+        converges independently (per-RHS alpha/beta via ``vmap``), but
+        every host synchronization and operator setup is shared — through
+        a remote-TPU tunnel, k solves cost barely more dispatches than
+        one.  The currently-set Dirichlet/Neumann boundary conditions are
+        shared by every solve.  (The reference solves one system per call,
+        ``sem/discrete.py:502-528``; multi-RHS is net-new.)
+
+        ``forcings``: sequence of k forcing fields (callables ``f(x, y)``
+        or scalars), or a ready (k, n_nodes) array of *nodal forcing
+        values* (the weak RHS is formed here in either case).
+
+        Returns a :class:`PoissonSolution` whose ``u`` is (k, n_nodes)
+        and whose ``result`` fields are all batched (k leading axis).
+        """
+        from ..ops.exchange import make_exchange
+
+        disc = self.disc
+        if disc.mesh.ndim != 2:
+            raise NotImplementedError("solve_local_batch is 2D-only")
+        if precond == "pmg" or isinstance(precond, dict):
+            raise ValueError("solve_local_batch supports precond="
+                             "'jacobi' or 'fdm' (pmg's coarse solve is "
+                             "not vmap-audited)")
+        if getattr(self, "_exchange", None) is None:
+            self._exchange = make_exchange(disc, fused_pad=True)
+            self._op_cache = {}
+        ctx = self._local_setup(precond, structure, compute_dtype,
+                                vector_layout)
+        ex, transposed = ctx["ex"], ctx["transposed"]
+        to_local, free_local = ctx["to_local"], ctx["free_local"]
+        A_raw, M = ctx["A_raw"], ctx["M"]
+        # the batched apply runs under vmap: pin the XLA backend (vmap of
+        # the Mosaic fused kernel is unaudited; XLA batches the einsums
+        # into single larger contractions anyway)
+        bkey = ("A", structure, str(compute_dtype), ctx["vector_layout"],
+                "xla")
+        A = self._op_cache.get(bkey)
+        if A is None:
+            A = self._op_cache[bkey] = sumfac.make_local_laplacian_operator(
+                ex, ctx["Gf"], ctx["Dhat"], free_local,
+                structure=structure, compute_dtype=compute_dtype,
+                vector_layout=ctx["vector_layout"],
+                assume_masked_input=True, backend="xla")
+
+        # weak RHS rows: b_j = scatter(f_j detJxW) + shared Neumann data
+        coords = [disc.x_coeffs[:, d] for d in range(disc.mesh.ndim)]
+        nodal = isinstance(forcings, np.ndarray)
+        rows = []
+        for f in forcings:
+            f_gll = (disc.gather(np.asarray(f)) if nodal
+                     else np.asarray(_as_callable(f)(*coords)))
+            b = disc.scatter_add(
+                np.asarray(f_gll * disc.detJxW)).astype(self.dtype)
+            rows.append(b + self._neumann)
+        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
+        u_dL = to_local(u_d)
+        Au_d = A_raw(u_dL)        # shared lift residual: ONE raw apply
+        R = jnp.stack([
+            jnp.where(free_local, to_local(b) - Au_d, 0.0) for b in rows
+        ])
+
+        if max_iter is None:
+            max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
+        w = ex._weights_as(np.dtype(self.dtype), transposed=transposed)
+        res = cg_batched(A, R, M=M, tol=tol, max_iter=max_iter,
+                         dot_weight=w)
+
+        back = (ex.global_from_local_T if transposed
+                else ex.global_from_local)
+        u = np.stack([back(np.asarray(u_dL + res.x[j]))
+                      for j in range(R.shape[0])])
         return PoissonSolution(u, res)
 
     def _solve_local_3d(self, tol: float = 1e-12,

@@ -423,29 +423,28 @@ class _AffineFusedPrep:
                           for d, s, dl, f, m in self._far_edge]
         self._far_vert = [(d, s, dl, jnp.asarray(np.asarray(m)))
                           for d, s, dl, m in self._far_vert]
-        Kcat = np.asarray(Kcat, dtype=np.float64)
-        KT_np = np.concatenate(
-            [Kcat[:, :n].T, Kcat[:, n:2 * n].T, Kcat[:, 2 * n:].T],
-            axis=0).astype(np.float32)                       # (3n, n)
-        self.aT = (None if external_operands else jnp.asarray(
-            np.ascontiguousarray(np.asarray(a, np.float32).T)))  # (3, E)
         if precision not in ("highest", "high", "default"):
             raise ValueError(f"unknown precision {precision!r}")
         self.precision = precision
         self.prec = {"highest": jax.lax.Precision.HIGHEST,
                      "default": jax.lax.Precision.DEFAULT}.get(precision)
-        if precision == "high":
+        self.aT = (None if (external_operands or a is None) else jnp.asarray(
+            np.ascontiguousarray(np.asarray(a, np.float32).T)))  # (3, E)
+        if Kcat is None:
+            # general-path kernels (make_fused_general_laplacian_T) bring
+            # their own constants through prec_const/prec_dot
+            self.KT = None
+        else:
+            Kcat = np.asarray(Kcat, dtype=np.float64)
+            KT_np = np.concatenate(
+                [Kcat[:, :n].T, Kcat[:, n:2 * n].T, Kcat[:, 2 * n:].T],
+                axis=0).astype(np.float32)                   # (3n, n)
             # Mosaic has no native 3-pass dot; split K = K_hi + K_lo in
             # bf16 host-side and run the standard bf16x3 decomposition
             # in-kernel (K_hi u_hi + K_hi u_lo + K_lo u_hi, f32
             # accumulation) — ~21 mantissa bits at half the passes of the
             # 6-pass 'highest'.
-            K_hi = KT_np.astype(jnp.bfloat16)
-            K_lo = (KT_np - K_hi.astype(np.float32)).astype(jnp.bfloat16)
-            self.KT = jnp.asarray(
-                np.concatenate([K_hi, K_lo], axis=0))        # (6n, n)
-        else:
-            self.KT = jnp.asarray(KT_np)
+            self.KT = self.prec_const(KT_np)
 
     def _pick_max_halo(self, E, H_full, all_edge, all_vert, target_win):
         """Split classes at NEAR_HB when that beats the full-halo window.
@@ -484,6 +483,50 @@ class _AffineFusedPrep:
         if not self.cheap_far:
             return self.NEAR_HB if t_full is None else None
         return self.NEAR_HB if cost_full >= 0.75 else None
+
+    # ---- precision-managed constants/dots (host + in-kernel) ------------
+
+    def prec_const(self, C_np):
+        """Prepare a constant matrix for :meth:`prec_dot`.
+
+        'highest'/'default': the f32 ``(rows, m)`` matrix itself.
+        'high': a bf16 hi/lo split stacked to ``(2*rows, m)`` — the
+        in-kernel bf16x3 decomposition then recovers ~21 mantissa bits
+        at half the passes of the 6-pass 'highest'.
+        """
+        import numpy as np
+
+        C = np.asarray(C_np, dtype=np.float32)
+        if self.precision != "high":
+            return jnp.asarray(C)
+        C_hi = C.astype(jnp.bfloat16)
+        C_lo = (C - np.asarray(C_hi, np.float32)).astype(jnp.bfloat16)
+        return jnp.asarray(np.concatenate([C_hi, C_lo], axis=0))
+
+    def prec_dot(self, C_ref, rows, x):
+        """y = C @ x at the configured precision (C from prec_const;
+        ``rows`` = the logical row count of C).  f32 accumulation."""
+        dn = (((1,), (0,)), ((), ()))
+        if self.precision == "high":
+            C_hi, C_lo = C_ref[:rows], C_ref[rows:]
+            if x.dtype == jnp.bfloat16:
+                y = jax.lax.dot_general(
+                    C_hi, x, dn, preferred_element_type=jnp.float32)
+                return y + jax.lax.dot_general(
+                    C_lo, x, dn, preferred_element_type=jnp.float32)
+            x_hi = x.astype(jnp.bfloat16)
+            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                C_hi, x_hi, dn, preferred_element_type=jnp.float32)
+            y = y + jax.lax.dot_general(
+                C_hi, x_lo, dn, preferred_element_type=jnp.float32)
+            return y + jax.lax.dot_general(
+                C_lo, x_hi, dn, preferred_element_type=jnp.float32)
+        if x.dtype == jnp.bfloat16:
+            x = x.astype(jnp.float32)
+        return jax.lax.dot_general(
+            C_ref[:], x, dn,
+            preferred_element_type=jnp.float32, precision=self.prec)
 
     # ---- in-kernel building blocks (traced inside kernel bodies) --------
 
@@ -844,6 +887,132 @@ def make_fused_affine_block_kernel(exchange, Kcat, *,
     apply_block._prep = prep
     apply_block._no_hoist = True
     return apply_block
+
+
+def general_tile_window(n: int, n_rhs: int) -> int:
+    """Default VMEM lane-window budget for the general fused kernel.
+
+    Resident per-lane f32 rows: the u window (k*n) + factor window (3n)
+    + output center (k*n) + per-RHS transients (grads 2n, flux 2n, S n).
+    Sized to ~11.5 MB of the 16 MB scoped-vmem stack, floored to the
+    128-lane granularity the tiler needs.
+    """
+    rows = (2 * n_rhs + 8) * n
+    win = int(11.5e6 / (4 * rows)) // 128 * 128
+    return max(win, 384)
+
+
+def make_fused_general_laplacian_T(exchange, Gf, Dhat, *,
+                                   n_rhs: int = 1,
+                                   precision: str = "highest",
+                                   target_win: int | None = None,
+                                   interpret: bool = False):
+    """Fused transposed apply+DSS kernel for GENERAL (curved) meshes,
+    with optional multi-RHS sublane stacking.
+
+    The affine kernel (:func:`make_fused_affine_laplacian_T`) collapses
+    the geometric factors to 3 scalars per element; curved isoparametric
+    meshes (e.g. the Helmholtz config, BASELINE.md) keep full (3, n, E)
+    factor slabs, and the unfused XLA path additionally materializes the
+    (2n, E) grads/flux intermediates between the two derivative dots
+    (~4 extra HBM passes).  This kernel keeps the intermediates in VMEM:
+
+        grads = Dhat_h @ u_j           (2n, W) on the halo window
+        flux  = [g0 ur + g1 us; g1 ur + g2 us]
+        S_j   = Dhat_h^T @ flux        (n, W)
+        out_j = roll-class DSS of S_j  (n, TE)
+
+    and — the multi-RHS point — reads the factor window ONCE per element
+    tile for all ``n_rhs`` sublane-stacked right-hand sides: per-RHS HBM
+    traffic falls from ~(2 + 3) passes to ~(2 + 3/k), which is the one
+    lever that beats the single-RHS bandwidth roofline (the affine
+    factors are too small to matter; the general slabs are ~60% of the
+    apply's traffic).  Batched RHS arise naturally from multi-field
+    problems (the squirmer's dpn=2 vector Laplacian,
+    ``examples/squirmer-axisymmetric.py:229-245``) and batched solves
+    (:func:`..solver.cg.cg_batched`).
+
+    ``Gf``: (E, 3, n) lex-flattened geometric factors (f32).
+    ``Dhat``: (2n, n) stacked derivative in LEX column order (hier
+    permutation applied here).  Returns ``f(uT) -> (k*n, E)`` acting on
+    ``n_rhs`` sublane-stacked (n, E) transposed L-vectors (a contiguous
+    reshape of (k, n, E)); each slice is fully DSS-exchanged.
+
+    Full halo only (no far-class split): large-offset roll classes at
+    1M-element scale need the panel element order
+    (:func:`..parallel.partition.panel_order`) to stay admissible.
+    """
+    import numpy as np
+
+    from ..utils.hoist import ensure_recursion_headroom
+
+    ensure_recursion_headroom()
+    if n_rhs < 1:
+        raise ValueError(f"n_rhs must be >= 1, got {n_rhs}")
+    Dhat_np = np.asarray(Dhat, dtype=np.float64)
+    n = Dhat_np.shape[1]
+    if target_win is None:
+        target_win = general_tile_window(n, n_rhs)
+    prep = _AffineFusedPrep(exchange, None, None, precision, target_win,
+                            max_halo=None)
+    E, G, TE = prep.E, prep.G, prep.TE
+    k = n_rhs
+
+    Dhat_h = Dhat_np[:, exchange.hier]                       # (2n, n)
+    Dh_c = prep.prec_const(Dhat_h)
+    DhT_c = prep.prec_const(np.ascontiguousarray(Dhat_h.T))  # (n, 2n)
+    Gf_np = np.asarray(Gf, dtype=np.float32)                 # (E, 3, n)
+    gT = jnp.asarray(np.ascontiguousarray(
+        Gf_np.transpose(1, 2, 0).reshape(3 * n, E)))         # (3n, E)
+    M = prep.M
+
+    def kernel(uL, uC, uR, gL, gC, gR, dh_ref, dht_ref, m_ref, out_ref):
+        u_win = jnp.concatenate([uL[:], uC[:], uR[:]], axis=1)
+        g_win = jnp.concatenate([gL[:], gC[:], gR[:]], axis=1)
+        g0, g1, g2 = g_win[:n], g_win[n:2 * n], g_win[2 * n:]
+        outs = []
+        for j in range(k):
+            uj = u_win[j * n:(j + 1) * n]
+            grads = prep.prec_dot(dh_ref, 2 * n, uj)         # (2n, W)
+            ur, us = grads[:n], grads[n:]
+            flux = jnp.concatenate(
+                [g0 * ur + g1 * us, g1 * ur + g2 * us], axis=0)
+            S = prep.prec_dot(dht_ref, n, flux)              # (n, W)
+            outs.append(prep.roll_dss(S, m_ref))
+        out = outs[0] if k == 1 else jnp.concatenate(outs, axis=0)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    d_rows, dt_rows = Dh_c.shape[0], DhT_c.shape[0]
+    specs = (prep.halo_triple(k * n) + prep.halo_triple(3 * n) + [
+        pl.BlockSpec((d_rows, n), _im32(lambda i: (0, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dt_rows, 2 * n), _im32(lambda i: (0, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((prep.n_mask_rows, TE), _im32(lambda i: (0, i)),
+                     memory_space=pltpu.VMEM),
+    ])
+    out_spec = prep.center_spec(k * n)
+
+    def apply_local_dss(uT):
+        if uT.shape != (k * n, E):
+            raise ValueError(
+                f"expected ({k * n}, {E}) sublane-stacked input "
+                f"(n_rhs={k}), got {uT.shape}")
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((k * n, E), uT.dtype),
+            grid=(G,),
+            in_specs=specs,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(uT, uT, uT, gT, gT, gT, Dh_c, DhT_c, M)
+
+    apply_local_dss._prep = prep      # introspection (tests, bench)
+    apply_local_dss._n_rhs = k
+    # hoisting Pallas operands to runtime jit parameters aborts the TPU
+    # runtime (see utils/hoist.py) — keep captures as inline literals
+    apply_local_dss._no_hoist = True
+    return apply_local_dss
 
 
 def make_fused_cg_kernels(exchange, Kcat, a, *,

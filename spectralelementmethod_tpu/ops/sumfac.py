@@ -518,11 +518,9 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
         if backend == "auto":
             fused_ok = fused_ok and pallas_kernels.supported()
         if backend != "auto":
-            # the fused kernel computes in f32; an explicit request with
+            # the fused kernels compute in f32; an explicit request with
             # f64 factors or a compute_dtype override would silently
             # return f64-typed output with only f32 accuracy
-            if affine_a is None:
-                raise ValueError("fused-T backend requires an affine mesh")
             if dt != jnp.float32:
                 raise ValueError(
                     f"fused-T backend requires float32 factors, got {dt}")
@@ -532,11 +530,19 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
                     f"overrides (got {compute_dtype}); use precision=")
         if fused_ok or backend != "auto":
             try:
-                Kcat = make_affine_element_matrices(
-                    np.asarray(Dhat), Wgrid, order=exchange.hier)
-                local_dss = pallas_kernels.make_fused_affine_laplacian_T(
-                    exchange, Kcat, affine_a, precision=precision,
-                    interpret=backend == "fused-interpret")
+                if affine_a is not None:
+                    Kcat = make_affine_element_matrices(
+                        np.asarray(Dhat), Wgrid, order=exchange.hier)
+                    local_dss = pallas_kernels.make_fused_affine_laplacian_T(
+                        exchange, Kcat, affine_a, precision=precision,
+                        interpret=backend == "fused-interpret")
+                else:
+                    # curved/general meshes: the full-factor fused kernel
+                    # (explicit fused backends only; 'auto' keeps XLA for
+                    # the general path until it is measured on hardware)
+                    local_dss = pallas_kernels.make_fused_general_laplacian_T(
+                        exchange, Gf, Dhat, precision=precision,
+                        interpret=backend == "fused-interpret")
             except ValueError:
                 if backend != "auto":   # explicit request: surface it
                     raise
@@ -629,6 +635,82 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
         return vT
 
     return apply
+
+
+def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
+                               free_local=None,
+                               backend: str = "auto",
+                               precision: str = "highest",
+                               structure: str = "general",
+                               assume_masked_input: bool = False):
+    """Batched-RHS transposed weak Laplacian: (k, n, E) -> (k, n, E).
+
+    All ``n_rhs`` right-hand sides ride one operator read: on general
+    (curved) meshes the (3, n, E) geometric-factor slabs are ~60% of the
+    apply's HBM traffic, and the fused kernel
+    (:func:`..ops.pallas_kernels.make_fused_general_laplacian_T`) streams
+    them once per element tile for all k sublane-stacked RHS — per-RHS
+    traffic ~(2 + 3/k) passes instead of ~5 (plus the XLA path's grads/
+    flux materialization).  Multi-RHS batches arise from multi-field
+    problems (dpn > 1 vector operators) and batched solves
+    (:func:`..solver.cg.cg_batched`).  Net-new vs the reference (serial
+    per-element, one RHS: ``sem/discrete.py:502-528``).
+
+    ``backend``: 'auto' (fused kernel when admissible on TPU, else XLA
+    vmap), 'fused', 'fused-interpret', or 'xla'.  ``structure`` defaults
+    to 'general' — the batched kernel's reason to exist; 'auto'/'affine'
+    forward to the single-RHS affine machinery under vmap.
+    ``free_local``: optional (n, E) mask applied per RHS.
+    """
+    import jax
+
+    from . import pallas_kernels
+
+    Gf = _pad_factors_to_exchange(Gf, exchange)
+    n = exchange.n_loc
+    E = exchange.E
+    dt = jnp.dtype(Gf.dtype)
+
+    fused = None
+    if backend in ("auto", "fused", "fused-interpret"):
+        want = backend != "auto" or (structure == "general"
+                                     and dt == jnp.float32
+                                     and pallas_kernels.supported())
+        if backend != "auto" and dt != jnp.float32:
+            raise ValueError(
+                f"fused backend requires float32 factors, got {dt}")
+        if want:
+            try:
+                fused = pallas_kernels.make_fused_general_laplacian_T(
+                    exchange, Gf, Dhat, n_rhs=n_rhs, precision=precision,
+                    interpret=backend == "fused-interpret")
+            except ValueError:
+                if backend != "auto":
+                    raise
+    elif backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    if fused is not None:
+        def apply(U):
+            if U.shape != (n_rhs, n, E):
+                raise ValueError(f"expected ({n_rhs}, {n}, {E}) batched "
+                                 f"L-vectors, got {U.shape}")
+            if free_local is not None and not assume_masked_input:
+                U = jnp.where(free_local, U, 0.0)
+            V = fused(U.reshape(n_rhs * n, E)).reshape(n_rhs, n, E)
+            if free_local is not None:
+                V = jnp.where(free_local, V, 0.0)
+            return V
+
+        apply._no_hoist = True
+        apply._fused = fused
+        return apply
+
+    one = _make_local_laplacian_operator_T(
+        exchange, Gf, Dhat, free_local, backend="xla",
+        precision=precision, structure=structure,
+        assume_masked_input=assume_masked_input)
+    return jax.vmap(one)
 
 
 def element_apply_flops(E: int, p0: int, p1: int) -> int:

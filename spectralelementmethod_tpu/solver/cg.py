@@ -276,6 +276,153 @@ def _cg_block_body(A, M, dot, n, state, A_c, M_c, dot_c,
     return jax.lax.fori_loop(0, n, body, state)
 
 
+def cg_batched(
+    A: Callable,
+    B: jax.Array,
+    X0: jax.Array | None = None,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-12,
+    atol: float = 0.0,
+    max_iter: int = 1000,
+    dot: Callable | None = None,
+    dot_weight: jax.Array | None = None,
+    block: int = 64,
+) -> CGResult:
+    """Solve ``A x_j = b_j`` for a batch of right-hand sides.
+
+    ``B`` stacks the RHS along a leading batch axis ``(k, ...)``; the
+    operator ``A``, preconditioner ``M`` and inner product act on ONE
+    unbatched vector each (exactly as in :func:`cg`) and are shared by
+    every solve.  The jitted iteration block is ``jax.vmap``-ped over the
+    batch, so each RHS carries its own alpha/beta/convergence scalars and
+    freezes independently once converged — results match running
+    :func:`cg` per RHS (the reference has no multi-RHS facility; its
+    solve is one ``spsolve`` per system, ``sem/discrete.py:502-528``).
+
+    Why batch: (a) one host ladder drives all k solves, so through a
+    remote-TPU tunnel the ~28 ms per-dispatch latency is paid once per
+    block instead of once per RHS per block; (b) XLA batches the k
+    operator applies into single larger contractions (better MXU shapes
+    at small E); (c) operator setup, hoisting, and jit compilation are
+    shared.  The ladder runs until EVERY RHS is converged, diverged, or
+    out of budget — converged systems ride along frozen (selects in the
+    block body), which costs bandwidth but no extra dispatches.
+
+    Returns a :class:`CGResult` whose fields are all batched: ``x``
+    ``(k, ...)``, ``iterations``/``residual_norm``/``converged`` ``(k,)``.
+    """
+    import numpy as np
+
+    from ..utils.hoist import hoist_closure
+
+    if M is None:
+        M = _identity_M
+    if dot is None:
+        dot = _euclidean_dot
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+    if B.ndim < 1 or X0.shape != B.shape:
+        raise ValueError(f"X0 shape {X0.shape} != B shape {B.shape}")
+
+    A_p, A_c = hoist_closure(A, B[0])
+    M_p, M_c = hoist_closure(M, B[0])
+    if dot_weight is not None:
+        dot_p, dot_c = _diag_weight_dot, [dot_weight]
+    else:
+        dot_p, dot_c = hoist_closure(dot, B[0], B[0])
+    A_c, M_c, dot_c = tuple(A_c), tuple(M_c), tuple(dot_c)
+
+    ftype = jnp.result_type(float)
+    tol = jnp.asarray(tol, dtype=ftype)
+    atol = jnp.asarray(atol, dtype=ftype)
+
+    init_k, block_k = _cg_kernels_batched(A_p, M_p, dot_p,
+                                          dot_weight is not None)
+    state = init_k(B, X0, tol, atol,
+                   jnp.asarray(max_iter, dtype=jnp.int32),
+                   A_c, M_c, dot_c)
+
+    # same geometric block ladder as cg(); the host check reads the (k,)
+    # residual vector once per block and continues until all RHS are done
+    issued = 0
+    best_state = state
+    best_rn2 = np.full(int(B.shape[0]), np.inf)
+    while issued < max_iter:
+        remaining = -(-(max_iter - issued) // 64) * 64
+        n = min(block, remaining)
+        state = block_k(n, state, A_c, M_c, dot_c)
+        issued += n
+        # one transfer for all three (k,) convergence vectors: separate
+        # reads cost a tunnel round trip each on remote backends
+        rn2, stop2_np, rn2m = jax.device_get(
+            (state[5], state[7], state[9]))
+        improved = rn2 <= best_rn2
+        if improved.all():
+            best_state, best_rn2 = state, rn2
+        elif improved.any():
+            best_state = _select_best(jnp.asarray(improved), state,
+                                      best_state)
+            best_rn2 = np.where(improved, rn2, best_rn2)
+        done = ((rn2 <= stop2_np) | (rn2 > 1e6 * rn2m)
+                | ~np.isfinite(rn2))
+        if done.all():
+            break
+        block = min(block * 2, 4096)
+
+    x, r, z, p, rz, rn2, k_dev, stop2, _, _rn2_min = best_state
+    rnorm = jnp.sqrt(rn2)
+    return CGResult(x, k_dev, rnorm, rn2 <= stop2)
+
+
+@jax.jit
+def _select_best(improved, new, old):
+    """Per-RHS best-state merge for the batched ladder's divergence
+    fallback (the scalar version just keeps whole block states)."""
+    def sel(a, b):
+        m = improved.reshape(improved.shape + (1,) * (a.ndim - 1))
+        return jnp.where(m, a, b)
+
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+@lru_cache(maxsize=64)
+def _cg_kernels_batched(A, M, dot, weight_fold: bool = False):
+    """vmapped twins of :func:`_cg_kernels` (same cache rationale).
+
+    The operator/preconditioner/dot constants stay UNBATCHED
+    (``in_axes=None`` semantics via closure): every RHS reads the same
+    operator arrays, so the batched apply is one contraction over a
+    stacked operand, not k copies of the operator.
+    """
+
+    @jax.jit
+    def init(B, X0, tol, atol, max_iter, A_c, M_c, dot_c):
+        def one(b, x0):
+            def norm2(v):
+                return jnp.real(dot(v, v, *dot_c))
+
+            stop2 = jnp.maximum(tol * tol * norm2(b), atol * atol)
+            r0 = b - A(x0, *A_c)
+            z0 = M(r0, *M_c)
+            rz0 = dot(r0, z0, *dot_c)
+            rn0 = norm2(r0)
+            return (x0, r0, z0, z0, rz0, rn0,
+                    jnp.array(0, dtype=jnp.int32), stop2, max_iter, rn0)
+
+        return jax.vmap(one)(B, X0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(n, state, A_c, M_c, dot_c):
+        def one(s):
+            return _cg_block_body(A, M, dot, n, s, A_c, M_c, dot_c,
+                                  weight_fold=weight_fold)
+
+        return jax.vmap(one)(state)
+
+    return init, block
+
+
 def cg_fused(
     kA: Callable,
     kB: Callable,

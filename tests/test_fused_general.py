@@ -1,0 +1,167 @@
+"""General-path (curved/variable-coefficient) fused kernel tests.
+
+The affine fused kernel compresses the geometric factors to 3 scalars
+per element; general meshes carry full (3, n, E) slabs.
+:func:`ops.pallas_kernels.make_fused_general_laplacian_T` fuses the two
+derivative dots + factor weighting + roll-class DSS in VMEM and sublane-
+stacks ``n_rhs`` right-hand sides so the factor slabs stream once per
+element tile.  Oracle: the unfused XLA general transposed path
+(``sumfac._make_local_laplacian_operator_T`` with structure='general'),
+itself validated against the reference assembly in test_poisson.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spectralelementmethod_tpu.basis import gll_basis_2d
+from spectralelementmethod_tpu.core.discretization import Discretization
+from spectralelementmethod_tpu.mesh import annulus_mesh, rectangle_mesh
+from spectralelementmethod_tpu.models.poisson import Poisson
+from spectralelementmethod_tpu.ops import sumfac
+from spectralelementmethod_tpu.ops.exchange import RollExchange
+from spectralelementmethod_tpu.ops.pallas_kernels import (
+    make_fused_general_laplacian_T)
+
+
+def general_problem(nx=16, ny=8, p=3):
+    """Structured mesh + variable coefficient: roll-class exchange with
+    genuinely non-affine factors."""
+    mesh = rectangle_mesh(nx, ny, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, coefficient=lambda x, y: 1 + x**2 * y**2,
+                   dtype=np.float32)
+    ex = RollExchange(disc)
+    Gf = prob._G_host.reshape(disc.E, 3, -1)
+    W = disc.basis.weight_grid().reshape(-1)
+    _a, exact = sumfac.affine_factorization(Gf, W)
+    assert not exact, "coefficient should make the factors non-affine"
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    return ex, Gf, Dhat
+
+
+class TestFusedGeneralT:
+    def _compare(self, target_win, n_rhs=1, precision="highest",
+                 tol=1e-5):
+        ex, Gf, Dhat = general_problem()
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        fused = make_fused_general_laplacian_T(
+            ex, Gf, Dhat, n_rhs=n_rhs, precision=precision,
+            target_win=target_win, interpret=True)
+        rng = np.random.RandomState(7)
+        n, E = ex.n_loc, ex.E
+        U = jnp.asarray(
+            rng.standard_normal((n_rhs * n, E)).astype(np.float32))
+        got = np.asarray(fused(U))
+        expected = np.concatenate(
+            [np.asarray(A_xla(U[j * n:(j + 1) * n]))
+             for j in range(n_rhs)], axis=0)
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < tol
+
+    def test_single_block(self):
+        self._compare(target_win=3840)             # E=128 -> one block
+
+    def test_multi_block_halo(self):
+        self._compare(target_win=128)              # 2-block halo windows
+
+    def test_multi_rhs_slices_match_single(self):
+        self._compare(target_win=256, n_rhs=3)
+
+    def test_multi_rhs_one_block(self):
+        self._compare(target_win=3840, n_rhs=2)
+
+    def test_high_precision_bf16x3(self):
+        self._compare(target_win=128, precision="high", tol=5e-4)
+
+    def test_auto_window_fits(self):
+        """Default target_win admits the tiling and stays correct."""
+        self._compare(target_win=None, n_rhs=4)
+
+    def test_curved_annulus(self):
+        """Genuinely curved isoparametric mapping (not just a variable
+        coefficient)."""
+        mesh = annulus_mesh(order=4, n_theta=8, n_r=16, r_outer=10.0,
+                            progression=1.2)
+        disc = Discretization(mesh, gll_basis_2d(4))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        if ex.E % 128:
+            pytest.skip("annulus element count not 128-divisible")
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        fused = make_fused_general_laplacian_T(ex, Gf, Dhat,
+                                               interpret=True)
+        rng = np.random.RandomState(8)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        got = np.asarray(fused(uT))
+        expected = np.asarray(A_xla(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < 1e-5
+
+    def test_bad_shape_raises(self):
+        ex, Gf, Dhat = general_problem()
+        fused = make_fused_general_laplacian_T(ex, Gf, Dhat, n_rhs=2,
+                                               interpret=True)
+        with pytest.raises(ValueError, match="sublane-stacked"):
+            fused(jnp.zeros((ex.n_loc, ex.E), jnp.float32))
+
+
+class TestOperatorWiring:
+    def test_explicit_fused_backend_on_general_mesh(self):
+        """backend='fused-interpret' + non-affine factors routes to the
+        general kernel through make_local_laplacian_operator."""
+        ex, Gf, Dhat = general_problem()
+        A_f = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne",
+            backend="fused-interpret", structure="general")
+        A_x = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        rng = np.random.RandomState(9)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        got, expected = np.asarray(A_f(uT)), np.asarray(A_x(uT))
+        assert np.abs(got - expected).max() / np.abs(expected).max() < 1e-5
+
+    def test_multi_rhs_factory_fused_and_mask(self):
+        ex, Gf, Dhat = general_problem()
+        n, E = ex.n_loc, ex.E
+        rng = np.random.RandomState(10)
+        free = jnp.asarray(rng.rand(n, E) > 0.1)
+        A_b = sumfac.make_multi_rhs_laplacian_T(
+            ex, Gf, Dhat, 2, free_local=free, backend="fused-interpret")
+        A_1 = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, free, vector_layout="ne", backend="xla",
+            structure="general")
+        U = jnp.asarray(rng.standard_normal((2, n, E)).astype(np.float32))
+        got = np.asarray(A_b(U))
+        for j in range(2):
+            expected = np.asarray(A_1(U[j]))
+            scale = np.abs(expected).max()
+            assert np.abs(got[j] - expected).max() / scale < 1e-5
+
+    def test_multi_rhs_factory_xla_fallback(self):
+        """backend='xla' vmaps the single-RHS general path."""
+        ex, Gf, Dhat = general_problem(nx=4, ny=2)
+        n, E = ex.n_loc, ex.E
+        A_b = sumfac.make_multi_rhs_laplacian_T(ex, Gf, Dhat, 3,
+                                                backend="xla")
+        A_1 = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        rng = np.random.RandomState(11)
+        U = jnp.asarray(rng.standard_normal((3, n, E)).astype(np.float32))
+        got = np.asarray(A_b(U))
+        for j in range(3):
+            np.testing.assert_allclose(got[j], np.asarray(A_1(U[j])),
+                                       rtol=0, atol=1e-4)
