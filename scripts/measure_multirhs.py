@@ -1,0 +1,117 @@
+"""General-path fused kernel + multi-RHS amortization (p=8, f32, 100k).
+
+The curved-mesh (general) apply reads full (3, n, E) factor slabs; the
+XLA path additionally materializes the (2n, E) grads/flux intermediates
+between the two dots.  ``make_fused_general_laplacian_T`` fuses the
+chain in VMEM and sublane-stacks ``n_rhs`` RHS so the slabs stream once
+per tile — predicted per-RHS passes ~(2 + 3/k) vs ~9 unfused.
+
+Arms (all on one 316x316 p=8 mesh, factors forced to general):
+  1. XLA general apply, single RHS          (the current curved-path cost)
+  2. fused general, k = 1, 2, 4, 8          (per-RHS ms)
+  3. affine fused apply                      (context: the bench headline)
+  4. XLA general under vmap, k = 4           (the non-kernel batched alt)
+
+Run ON the TPU host, nothing else using the chip:
+
+    python scripts/measure_multirhs.py [nx]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("BENCH_VERBOSE", "1")
+
+from measure_round2d import banner, stage  # noqa: E402
+from measure_panel import _build  # noqa: E402
+from exp_pallas_scale import _time_chain  # noqa: E402
+
+NX = int(sys.argv[1]) if len(sys.argv) > 1 else 316
+
+
+def _norm_step(A):
+    import jax
+    import jax.numpy as jnp
+
+    def step(x):
+        y = A(x)
+        return y * jax.lax.rsqrt(jnp.vdot(y, y).real.astype(y.dtype)
+                                 + 1e-30)
+
+    return step
+
+
+def _report(label, dt_ms, k=1, **kw):
+    print(json.dumps({
+        "metric": f"apply_ms[{label}]",
+        "value": round(dt_ms, 3),
+        "per_rhs_ms": round(dt_ms / k, 3),
+        "nrhs": k, **kw,
+    }), flush=True)
+
+
+def main():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectralelementmethod_tpu.ops import pallas_kernels, sumfac
+
+    prob, ex, Gf, Dhat, a, Kcat = _build(NX)
+    n, E = ex.n_loc, ex.E
+    rng = np.random.RandomState(0)
+    uT = jnp.asarray(rng.standard_normal((n, E)).astype(np.float32))
+
+    def xla_general():
+        A = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        dt = _time_chain(_norm_step(A), uT, iters=30)
+        _report("xla-general", dt * 1e3)
+
+    def fused_general():
+        for k in (1, 2, 4, 8):
+            try:
+                A = pallas_kernels.make_fused_general_laplacian_T(
+                    ex, Gf, Dhat, n_rhs=k)
+            except ValueError as e:
+                print(f"[fusedgen-k{k}: skipped — {e}]", flush=True)
+                continue
+            prep = A._prep
+            U = jnp.asarray(rng.standard_normal(
+                (k * n, E)).astype(np.float32))
+            dt = _time_chain(_norm_step(A), U, iters=30)
+            _report(f"fusedgen-k{k}", dt * 1e3, k=k,
+                    TE=prep.TE, Hb=prep.Hb)
+            del A, U
+
+    def affine_context():
+        A = pallas_kernels.make_fused_affine_laplacian_T(ex, Kcat, a)
+        dt = _time_chain(_norm_step(A), uT, iters=30)
+        _report("affine-fused", dt * 1e3)
+
+    def xla_vmap_batch():
+        import jax
+
+        A1 = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        Ab = jax.vmap(A1)
+        U = jnp.asarray(rng.standard_normal((4, n, E)).astype(np.float32))
+        dt = _time_chain(_norm_step(Ab), U, iters=30)
+        _report("xla-general-vmap-k4", dt * 1e3, k=4)
+
+    stage("xla general apply", xla_general)
+    if pallas_kernels.supported():
+        stage("fused general k-sweep", fused_general)
+        stage("affine fused context", affine_context)
+    else:
+        print("[fused arms skipped: no Mosaic backend]", flush=True)
+    stage("xla vmap batch", xla_vmap_batch)
+    banner("measure_multirhs done")
+
+
+if __name__ == "__main__":
+    main()

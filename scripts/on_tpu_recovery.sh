@@ -10,4 +10,6 @@ echo "### TPU-tier kernel tests"
 timeout 3600 python -m pytest tests_tpu/ -q
 echo "### solve records (plain / fused / deferred / pmg, 100k + 1M)"
 timeout 10800 python scripts/measure_solve.py
+echo "### general-path fused kernel + multi-RHS sweep"
+timeout 5400 python scripts/measure_multirhs.py
 echo "### all recovery stages done at $(date -u)"
