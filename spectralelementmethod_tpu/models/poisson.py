@@ -533,18 +533,6 @@ class Poisson(BoundaryConditionMixin):
         ex, transposed = ctx["ex"], ctx["transposed"]
         to_local, free_local = ctx["to_local"], ctx["free_local"]
         A_raw, M = ctx["A_raw"], ctx["M"]
-        # the batched apply runs under vmap: pin the XLA backend (vmap of
-        # the Mosaic fused kernel is unaudited; XLA batches the einsums
-        # into single larger contractions anyway)
-        bkey = ("A", structure, str(compute_dtype), ctx["vector_layout"],
-                "xla")
-        A = self._op_cache.get(bkey)
-        if A is None:
-            A = self._op_cache[bkey] = sumfac.make_local_laplacian_operator(
-                ex, ctx["Gf"], ctx["Dhat"], free_local,
-                structure=structure, compute_dtype=compute_dtype,
-                vector_layout=ctx["vector_layout"],
-                assume_masked_input=True, backend="xla")
 
         # weak RHS rows: b_j = scatter(f_j detJxW) + shared Neumann data
         coords = [disc.x_coeffs[:, d] for d in range(disc.mesh.ndim)]
@@ -565,9 +553,31 @@ class Poisson(BoundaryConditionMixin):
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
+        k = int(R.shape[0])
+        if not transposed:
+            # the multi-RHS factory is transposed-only; vmap the cached
+            # per-RHS operator for the 'en' layout
+            A_wb, wb = jax.vmap(ctx["A"]), True
+        else:
+            # whole-batch operator: one factor read for all k RHS (fused
+            # kernel on TPU general meshes; batched XLA einsums elsewhere)
+            bkey = ("A_batch", k, structure, str(compute_dtype))
+            A_wb = self._op_cache.get(bkey)
+            if A_wb is None:
+                A_wb = self._op_cache[bkey] = (
+                    sumfac.make_multi_rhs_laplacian_T(
+                        ex, ctx["Gf"], ctx["Dhat"], k,
+                        free_local=free_local, structure=structure,
+                        precision="highest",
+                        assume_masked_input=True))
+            wb = True
+        M_key = ("M_batch", precond, ctx["vector_layout"])
+        M_wb = self._op_cache.get(M_key)
+        if M_wb is None:
+            M_wb = self._op_cache[M_key] = jax.vmap(M)
         w = ex._weights_as(np.dtype(self.dtype), transposed=transposed)
-        res = cg_batched(A, R, M=M, tol=tol, max_iter=max_iter,
-                         dot_weight=w)
+        res = cg_batched(A_wb, R, M=M_wb, tol=tol, max_iter=max_iter,
+                         dot_weight=w, whole_batch=wb)
 
         back = (ex.global_from_local_T if transposed
                 else ex.global_from_local)

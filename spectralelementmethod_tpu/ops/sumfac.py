@@ -673,7 +673,17 @@ def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
 
     fused = None
     if backend in ("auto", "fused", "fused-interpret"):
-        want = backend != "auto" or (structure == "general"
+        if structure == "auto":
+            # affine meshes are better served by the 3-scalar compressed
+            # factors under vmap (nothing to amortize); the fused general
+            # kernel engages only when the factors are genuinely full
+            import numpy as np
+
+            Wgrid = exchange.disc.basis.weight_grid().reshape(-1)
+            _a, affine = affine_factorization(np.asarray(Gf), Wgrid)
+        else:
+            affine = structure != "general"
+        want = backend != "auto" or (not affine
                                      and dt == jnp.float32
                                      and pallas_kernels.supported())
         if backend != "auto" and dt != jnp.float32:

@@ -35,6 +35,25 @@ def _diag_weight_dot(u, v, w):
     return jnp.sum(u * v * w)
 
 
+def _axes_tail(u):
+    return tuple(range(1, u.ndim))
+
+
+def _euclidean_dot_wb(U, V):
+    """Per-RHS Euclidean dot for whole-batch CG: (k, ...) -> (k,)."""
+    return jnp.sum(jnp.conj(U) * V, axis=_axes_tail(U))
+
+
+def _diag_weight_dot_wb(U, V, w):
+    """Per-RHS weighted dot; ``w`` is unbatched (broadcasts over k)."""
+    return jnp.sum(U * V * w, axis=_axes_tail(U))
+
+
+def _bc(s, x):
+    """Broadcast a (k,) per-RHS scalar against a (k, ...) stack."""
+    return s.reshape(s.shape + (1,) * (x.ndim - 1))
+
+
 class CGResult(NamedTuple):
     x: jax.Array
     iterations: jax.Array
@@ -288,26 +307,36 @@ def cg_batched(
     dot: Callable | None = None,
     dot_weight: jax.Array | None = None,
     block: int = 64,
+    whole_batch: bool = False,
 ) -> CGResult:
     """Solve ``A x_j = b_j`` for a batch of right-hand sides.
 
-    ``B`` stacks the RHS along a leading batch axis ``(k, ...)``; the
-    operator ``A``, preconditioner ``M`` and inner product act on ONE
-    unbatched vector each (exactly as in :func:`cg`) and are shared by
-    every solve.  The jitted iteration block is ``jax.vmap``-ped over the
-    batch, so each RHS carries its own alpha/beta/convergence scalars and
-    freezes independently once converged — results match running
-    :func:`cg` per RHS (the reference has no multi-RHS facility; its
-    solve is one ``spsolve`` per system, ``sem/discrete.py:502-528``).
+    ``B`` stacks the RHS along a leading batch axis ``(k, ...)``.  By
+    default the operator ``A``, preconditioner ``M`` and inner product
+    act on ONE unbatched vector each (exactly as in :func:`cg`) and the
+    jitted iteration block is ``jax.vmap``-ped over the batch; each RHS
+    carries its own alpha/beta/convergence scalars and freezes
+    independently once converged — results match running :func:`cg` per
+    RHS (the reference has no multi-RHS facility; its solve is one
+    ``spsolve`` per system, ``sem/discrete.py:502-528``).
+
+    ``whole_batch=True`` instead passes the FULL ``(k, ...)`` stack to
+    ``A`` and ``M`` each iteration — required when the operator is
+    itself batched (the fused multi-RHS kernel
+    :func:`..ops.sumfac.make_multi_rhs_laplacian_T`, which streams the
+    geometric factors once for all k RHS).  A user-supplied ``dot`` must
+    then map two stacks to per-RHS values ``(k,)``; the defaults (per-RHS
+    Euclidean / ``dot_weight``) handle this.
 
     Why batch: (a) one host ladder drives all k solves, so through a
     remote-TPU tunnel the ~28 ms per-dispatch latency is paid once per
-    block instead of once per RHS per block; (b) XLA batches the k
-    operator applies into single larger contractions (better MXU shapes
-    at small E); (c) operator setup, hoisting, and jit compilation are
-    shared.  The ladder runs until EVERY RHS is converged, diverged, or
-    out of budget — converged systems ride along frozen (selects in the
-    block body), which costs bandwidth but no extra dispatches.
+    block instead of once per RHS per block; (b) the k operator applies
+    become single larger contractions (better MXU shapes at small E) or
+    one factor-amortized fused kernel; (c) operator setup, hoisting, and
+    jit compilation are shared.  The ladder runs until EVERY RHS is
+    converged, diverged, or out of budget — converged systems ride along
+    frozen (selects in the block body), which costs bandwidth but no
+    extra dispatches.
 
     Returns a :class:`CGResult` whose fields are all batched: ``x``
     ``(k, ...)``, ``iterations``/``residual_norm``/``converged`` ``(k,)``.
@@ -319,26 +348,29 @@ def cg_batched(
     if M is None:
         M = _identity_M
     if dot is None:
-        dot = _euclidean_dot
+        dot = _euclidean_dot_wb if whole_batch else _euclidean_dot
     if X0 is None:
         X0 = jnp.zeros_like(B)
     if B.ndim < 1 or X0.shape != B.shape:
         raise ValueError(f"X0 shape {X0.shape} != B shape {B.shape}")
 
-    A_p, A_c = hoist_closure(A, B[0])
-    M_p, M_c = hoist_closure(M, B[0])
+    ex_arg = B if whole_batch else B[0]
+    A_p, A_c = hoist_closure(A, ex_arg)
+    M_p, M_c = hoist_closure(M, ex_arg)
     if dot_weight is not None:
-        dot_p, dot_c = _diag_weight_dot, [dot_weight]
+        dot_p = _diag_weight_dot_wb if whole_batch else _diag_weight_dot
+        dot_c = [dot_weight]
     else:
-        dot_p, dot_c = hoist_closure(dot, B[0], B[0])
+        dot_p, dot_c = hoist_closure(dot, ex_arg, ex_arg)
     A_c, M_c, dot_c = tuple(A_c), tuple(M_c), tuple(dot_c)
 
     ftype = jnp.result_type(float)
     tol = jnp.asarray(tol, dtype=ftype)
     atol = jnp.asarray(atol, dtype=ftype)
 
-    init_k, block_k = _cg_kernels_batched(A_p, M_p, dot_p,
-                                          dot_weight is not None)
+    kernels = (_cg_kernels_whole_batch if whole_batch
+               else _cg_kernels_batched)
+    init_k, block_k = kernels(A_p, M_p, dot_p, dot_weight is not None)
     state = init_k(B, X0, tol, atol,
                    jnp.asarray(max_iter, dtype=jnp.int32),
                    A_c, M_c, dot_c)
@@ -419,6 +451,69 @@ def _cg_kernels_batched(A, M, dot, weight_fold: bool = False):
                                   weight_fold=weight_fold)
 
         return jax.vmap(one)(state)
+
+    return init, block
+
+
+@lru_cache(maxsize=64)
+def _cg_kernels_whole_batch(A, M, dot, weight_fold: bool = False):
+    """Whole-batch twins of :func:`_cg_kernels_batched`: A/M act on the
+    full (k, ...) stack per iteration (batched operators, e.g. the fused
+    multi-RHS kernel); all solver scalars are (k,) vectors and broadcast
+    against the stack.  Same state layout as the vmapped version, so the
+    host ladder in :func:`cg_batched` is shared."""
+
+    @jax.jit
+    def init(B, X0, tol, atol, max_iter, A_c, M_c, dot_c):
+        def norm2(V):
+            return jnp.real(dot(V, V, *dot_c))
+
+        k = B.shape[0]
+        stop2 = jnp.maximum(tol * tol * norm2(B), atol * atol)
+        r0 = B - A(X0, *A_c)
+        z0 = M(r0, *M_c)
+        rz0 = dot(r0, z0, *dot_c)
+        rn0 = norm2(r0)
+        return (X0, r0, z0, z0, rz0, rn0,
+                jnp.zeros(k, dtype=jnp.int32), stop2,
+                jnp.broadcast_to(max_iter, (k,)), rn0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(n, state, A_c, M_c, dot_c):
+        def norm2(V):
+            return jnp.real(dot(V, V, *dot_c))
+
+        def body(i, state):
+            x, r, z, p, rz, rn2, it, stop2, max_it, rn2_min = state
+            # per-RHS freeze semantics identical to _cg_block_body
+            done = ((rn2 <= stop2) | (it >= max_it)
+                    | (rn2 > 1e6 * rn2_min) | ~jnp.isfinite(rn2))
+            Ap = A(p, *A_c)
+            if weight_fold:
+                (w_arr,) = dot_c
+                wAp = w_arr * Ap
+                denom = jnp.sum(p * wAp, axis=_axes_tail(p))
+            else:
+                denom = dot(p, Ap, *dot_c)
+            alpha = jnp.where(
+                done, 0.0, rz / jnp.where(denom != 0, denom, 1.0))
+            x = x + _bc(alpha, p) * p
+            r = r - _bc(alpha, Ap) * Ap
+            z = M(r, *M_c)
+            if weight_fold:
+                zw = w_arr * z
+                rz_n = jnp.sum(r * zw, axis=_axes_tail(r))
+                rn2 = jnp.sum(r * r * w_arr, axis=_axes_tail(r))
+            else:
+                rz_n = dot(r, z, *dot_c)
+                rn2 = norm2(r)
+            beta = rz_n / jnp.where(rz != 0, rz, 1.0)
+            p = z + _bc(beta, p) * p
+            it = it + jnp.where(done, 0, 1).astype(it.dtype)
+            rn2_min = jnp.where(done, rn2_min, jnp.minimum(rn2_min, rn2))
+            return (x, r, z, p, rz_n, rn2, it, stop2, max_it, rn2_min)
+
+        return jax.lax.fori_loop(0, n, body, state)
 
     return init, block
 

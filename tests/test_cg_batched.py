@@ -93,6 +93,50 @@ class TestSolverLevel:
             np.testing.assert_allclose(np.asarray(res.x[j]), x_ref,
                                        atol=1e-10)
 
+    def test_whole_batch_matches_vmap_mode(self):
+        """whole_batch=True (batched operator) == the vmapped default."""
+        n, k = 35, 3
+        A_np = make_spd(n, 12)
+        A_d = jnp.asarray(A_np)
+        B = jnp.asarray(np.random.RandomState(13).randn(k, n))
+        inv = jnp.asarray(1.0 / np.diag(A_np))
+
+        def A1(v):
+            return A_d @ v
+
+        def Ab(V):                       # (k, n) -> (k, n)
+            return V @ A_d.T
+
+        def M1(r):
+            return inv * r
+
+        def Mb(R):
+            return inv * R
+
+        r_v = cg_batched(A1, B, M=M1, tol=1e-12, max_iter=500)
+        r_w = cg_batched(Ab, B, M=Mb, tol=1e-12, max_iter=500,
+                         whole_batch=True)
+        assert bool(r_w.converged.all())
+        np.testing.assert_array_equal(np.asarray(r_v.iterations),
+                                      np.asarray(r_w.iterations))
+        np.testing.assert_allclose(np.asarray(r_v.x), np.asarray(r_w.x),
+                                   rtol=0, atol=1e-11)
+
+    def test_whole_batch_weighted_dot(self):
+        n, k = 20, 2
+        A_np = make_spd(n, 14)
+        A_d = jnp.asarray(A_np)
+        wgt = jnp.asarray(np.random.RandomState(15).rand(n) + 0.5)
+        B = jnp.asarray(np.random.RandomState(16).randn(k, n))
+
+        res = cg_batched(lambda V: V @ A_d.T, B, dot_weight=wgt,
+                         tol=1e-12, max_iter=400, whole_batch=True)
+        assert bool(res.converged.all())
+        for j in range(k):
+            np.testing.assert_allclose(
+                np.asarray(res.x[j]),
+                np.linalg.solve(A_np, np.asarray(B[j])), atol=1e-10)
+
     def test_nonfinite_rhs_bails(self):
         """A NaN system must not hang the ladder (isfinite guard)."""
         n = 10
