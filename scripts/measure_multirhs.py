@@ -103,6 +103,41 @@ def main():
         dt = _time_chain(_norm_step(Ab), U, iters=30)
         _report("xla-general-vmap-k4", dt * 1e3, k=4)
 
+    def batched_solve():
+        """End-to-end: 100 whole-batch CG iterations through the fused
+        multi-RHS operator (general factors), k = 4."""
+        from spectralelementmethod_tpu.solver.cg import cg_batched
+
+        k, iters = 4, 100
+        free = jnp.ones((n, E), bool)
+        A_b = sumfac.make_multi_rhs_laplacian_T(
+            ex, Gf, Dhat, k, free_local=free, structure="general",
+            assume_masked_input=True)
+        arm = "fused" if getattr(A_b, "_fused", None) is not None \
+            else "xla-vmap"
+        w = ex._weights_as(np.float32, transposed=True)
+        # well-posed SPD system: mass-shifted operator not needed for a
+        # fixed-iteration timing; tol=0 runs the full budget
+        R = jnp.asarray(rng.standard_normal(
+            (k, n, E)).astype(np.float32))
+
+        def run():
+            res = cg_batched(A_b, R, tol=0.0, max_iter=iters,
+                             block=iters, dot_weight=w, whole_batch=True)
+            res.x.block_until_ready()
+            return res
+
+        run()
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"cg_batched_ms_per_iter[{arm}-k{k}]",
+            "value": round(dt * 1e3 / iters, 3),
+            "per_rhs_ms": round(dt * 1e3 / iters / k, 3),
+            "nrhs": k,
+        }), flush=True)
+
     stage("xla general apply", xla_general)
     if pallas_kernels.supported():
         stage("fused general k-sweep", fused_general)
@@ -110,6 +145,7 @@ def main():
     else:
         print("[fused arms skipped: no Mosaic backend]", flush=True)
     stage("xla vmap batch", xla_vmap_batch)
+    stage("whole-batch CG solve", batched_solve)
     banner("measure_multirhs done")
 
 
