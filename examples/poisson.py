@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--device-loop", action="store_true",
                     help="compile the CG loop on device (lax.while_loop) "
                          "instead of iterating from the host")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="additionally solve N extra forcings through "
+                         "ONE batched CG ladder (Poisson."
+                         "solve_local_batch: shared operator, one host "
+                         "sync per block for all N+1 systems)")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +85,21 @@ def main():
           f"(|r| = {float(sol.cg.residual_norm):.3e})")
     print(f"u range: [{sol.u.min():.6f}, {sol.u.max():.6f}]")
     print(f"integral of u: {disc.integrate(sol.u):.12f}")
+
+    if args.batch:
+        # k+1 forcings, one operator, one CG ladder (net-new vs the
+        # reference, which solves one system per spsolve call)
+        fs = [1.0] + [
+            (lambda m: lambda x, y: np.sin(m * np.pi * x)
+             * np.sin(m * np.pi * y))(m + 1)
+            for m in range(args.batch)
+        ]
+        bsol = prob.solve_local_batch(fs, tol=1e-12)
+        its = np.asarray(bsol.cg.iterations)
+        print(f"batched solve of {len(fs)} forcings: iterations {its}, "
+              f"all converged: {bool(np.asarray(bsol.cg.converged).all())}")
+        du = np.abs(bsol.u[0] - sol.u).max()
+        print(f"batch[0] vs single solve: max|du| = {du:.3e}")
 
     if args.plot:
         import matplotlib
