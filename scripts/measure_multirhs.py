@@ -138,6 +138,78 @@ def main():
             "nrhs": k,
         }), flush=True)
 
+    def general_cg():
+        """General fused CG (plain-general vs fused f32 vs fused bf16p),
+        100 iterations on the Dirichlet system."""
+        from spectralelementmethod_tpu.solver.cg import (
+            cg, cg_fused, jacobi_preconditioner)
+
+        iters = 100
+        free_np = (~prob._dirichlet_mask)[ex.gather_hier]
+        free = jnp.asarray(np.ascontiguousarray(free_np.T))
+        diagL = jnp.asarray(np.ascontiguousarray(
+            np.asarray(prob.operator_diagonal())
+            [ex.gather_hier].astype(np.float32).T))
+        inv0 = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0),
+                         0.0)
+        w = ex._weights_as(np.float32, transposed=True)
+        wf0 = jnp.where(free, w, 0.0)
+        b0 = ex.dss_T(jnp.asarray(rng.standard_normal(
+            (n, E)).astype(np.float32))) * jnp.where(free, 1.0, 0.0)
+
+        A = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, free, vector_layout="ne", backend="xla",
+            structure="general", assume_masked_input=True)
+        M = jacobi_preconditioner(diagL, free)
+
+        def run_plain():
+            res = cg(A, b0, M=M, tol=0.0, max_iter=iters, block=iters,
+                     dot_weight=w)
+            res.x.block_until_ready()
+            return res
+
+        run_plain()
+        t0 = time.perf_counter()
+        res = run_plain()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "cg_general_ms_per_iter[plain-xla]",
+            "value": round(dt * 1e3 / iters, 3),
+            "resnorm": float(res.residual_norm)}), flush=True)
+
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels_general)
+
+        for tag, prec, p_dt in (("f32", "highest", None),
+                                ("bf16p", "high", jnp.bfloat16)):
+            try:
+                kA, kB, G = make_fused_cg_kernels_general(
+                    ex, sumfac._pad_factors_to_exchange(Gf, ex), Dhat,
+                    precision=prec, p_dtype=p_dt)
+            except ValueError as e:
+                print(f"[general-cg-{tag}: skipped — {e}]", flush=True)
+                continue
+            inv_d = inv0.astype(jnp.bfloat16) if p_dt else inv0
+            wf_d = wf0.astype(jnp.bfloat16) if p_dt else wf0
+
+            def run_f():
+                res = cg_fused(kA, kB, b0, inv=inv_d, w_free=wf_d,
+                               tol=0.0, max_iter=iters, block=iters,
+                               p_dtype=p_dt)
+                res.x.block_until_ready()
+                return res
+
+            run_f()
+            t0 = time.perf_counter()
+            res = run_f()
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": f"cg_general_ms_per_iter[fused-{tag}]",
+                "value": round(dt * 1e3 / iters, 3),
+                "TE": kA._prep.TE, "Hb": kA._prep.Hb,
+                "resnorm": float(res.residual_norm)}), flush=True)
+            del kA, kB
+
     stage("xla general apply", xla_general)
     if pallas_kernels.supported():
         stage("fused general k-sweep", fused_general)
@@ -146,6 +218,8 @@ def main():
         print("[fused arms skipped: no Mosaic backend]", flush=True)
     stage("xla vmap batch", xla_vmap_batch)
     stage("whole-batch CG solve", batched_solve)
+    if pallas_kernels.supported():
+        stage("general fused CG", general_cg)
     banner("measure_multirhs done")
 
 

@@ -655,15 +655,25 @@ class Poisson(BoundaryConditionMixin):
             np.asarray(Gf, dtype=np.float32), ex)
         Wgrid = disc.basis.weight_grid().reshape(-1)
         a, exact = sumfac.affine_factorization(Gf_p, Wgrid)
-        if not exact:
-            raise ValueError("fused CG requires an affine mesh")
-        Kcat = sumfac.make_affine_element_matrices(Dhat, Wgrid,
-                                                   order=ex.hier)
-        kA, kB, _ = pallas_kernels.make_fused_cg_kernels(
-            ex, Kcat, a,
-            precision="high" if p_dtype is not None else "highest",
-            p_dtype=p_dtype, defer_x=defer_x,
-            interpret=cg_kernel == "fused-interpret")
+        if exact:
+            Kcat = sumfac.make_affine_element_matrices(Dhat, Wgrid,
+                                                       order=ex.hier)
+            kA, kB, _ = pallas_kernels.make_fused_cg_kernels(
+                ex, Kcat, a,
+                precision="high" if p_dtype is not None else "highest",
+                p_dtype=p_dtype, defer_x=defer_x,
+                interpret=cg_kernel == "fused-interpret")
+        else:
+            # curved/variable-coefficient meshes: the general fused CG
+            # iteration (full-factor kernel A + the shared kernel B)
+            if defer_x:
+                raise ValueError(
+                    "defer_x is not offered on the general fused CG")
+            kA, kB, _ = pallas_kernels.make_fused_cg_kernels_general(
+                ex, Gf_p, Dhat,
+                precision="high" if p_dtype is not None else "highest",
+                p_dtype=p_dtype,
+                interpret=cg_kernel == "fused-interpret")
 
         diagL = jnp.asarray(np.ascontiguousarray(
             (np.asarray(self.operator_diagonal())

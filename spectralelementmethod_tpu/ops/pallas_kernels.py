@@ -1234,6 +1234,29 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
             return p_new, (Ap, prep.far_rows(aux)), x_new, dparts
         return res
 
+    kB = _build_cg_kernel_b(prep, interpret)
+
+    if defer_x:
+        kA = kA_d
+    kA._prep = kB._prep = prep        # introspection (tests, bench)
+    kA._defer_x = defer_x
+    return kA, kB, G
+
+
+def _build_cg_kernel_b(prep, interpret: bool):
+    """CG iteration tail kernel, shared by the affine and general fused
+    CG factories (kernel B never touches the geometric factors):
+    ``kB(r, Ap, inv, w_free, alpha) -> (r', rz_parts, rn2_parts)`` with
+    z = inv*r' kept in VMEM and both weighted reductions per tile; adds
+    kernel A's compact far rows into the Ap stream when the far split is
+    active."""
+    n, E, G = prep.n, prep.E, prep.G
+
+    smem_scalar = pl.BlockSpec((1, 1), _im32(lambda i: (0, 0)),
+                               memory_space=pltpu.SMEM)
+    smem_out = pl.BlockSpec((G, 1), _im32(lambda i: (0, 0)),
+                            memory_space=pltpu.SMEM)
+
     def kernel_b(r_ref, ap_ref, i_ref, w_ref, *rest):
         if prep.has_far:
             far_ref, alpha_ref, ro_ref, rz_ref, rn_ref = rest
@@ -1277,10 +1300,133 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
             interpret=interpret,
         )(*args)
 
-    if defer_x:
-        kA = kA_d
+    return kB
+
+
+def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
+                                  precision: str = "high",
+                                  p_dtype=None,
+                                  target_win: int | None = None,
+                                  interpret: bool = False):
+    """Two Pallas kernels fusing one PCG iteration on GENERAL meshes.
+
+    The curved-mesh twin of :func:`make_fused_cg_kernels`: kernel A
+    computes the apply through the in-VMEM derivative-dot chain of
+    :func:`make_fused_general_laplacian_T` (full (3, n, E) factor slabs
+    read on the halo window) instead of the affine assembled-K matmul;
+    kernel B is the shared factor-free tail.  The unfused general CG
+    iteration costs ~9 apply passes (grads/flux materialization) + ~12
+    vector passes; the fused pair streams ~16.  Full halo only — pair
+    with the panel element order at large E.
+
+    Same driver contract as the affine factory (consumed unchanged by
+    :func:`..solver.cg.cg_fused`):
+
+        kA(r, p, inv, x, beta, alpha_prev) -> (p', Ap', x', denom_parts)
+        kB(r, Ap', inv, w_free, alpha)     -> (r', rz_p, rn2_p)
+
+    ``p_dtype=jnp.bfloat16`` stores the search direction in bf16
+    (requires ``precision='high'``); x and r stay float32, and Ap is
+    computed from the stored direction so full f32 accuracy is
+    attainable.  ``defer_x`` is not offered here (the x update is a
+    smaller fraction of this kernel's traffic).
+    """
+    import numpy as np
+
+    from ..utils.hoist import ensure_recursion_headroom
+
+    ensure_recursion_headroom()
+    if p_dtype is not None and jnp.dtype(p_dtype) != jnp.bfloat16:
+        raise ValueError(f"p_dtype must be None or bfloat16, got {p_dtype}")
+    p_bf16 = p_dtype is not None
+    if p_bf16 and precision != "high":
+        raise ValueError("p_dtype=bfloat16 requires precision='high'")
+    if target_win is None:
+        # kernel A holds ~15n rows of per-lane state (r/p/inv windows,
+        # the factor window, x, three outputs, grads/flux transients) vs
+        # the affine kernel's ~10n — scale its measured windows down
+        target_win = 2048 if p_bf16 else 1024
+
+    prep = _AffineFusedPrep(exchange, None, None, precision, target_win,
+                            max_halo=None)
+    n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
+    M = prep.M
+    p_store = jnp.bfloat16 if p_bf16 else jnp.float32
+
+    Dhat_np = np.asarray(Dhat, dtype=np.float64)[:, exchange.hier]
+    Dh_c = prep.prec_const(Dhat_np)                          # (2n, n)
+    DhT_c = prep.prec_const(np.ascontiguousarray(Dhat_np.T))
+    Gf_np = np.asarray(Gf, dtype=np.float32)
+    gT = jnp.asarray(np.ascontiguousarray(
+        Gf_np.transpose(1, 2, 0).reshape(3 * n, E)))         # (3n, E)
+
+    def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, gL, gC, gR,
+                 x_ref, dh_ref, dht_ref, m_ref, sc_ref,
+                 po_ref, apo_ref, xo_ref, d_ref):
+        beta = sc_ref[0, 0]
+        alpha_prev = sc_ref[0, 1]
+        r_win = jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
+        p_win = jnp.concatenate([pL[:], pC[:], pR[:]], axis=1)
+        i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
+        g_win = jnp.concatenate([gL[:], gC[:], gR[:]], axis=1)
+        p32 = p_win.astype(jnp.float32)
+        xo_ref[:] = x_ref[:] + alpha_prev * p32[:, Hb:Hb + TE]
+        pn = i_win.astype(jnp.float32) * r_win + beta * p32
+        # Ap must be computed from the *stored* direction: round first
+        pn_st = pn.astype(p_store)
+        grads = prep.prec_dot(dh_ref, 2 * n, pn_st)          # (2n, W)
+        ur, us = grads[:n], grads[n:]
+        g0, g1, g2 = g_win[:n], g_win[n:2 * n], g_win[2 * n:]
+        flux = jnp.concatenate(
+            [g0 * ur + g1 * us, g1 * ur + g2 * us], axis=0)
+        S = prep.prec_dot(dht_ref, n, flux)                  # (n, W)
+        po_ref[:] = pn_st[:, Hb:Hb + TE]
+        apo_ref[:] = prep.roll_dss(S, m_ref)
+        d_ref[pl.program_id(0), 0] = jnp.sum(
+            pn_st[:, Hb:Hb + TE].astype(jnp.float32) * S[:, Hb:Hb + TE])
+
+    smem_pair = pl.BlockSpec((1, 2), _im32(lambda i: (0, 0)),
+                             memory_space=pltpu.SMEM)
+    smem_out = pl.BlockSpec((G, 1), _im32(lambda i: (0, 0)),
+                            memory_space=pltpu.SMEM)
+    d_rows, dt_rows = Dh_c.shape[0], DhT_c.shape[0]
+    a_specs = (prep.halo_triple(n) + prep.halo_triple(n)
+               + prep.halo_triple(n) + prep.halo_triple(3 * n)
+               + [prep.center_spec(n)] + [
+                   pl.BlockSpec((d_rows, n), _im32(lambda i: (0, 0)),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((dt_rows, 2 * n), _im32(lambda i: (0, 0)),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((prep.n_mask_rows, TE),
+                                _im32(lambda i: (0, i)),
+                                memory_space=pltpu.VMEM),
+               ] + [smem_pair])
+    a_out_shapes = (
+        jax.ShapeDtypeStruct((n, E), p_store),
+        jax.ShapeDtypeStruct((n, E), jnp.float32),
+        jax.ShapeDtypeStruct((n, E), jnp.float32),
+        jax.ShapeDtypeStruct((G, 1), jnp.float32),
+    )
+    a_out_specs = (prep.center_spec(n), prep.center_spec(n),
+                   prep.center_spec(n), smem_out)
+
+    def kA(r, p, inv, x, beta, alpha_prev):
+        sc = jnp.stack([jnp.asarray(beta, jnp.float32),
+                        jnp.asarray(alpha_prev, jnp.float32)]).reshape(1, 2)
+        return pl.pallas_call(
+            kernel_a,
+            out_shape=a_out_shapes,
+            grid=(G,),
+            in_specs=a_specs,
+            out_specs=a_out_specs,
+            interpret=interpret,
+        )(r, r, r, p, p, p, inv, inv, inv, gT, gT, gT, x,
+          Dh_c, DhT_c, M, sc)
+
+    kB = _build_cg_kernel_b(prep, interpret)
     kA._prep = kB._prep = prep        # introspection (tests, bench)
-    kA._defer_x = defer_x
+    kA._defer_x = False
+    kA._no_hoist = kB._no_hoist = True
     return kA, kB, G
 
 

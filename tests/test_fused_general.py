@@ -116,6 +116,77 @@ class TestFusedGeneralT:
             fused(jnp.zeros((ex.n_loc, ex.E), jnp.float32))
 
 
+class TestGeneralFusedCG:
+    """Fused CG iteration kernels on general (full-factor) meshes."""
+
+    def _prob(self):
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, coefficient=lambda x, y: 1 + x**2 * y**2,
+                       dtype=np.float32)
+        prob.set_dirichlet("ebc", lambda x, y: 0.0)
+        return prob
+
+    def test_kernel_a_matches_xla_apply(self):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels_general)
+
+        ex, Gf, Dhat = general_problem()
+        kA, kB, G = make_fused_cg_kernels_general(ex, Gf, Dhat,
+                                                  precision="highest",
+                                                  interpret=True)
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        n, E = ex.n_loc, ex.E
+        rng = np.random.RandomState(21)
+        r = ex.dss_T(jnp.asarray(
+            rng.standard_normal((n, E)).astype(np.float32)))
+        p = ex.dss_T(jnp.asarray(
+            rng.standard_normal((n, E)).astype(np.float32)))
+        inv = ex.dss_T(jnp.asarray(
+            rng.rand(n, E).astype(np.float32))) * 0.1
+        x = jnp.zeros((n, E), jnp.float32)
+        beta, alpha_prev = 0.7, 0.0
+        p_new, Ap, x_new, dparts = kA(r, p, inv, x, beta, alpha_prev)
+        p_ref = inv * r + beta * p
+        np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_ref),
+                                   rtol=1e-6, atol=1e-6)
+        Ap_ref = np.asarray(A_xla(p_ref))
+        scale = np.abs(Ap_ref).max()
+        assert np.abs(np.asarray(Ap) - Ap_ref).max() / scale < 1e-5
+        # pre-DSS denominator identity == multiplicity-weighted <p, Ap>
+        denom = float(jnp.sum(dparts))
+        denom_ref = float(ex.dot_T(p_ref, jnp.asarray(Ap_ref)))
+        assert abs(denom - denom_ref) / abs(denom_ref) < 1e-5
+
+    def test_solve_local_fused_matches_plain(self):
+        prob = self._prob()
+        sol_p = prob.solve_local(tol=1e-5, cg_kernel="plain",
+                                 vector_layout="ne")
+        sol_f = prob.solve_local(tol=1e-5, cg_kernel="fused-interpret",
+                                 vector_layout="ne")
+        assert bool(sol_f.cg.converged)
+        scale = max(np.abs(sol_p.u).max(), 1e-30)
+        assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-4
+
+    def test_solve_local_fused_bf16p(self):
+        prob = self._prob()
+        sol_p = prob.solve_local(tol=1e-5, cg_kernel="plain",
+                                 vector_layout="ne")
+        sol_f = prob.solve_local(tol=1e-5, cg_kernel="fused-interpret",
+                                 p_dtype=jnp.bfloat16, vector_layout="ne")
+        assert bool(sol_f.cg.converged)
+        scale = max(np.abs(sol_p.u).max(), 1e-30)
+        assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
+
+    def test_defer_x_rejected(self):
+        prob = self._prob()
+        with pytest.raises(ValueError, match="defer_x"):
+            prob.solve_local(tol=1e-5, cg_kernel="fused-interpret",
+                             defer_x=8, vector_layout="ne")
+
+
 class TestOperatorWiring:
     def test_explicit_fused_backend_on_general_mesh(self):
         """backend='fused-interpret' + non-affine factors routes to the

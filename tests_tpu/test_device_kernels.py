@@ -217,3 +217,21 @@ def test_solve_local_batch_whole_batch_on_device():
     ref = one.solve_local(tol=1e-5, structure="general")
     scale = max(np.abs(ref.u).max(), 1e-30)
     assert np.abs(sol.u[0] - ref.u).max() / scale < 1e-3
+
+
+def test_general_fused_cg_on_device():
+    """General fused CG kernels compile under real Mosaic and solve a
+    variable-coefficient problem end-to-end."""
+    p = 8
+    mesh = rectangle_mesh(16, 8, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, coefficient=lambda x, y: 1 + x * x * y * y,
+                   dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    sol_p = prob.solve_local(tol=1e-5, cg_kernel="plain",
+                             vector_layout="ne")
+    sol_f = prob.solve_local(tol=1e-5, cg_kernel="fused",
+                             p_dtype=jnp.bfloat16, vector_layout="ne")
+    assert bool(sol_f.cg.converged)
+    scale = max(np.abs(sol_p.u).max(), 1e-30)
+    assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
