@@ -117,6 +117,98 @@ class Helmholtz(BoundaryConditionMixin):
         u = np.asarray(u_d + res.x)
         return HelmholtzSolution(u, res)
 
+    def solve_local(self, tol: float = 1e-12, max_iter: int | None = None,
+                    host_loop: bool = False,
+                    structure: str = "auto",
+                    vector_layout: str = "auto",
+                    backend: str = "auto") -> HelmholtzSolution:
+        """Solve on element-local (L-vector) storage — the production TPU
+        path for the curved-mesh Helmholtz config (BASELINE config 3).
+
+        The Laplacian part rides :func:`..ops.sumfac.
+        make_local_laplacian_operator` (on TPU curved meshes with
+        ``backend='fused'``, the general fused kernel); the reaction term
+        composes by DSS linearity as a second exchanged elementwise pass:
+        ``A u = DSS(lap_local(u)) + DSS(kM . u)`` — bitwise the same
+        operator as :meth:`solve`'s global-vector form.  ``backend``
+        forwards to the Laplacian factory ('fused-interpret' for CPU
+        kernel testing).
+        """
+        from ..ops.exchange import RollExchange, make_exchange
+        from ..utils.hoist import hoist_closure  # noqa: F401 (doc link)
+
+        disc = self.disc
+        ex = getattr(self, "_exchange", None)
+        if ex is None:
+            ex = self._exchange = make_exchange(disc, fused_pad=True)
+            self._op_cache = {}
+        if vector_layout == "auto":
+            vector_layout = "ne" if isinstance(ex, RollExchange) else "en"
+        transposed = vector_layout == "ne"
+
+        def to_local(u_global):
+            lv = ex.local_from_global(u_global).astype(self.dtype)
+            return jnp.asarray(np.ascontiguousarray(lv.T) if transposed
+                               else lv)
+
+        Gf = np.asarray(self._G, dtype=self.dtype).reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(self._D0), np.asarray(self._D1))
+        free_np = (~self._dirichlet_mask)[ex.gather_hier]
+        free = jnp.asarray(
+            np.ascontiguousarray(free_np.T) if transposed else free_np)
+        kM_np = np.zeros((ex.E, ex.n_loc), dtype=self.dtype)
+        kM_np[:disc.E] = np.asarray(self._kM).reshape(disc.E, -1)[
+            :, ex.hier]
+        kM_L = jnp.asarray(np.ascontiguousarray(kM_np.T) if transposed
+                           else kM_np)
+
+        key = ("A", structure, vector_layout, backend)
+        A = self._op_cache.get(key)
+        if A is None:
+            lap = sumfac.make_local_laplacian_operator(
+                ex, Gf, Dhat, None, structure=structure,
+                vector_layout=vector_layout, backend=backend)
+            dss = ex.dss_T if transposed else ex.dss
+
+            def A_raw(uL):
+                return lap(uL) + dss(kM_L * uL)
+
+            def A(uL):
+                return jnp.where(free, A_raw(uL), 0.0)
+
+            # propagate the Pallas no-hoist marker: hoisting the fused
+            # kernel's captured operands to runtime jit parameters aborts
+            # the TPU runtime (utils/hoist.py)
+            A._no_hoist = A_raw._no_hoist = getattr(
+                lap, "_no_hoist", False)
+            A._raw = A_raw
+            A = self._op_cache.setdefault(key, A)
+
+        b = np.asarray(self._b) + self._neumann
+        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
+        bL, u_dL = to_local(b), to_local(u_d)
+        r = jnp.where(free, bL - A._raw(u_dL), 0.0)
+
+        Mk = ("M", vector_layout)
+        M = self._op_cache.get(Mk)
+        if M is None:
+            diagL = to_local(np.asarray(self.operator_diagonal()))
+            M = self._op_cache[Mk] = jacobi_preconditioner(diagL, free)
+
+        if max_iter is None:
+            max_iter = max(200, 30 * int(np.sqrt(disc.ndof)))
+        if host_loop:
+            dot = ex.dot_T if transposed else ex.dot
+            res = cg_host(A, r, M=M, tol=tol, max_iter=max_iter, dot=dot)
+        else:
+            w = ex._weights_as(np.dtype(self.dtype), transposed=transposed)
+            res = cg(A, r, M=M, tol=tol, max_iter=max_iter, dot_weight=w)
+
+        uL = u_dL + res.x
+        back = ex.global_from_local_T if transposed else ex.global_from_local
+        return HelmholtzSolution(back(np.asarray(uL)), res)
+
     def l2_error(self, u: np.ndarray, exact: Callable) -> float:
         disc = self.disc
         ue = disc.gather(u)

@@ -109,3 +109,55 @@ class TestCurvedHelmholtz:
         prob.set_dirichlet("d", 0.0)
         sol = prob.solve(tol=1e-12, host_loop=True, max_iter=4000)
         assert prob.l2_error(sol.u, exact) < 1e-6
+
+
+class TestSolveLocal:
+    """L-vector (production TPU) Helmholtz path == the global-vector
+    solve; fused-interpret backend exercises the general kernel with the
+    composed reaction term."""
+
+    def _curved_problem(self):
+        c = lambda x, y: 1.0 + 0.1 * (x**2 + y**2) ** 0.5  # noqa: E731
+        k = lambda x, y: 2.0 + x**2  # noqa: E731
+        mesh = annulus_mesh(order=4, n_theta=8, n_r=16, r_outer=10.0,
+                            progression=1.2)
+        disc = Discretization(mesh, gll_basis_2d(4))
+        prob = Helmholtz(disc, forcing=1.0, coefficient=c, reaction=k)
+        prob.set_dirichlet("sphere", 0.0)
+        prob.set_dirichlet("shell", 0.0)
+        return prob
+
+    def test_matches_global_solve(self):
+        prob = self._curved_problem()
+        sol_g = prob.solve(tol=1e-12)
+        sol_l = prob.solve_local(tol=1e-12)
+        assert bool(sol_l.cg.converged)
+        np.testing.assert_allclose(sol_l.u, sol_g.u, atol=1e-9)
+
+    def test_manufactured_rect(self):
+        exact = lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y)  # noqa
+        f = lambda x, y: (2 * np.pi**2 + 4.0) * exact(x, y)  # noqa: E731
+        disc = all_dirichlet_rect(3, 3, 8)
+        prob = Helmholtz(disc, forcing=f, reaction=4.0)
+        prob.set_dirichlet("d", 0.0)
+        sol = prob.solve_local(tol=1e-13)
+        assert prob.l2_error(sol.u, exact) < 1e-8
+
+    def test_fused_interpret_backend(self):
+        """backend='fused-interpret' drives the general fused kernel for
+        the Laplacian part (f32), reaction composed outside."""
+        c = lambda x, y: 1.0 + 0.25 * x * x * y * y  # noqa: E731
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Helmholtz(disc, forcing=1.0, coefficient=c, reaction=2.0,
+                         dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        sol_x = prob.solve_local(tol=1e-5, backend="xla")
+        prob2 = Helmholtz(disc, forcing=1.0, coefficient=c, reaction=2.0,
+                          dtype=np.float32)
+        prob2.set_dirichlet("ebc", 0.0)
+        sol_f = prob2.solve_local(tol=1e-5, backend="fused-interpret",
+                                  structure="general")
+        assert bool(sol_f.cg.converged)
+        scale = max(np.abs(sol_x.u).max(), 1e-30)
+        assert np.abs(sol_f.u - sol_x.u).max() / scale < 1e-4
