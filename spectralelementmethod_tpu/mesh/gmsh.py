@@ -114,28 +114,32 @@ def lex_to_spiral_permutation(shape) -> np.ndarray:
 
 
 def load_msh(file_path: str, ndim: int = 2) -> Mesh:
-    """Load a binary Gmsh ``.msh`` file (format 2.2 or 4.1).
+    """Load a Gmsh ``.msh`` file — format 2.2 or 4.1, binary or ASCII.
 
     Physical names of dimension ``ndim`` become mesh regions; lower-dim
     physical names become named boundaries whose cells are matched to bulk
-    cell faces (parity: ``sem/grid_importers.py:45-68``).
+    cell faces (parity: ``sem/grid_importers.py:45-68``; the reference
+    reads binary 2.2 only and rejects ASCII at ``:64-67`` — ASCII is
+    gmsh's *default* output format, so both text encodings are accepted
+    here.  Binary remains the fast path for large meshes).
     """
     with open(file_path, "rb") as f:
         is_binary, version = _parse_format(f)
-        if not is_binary:
-            raise NotImplementedError(
-                "Reading ASCII *.msh files is not yet supported. Save the "
-                "mesh in binary format and try again."
-            )
         mesh = Mesh(ndim)
         bnd_mesh = Mesh(ndim)
         if version == "2.2":
             region_map, boundary_map = _parse_physical_names(
                 f, mesh, bnd_mesh)
-            _parse_nodes_bin(f, mesh, bnd_mesh)
-            _parse_elements_bin(f, mesh, bnd_mesh, region_map, boundary_map)
+            if is_binary:
+                _parse_nodes_bin(f, mesh, bnd_mesh)
+                _parse_elements_bin(f, mesh, bnd_mesh, region_map,
+                                    boundary_map)
+            else:
+                _parse_nodes_ascii(f, mesh, bnd_mesh)
+                _parse_elements_ascii(f, mesh, bnd_mesh, region_map,
+                                      boundary_map)
         else:
-            _load_msh41(f, mesh, bnd_mesh)
+            _load_msh41(f, mesh, bnd_mesh, is_binary)
 
     mesh.find_neighbors()
     mesh.attach_boundary_mesh(bnd_mesh)
@@ -267,6 +271,92 @@ def _parse_elements_bin(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
         raise FileFormatError("Expected 'Elements' data")
 
 
+def _register_geometry(geo_ids, elem_type, mesh, bnd_mesh):
+    """geometry registry shared by the element parsers:
+    gmsh type -> (geometry, geometry_id, is_bulk)."""
+    if elem_type not in geo_ids:
+        if elem_type not in construct_geometry:
+            raise FileFormatError(f"unsupported element type {elem_type}")
+        geometry = construct_geometry[elem_type]()
+        if geometry.ndim == mesh.ndim:
+            geo_ids[elem_type] = (geometry, mesh.add_geometry(geometry),
+                                  True)
+        elif geometry.ndim < mesh.ndim:
+            geo_ids[elem_type] = (geometry, bnd_mesh.add_geometry(geometry),
+                                  False)
+        else:
+            raise FileFormatError(
+                f"element dim {geometry.ndim} exceeds mesh dim")
+    return geo_ids[elem_type]
+
+
+def _add_cells_lex(target, geometry, geometry_id, node_ix, rids):
+    """0-based spiral node indices -> lexicographic cells on the mesh."""
+    idxmap = spiral_to_lex_permutation(geometry.shape).ravel()
+    node_ix_lex = node_ix[:, idxmap]
+    target.add_cells(
+        node_ix_lex.reshape((len(node_ix),) + tuple(geometry.shape)),
+        geometry_id, np.asarray(rids, dtype=np.int64),
+    )
+
+
+def _parse_nodes_ascii(f, mesh: Mesh, bnd_mesh: Mesh):
+    """ASCII 2.2 $Nodes: one ``index x y z`` line per node."""
+    if not f.readline().startswith(b"$Nodes"):
+        raise FileFormatError("Expected 'Nodes' data")
+    n_nodes = int(f.readline().rstrip())
+    blob = b" ".join(f.readline() for _ in range(n_nodes))
+    raw = np.array(blob.split(), dtype=np.float64).reshape(n_nodes, 4)
+    if not f.readline().startswith(b"$EndNodes"):
+        raise FileFormatError("Expected end of 'Nodes' data")
+    if not np.array_equal(raw[:, 0], np.arange(1, n_nodes + 1)):
+        raise FileFormatError("nodes must be consecutively indexed")
+    nodes = np.ascontiguousarray(raw[:, 1:1 + mesh.ndim].T)
+    mesh.set_nodes(nodes)
+    bnd_mesh.set_nodes(nodes)
+
+
+def _parse_elements_ascii(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
+                          boundary_map):
+    """ASCII 2.2 $Elements: ``index type ntags tags... nodes...`` lines.
+
+    Rows are ragged (per-element tag counts), so elements are bucketed by
+    type and added in vectorized blocks like the binary reader.
+    """
+    if not f.readline().startswith(b"$Elements"):
+        raise FileFormatError("Expected 'Elements' data")
+    n_elems = int(f.readline().rstrip())
+    geo_ids: dict[int, tuple] = {}
+    buckets: dict[int, tuple[list, list]] = {}   # type -> (node rows, phys)
+
+    for i in range(n_elems):
+        vals = f.readline().split()
+        if int(vals[0]) != i + 1:
+            raise FileFormatError("elements must be consecutively indexed")
+        elem_type, n_tags = int(vals[1]), int(vals[2])
+        geometry, _gid, _bulk = _register_geometry(
+            geo_ids, elem_type, mesh, bnd_mesh)
+        tags = vals[3:3 + n_tags]
+        node_row = vals[3 + n_tags:]
+        if len(node_row) != geometry.n_nodes:
+            raise FileFormatError(
+                f"element {i + 1}: expected {geometry.n_nodes} nodes, "
+                f"got {len(node_row)}")
+        rows, phys = buckets.setdefault(elem_type, ([], []))
+        rows.append(node_row)
+        phys.append(int(tags[0]) if n_tags else 1)
+    if not f.readline().startswith(b"$EndElements"):
+        raise FileFormatError("Expected 'Elements' data")
+
+    for elem_type, (rows, phys) in buckets.items():
+        geometry, geometry_id, is_bulk = geo_ids[elem_type]
+        node_ix = np.array(rows, dtype=np.int64) - 1
+        id_map = region_map if is_bulk else boundary_map
+        rids = np.asarray([id_map[p] for p in phys], dtype=np.int64)
+        _add_cells_lex(mesh if is_bulk else bnd_mesh, geometry,
+                       geometry_id, node_ix, rids)
+
+
 # ---------------------------------------------------------------------------
 # MSH 4.1 reader
 # ---------------------------------------------------------------------------
@@ -298,7 +388,7 @@ def _expect_line(f, token: bytes):
     return line
 
 
-def _load_msh41(f, mesh: Mesh, bnd_mesh: Mesh):
+def _load_msh41(f, mesh: Mesh, bnd_mesh: Mesh, is_binary: bool = True):
     # $PhysicalNames is optional in 4.1 output
     pos = f.tell()
     line = f.readline()
@@ -306,10 +396,16 @@ def _load_msh41(f, mesh: Mesh, bnd_mesh: Mesh):
     region_map, boundary_map = {}, {}
     if line.startswith(b"$PhysicalNames"):
         region_map, boundary_map = _parse_physical_names(f, mesh, bnd_mesh)
-    ent_phys = _parse_entities_bin41(f)
-    tag2idx = _parse_nodes_bin41(f, mesh, bnd_mesh)
-    _parse_elements_bin41(f, mesh, bnd_mesh, region_map, boundary_map,
-                          ent_phys, tag2idx)
+    if is_binary:
+        ent_phys = _parse_entities_bin41(f)
+        tag2idx = _parse_nodes_bin41(f, mesh, bnd_mesh)
+        _parse_elements_bin41(f, mesh, bnd_mesh, region_map, boundary_map,
+                              ent_phys, tag2idx)
+    else:
+        ent_phys = _parse_entities_ascii41(f)
+        tag2idx = _parse_nodes_ascii41(f, mesh, bnd_mesh)
+        _parse_elements_ascii41(f, mesh, bnd_mesh, region_map,
+                                boundary_map, ent_phys, tag2idx)
 
 
 def _parse_entities_bin41(f) -> dict:
@@ -421,17 +517,124 @@ def _parse_elements_bin41(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
     _expect_line(f, b"$EndElements")
 
 
+def _ascii_tokens(f, section_end: bytes):
+    """Whitespace tokens of an ASCII section up to (not incl.) its end
+    marker; the marker line itself is consumed and validated."""
+    toks: list[bytes] = []
+    while True:
+        line = f.readline()
+        if not line:
+            raise FileFormatError(
+                f"unexpected EOF before {section_end.decode()!r}")
+        if line.startswith(section_end):
+            return toks
+        toks.extend(line.split())
+
+
+def _parse_entities_ascii41(f) -> dict:
+    """ASCII twin of :func:`_parse_entities_bin41` (token-structured:
+    line breaks inside $Entities are not significant)."""
+    _expect_line(f, b"$Entities")
+    toks = _ascii_tokens(f, b"$EndEntities")
+    it = iter(toks)
+
+    def nxt(k=1):
+        return [next(it) for _ in range(k)]
+
+    n_pts, n_crv, n_srf, n_vol = (int(x) for x in nxt(4))
+    ent_phys: dict[tuple, int | None] = {}
+    for _ in range(n_pts):
+        tag = int(nxt()[0])
+        nxt(3)                                   # x y z
+        n_phys = int(nxt()[0])
+        phys = [int(x) for x in nxt(n_phys)]
+        ent_phys[(0, tag)] = phys[0] if phys else None
+    for dim, count in ((1, n_crv), (2, n_srf), (3, n_vol)):
+        for _ in range(count):
+            tag = int(nxt()[0])
+            nxt(6)                               # bounding box
+            n_phys = int(nxt()[0])
+            phys = [int(x) for x in nxt(n_phys)]
+            ent_phys[(dim, tag)] = phys[0] if phys else None
+            n_bnd = int(nxt()[0])
+            nxt(n_bnd)                           # bounding entity tags
+    if next(it, None) is not None:
+        raise FileFormatError("trailing tokens in $Entities")
+    return ent_phys
+
+
+def _parse_nodes_ascii41(f, mesh: Mesh, bnd_mesh: Mesh) -> np.ndarray:
+    """ASCII 4.1 $Nodes: per block, node tags then ``x y z`` lines."""
+    _expect_line(f, b"$Nodes")
+    n_blocks, n_nodes, _min_tag, max_tag = (
+        int(x) for x in f.readline().split())
+    tags = np.empty(n_nodes, dtype=np.int64)
+    coords = np.empty((n_nodes, 3))
+    at = 0
+    for _ in range(n_blocks):
+        _dim, _etag, parametric, nb = (int(x) for x in f.readline().split())
+        if parametric:
+            raise FileFormatError("parametric node blocks not supported")
+        tags[at:at + nb] = [int(f.readline()) for _ in range(nb)]
+        blob = b" ".join(f.readline() for _ in range(nb))
+        coords[at:at + nb] = np.array(
+            blob.split(), dtype=np.float64).reshape(nb, 3)
+        at += nb
+    if at != n_nodes:
+        raise FileFormatError("node blocks disagree with numNodes")
+    _expect_line(f, b"$EndNodes")
+
+    nodes = np.ascontiguousarray(coords[:, : mesh.ndim].T)
+    mesh.set_nodes(nodes)
+    bnd_mesh.set_nodes(nodes)
+    tag2idx = np.full(max_tag + 1, -1, dtype=np.int64)
+    tag2idx[tags] = np.arange(n_nodes)
+    return tag2idx
+
+
+def _parse_elements_ascii41(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
+                            boundary_map, ent_phys, tag2idx):
+    """ASCII 4.1 $Elements: per block, ``tag node...`` lines."""
+    _expect_line(f, b"$Elements")
+    n_blocks, _n_elems, _min, _max = (int(x) for x in f.readline().split())
+    geo_ids: dict[int, tuple] = {}
+    for _ in range(n_blocks):
+        dim, etag, elem_type, nb = (int(x) for x in f.readline().split())
+        geometry, geometry_id, is_bulk = _register_geometry(
+            geo_ids, elem_type, mesh, bnd_mesh)
+        blob = b" ".join(f.readline() for _ in range(nb))
+        rows = np.array(blob.split(), dtype=np.int64).reshape(
+            nb, 1 + geometry.n_nodes)
+        phys = ent_phys.get((dim, etag))
+        if phys is None:
+            continue                             # SaveAll entity: skip
+        node_ix = tag2idx[rows[:, 1:]]
+        if np.any(node_ix < 0):
+            raise FileFormatError("element references an unknown node tag")
+        id_map = region_map if is_bulk else boundary_map
+        if phys not in id_map:
+            raise FileFormatError(
+                f"physical tag {phys} (dim {dim}) has no $PhysicalNames "
+                f"entry")
+        _add_cells_lex(mesh if is_bulk else bnd_mesh, geometry,
+                       geometry_id, node_ix,
+                       np.full(nb, id_map[phys], dtype=np.int64))
+    _expect_line(f, b"$EndElements")
+
+
 # ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
 
 
-def save_msh(mesh: Mesh, file_path: str) -> None:
-    """Write a mesh (with its named regions/boundaries) as binary Gmsh 2.2.
+def save_msh(mesh: Mesh, file_path: str, binary: bool = True) -> None:
+    """Write a mesh (with its named regions/boundaries) as Gmsh 2.2.
 
     Boundary faces are emitted as lower-dimensional elements tagged with
     their boundary's physical id, exactly the structure ``load_msh``
-    consumes, so load(save(m)) reproduces m.
+    consumes, so load(save(m)) reproduces m.  ``binary=False`` writes the
+    ASCII encoding (gmsh's default text format — interchange with tools
+    that don't read binary; binary stays the fast path).
     """
     regions = mesh.region_names
     boundaries = mesh.boundary_names
@@ -447,9 +650,12 @@ def save_msh(mesh: Mesh, file_path: str) -> None:
         phys.append((mesh.ndim, len(phys) + 1, name))
 
     with open(file_path, "wb") as f:
-        f.write(b"$MeshFormat\n2.2 1 8\n")
-        f.write(np.array([1], dtype="<i4").tobytes())
-        f.write(b"\n$EndMeshFormat\n")
+        if binary:
+            f.write(b"$MeshFormat\n2.2 1 8\n")
+            f.write(np.array([1], dtype="<i4").tobytes())
+            f.write(b"\n$EndMeshFormat\n")
+        else:
+            f.write(b"$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
 
         f.write(b"$PhysicalNames\n")
         f.write(f"{len(phys)}\n".encode())
@@ -460,12 +666,20 @@ def save_msh(mesh: Mesh, file_path: str) -> None:
         n_nodes = mesh.n_nodes
         f.write(b"$Nodes\n")
         f.write(f"{n_nodes}\n".encode())
-        dt = np.dtype([("index", "<i4"), ("coord", "<3f8")])
-        raw = np.zeros(n_nodes, dtype=dt)
-        raw["index"] = np.arange(1, n_nodes + 1)
-        raw["coord"][:, : mesh.ndim] = mesh.nodes.T
-        f.write(raw.tobytes())
-        f.write(b"\n$EndNodes\n")
+        coord = np.zeros((n_nodes, 3))
+        coord[:, : mesh.ndim] = mesh.nodes.T
+        if binary:
+            dt = np.dtype([("index", "<i4"), ("coord", "<3f8")])
+            raw = np.zeros(n_nodes, dtype=dt)
+            raw["index"] = np.arange(1, n_nodes + 1)
+            raw["coord"] = coord
+            f.write(raw.tobytes())
+            f.write(b"\n$EndNodes\n")
+        else:
+            for i in range(n_nodes):
+                f.write(f"{i + 1} {coord[i, 0]:.16g} {coord[i, 1]:.16g} "
+                        f"{coord[i, 2]:.16g}\n".encode())
+            f.write(b"$EndNodes\n")
 
         # collect boundary elements (one per (cell, face) on any boundary)
         bnd_elems = []  # (n_per_side, spiral node list, phys id)
@@ -492,6 +706,13 @@ def save_msh(mesh: Mesh, file_path: str) -> None:
 
         def write_block(elem_type, elems):
             nonlocal index
+            if not binary:
+                for _, node_list, pid in elems:
+                    nodes_s = " ".join(str(ix + 1) for ix in node_list)
+                    f.write(f"{index} {elem_type} 2 {pid} {pid} "
+                            f"{nodes_s}\n".encode())
+                    index += 1
+                return
             n_nodes_el = elems[0][1].size
             header = np.array([elem_type, len(elems), 2], dtype="<i4")
             f.write(header.tobytes())
@@ -520,7 +741,7 @@ def save_msh(mesh: Mesh, file_path: str) -> None:
         for shape, elems in sorted(bulk_groups.items()):
             write_block(QUAD_TYPE_OF_N[shape[0]], elems)
 
-        f.write(b"\n$EndElements\n")
+        f.write(b"\n$EndElements\n" if binary else b"$EndElements\n")
 
 
 def save_msh41(mesh: Mesh, file_path: str) -> None:

@@ -158,10 +158,12 @@ def test_rejects_garbage(tmp_path):
         load_msh(str(p), 2)
 
 
-def test_rejects_ascii(tmp_path):
+def test_truncated_ascii_raises(tmp_path):
+    """ASCII is accepted now (gmsh's default encoding) — a header-only
+    file must fail with a format error, not be silently empty."""
     p = tmp_path / "ascii.msh"
     p.write_bytes(b"$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileFormatError):
         load_msh(str(p), 2)
 
 
@@ -467,3 +469,139 @@ class TestRoundTrip41:
                 assert (n1 is None) == (n2 is None)
                 if n1 is not None:
                     assert n1.index == n2.index
+
+
+# ---------------------------------------------------------------------------
+# ASCII encodings (gmsh's default text output; the reference rejects these,
+# sem/grid_importers.py:64-67 — capability extension)
+# ---------------------------------------------------------------------------
+
+
+def _write_gmsh22_ascii_fixture(path):
+    """ASCII twin of :func:`_write_gmsh22_fixture` (same mesh/quirks),
+    hand-written per the published MSH 2.2 text spec."""
+    coords = {
+        1: (0, 0), 2: (1, 0), 3: (2, 0), 4: (2, 1), 5: (1, 1), 6: (0, 1),
+        7: (0.5, 0), 8: (1.5, 0), 9: (2, 0.5), 10: (1.5, 1), 11: (0.5, 1),
+        12: (0, 0.5), 13: (1, 0.5), 14: (0.5, 0.5), 15: (1.5, 0.5),
+    }
+    quadA = [1, 2, 5, 6, 7, 13, 11, 12, 14]
+    quadB = [2, 3, 4, 5, 8, 9, 10, 13, 15]
+    lines = [
+        "$MeshFormat", "2.2 0 8", "$EndMeshFormat",
+        "$PhysicalNames", "3",
+        '1 1 "ebc"', '1 2 "nbc"', '2 3 "fluid domain"',
+        "$EndPhysicalNames",
+        "$Nodes", "15",
+    ]
+    lines += [f"{i} {coords[i][0]} {coords[i][1]} 0" for i in range(1, 16)]
+    lines += ["$EndNodes", "$Elements", "4",
+              "1 8 2 1 11 6 1 12",
+              "2 8 2 2 12 3 4 9",
+              "3 10 3 3 21 0 " + " ".join(map(str, quadA)),
+              "4 10 3 3 21 0 " + " ".join(map(str, quadB)),
+              "$EndElements"]
+    with open(path, "wb") as f:
+        f.write(("\n".join(lines) + "\n").encode())
+
+
+def _write_gmsh41_ascii_fixture(path):
+    """Hand-written ASCII MSH 4.1: the 2-cell quad9 mesh with entity-
+    attached physical groups, nodes split across two entity blocks with
+    NON-consecutive tags (4.1 allows sparse tags)."""
+    lines = [
+        "$MeshFormat", "4.1 0 8", "$EndMeshFormat",
+        "$PhysicalNames", "3",
+        '1 1 "ebc"', '1 2 "nbc"', '2 3 "fluid domain"',
+        "$EndPhysicalNames",
+        "$Entities",
+        "0 2 1 0",
+        "1 0 0 0 0 1 0 1 1 0",         # curve 1 (ebc), phys 1
+        "2 2 0 0 2 1 0 1 2 0",         # curve 2 (nbc), phys 2
+        "1 0 0 0 2 1 0 1 3 0",         # surface 1, phys 3
+        "$EndEntities",
+        "$Nodes",
+        "2 15 1 20",                   # 2 blocks, 15 nodes, tags 1..20
+        "1 1 0 6",                     # block 1: curve 1, 6 nodes
+        "1", "2", "3", "4", "5", "6",
+        "0 0 0", "1 0 0", "2 0 0", "2 1 0", "1 1 0", "0 1 0",
+        "2 1 0 9",                     # block 2: surface 1, 9 nodes
+        "12", "13", "14", "15", "16", "17", "18", "19", "20",
+        "0.5 0 0", "1.5 0 0", "2 0.5 0", "1.5 1 0", "0.5 1 0",
+        "0 0.5 0", "1 0.5 0", "0.5 0.5 0", "1.5 0.5 0",
+        "$EndNodes",
+        "$Elements",
+        "3 4 1 4",
+        "1 1 8 1",                     # curve 1, line3, 1 element
+        "1 6 1 17",
+        "1 2 8 1",                     # curve 2, line3, 1 element
+        "2 3 4 14",
+        "2 1 10 2",                    # surface 1, quad9, 2 elements
+        "3 1 2 5 6 12 18 16 17 19",
+        "4 2 3 4 5 13 14 15 18 20",
+        "$EndElements",
+    ]
+    with open(path, "wb") as f:
+        f.write(("\n".join(lines) + "\n").encode())
+
+
+class TestAsciiRead:
+    def test_22_ascii_fixture_matches_binary_fixture(self, tmp_path):
+        pa = str(tmp_path / "a.msh")
+        pb = str(tmp_path / "b.msh")
+        _write_gmsh22_ascii_fixture(pa)
+        _write_gmsh22_fixture(pb)
+        ma, mb = load_msh(pa, 2), load_msh(pb, 2)
+        assert ma.n_nodes == mb.n_nodes and ma.n_cells == mb.n_cells
+        np.testing.assert_allclose(ma.nodes, mb.nodes, atol=1e-15)
+        for c1, c2 in zip(ma.cells, mb.cells):
+            np.testing.assert_array_equal(
+                c1.node_ind_lexicographic, c2.node_ind_lexicographic)
+        for name in mb.boundary_names:
+            a = {tuple(p) for p in ma.boundary_faces(name).tolist()}
+            b = {tuple(p) for p in mb.boundary_faces(name).tolist()}
+            assert a == b, name
+
+    def test_41_ascii_fixture_geometry(self, tmp_path):
+        p = str(tmp_path / "c41.msh")
+        _write_gmsh41_ascii_fixture(p)
+        m = load_msh(p, 2)
+        assert m.n_nodes == 15 and m.n_cells == 2
+        assert m.region_names == ["fluid domain"]
+        assert set(m.boundary_names) == {"ebc", "nbc"}
+        # cells span [0,1]x[0,1] and [1,2]x[0,1]
+        c0 = m.nodes[:, m.get_cell(0).node_ind_lexicographic]
+        assert c0[0].min() == 0 and c0[0].max() == 1
+        c1 = m.nodes[:, m.get_cell(1).node_ind_lexicographic]
+        assert c1[0].min() == 1 and c1[0].max() == 2
+
+    def test_ascii_roundtrip_save_load(self, tmp_path):
+        mesh = rectangle_mesh(3, 2, 4)
+        pa = str(tmp_path / "a.msh")
+        save_msh(mesh, pa, binary=False)
+        loaded = load_msh(pa, 2)
+        assert loaded.n_cells == mesh.n_cells
+        np.testing.assert_allclose(loaded.nodes, mesh.nodes, atol=1e-14)
+        for c1, c2 in zip(mesh.cells, loaded.cells):
+            np.testing.assert_array_equal(
+                c1.node_ind_lexicographic, c2.node_ind_lexicographic)
+        for name in mesh.boundary_names:
+            a = {tuple(p) for p in mesh.boundary_faces(name).tolist()}
+            b = {tuple(p) for p in loaded.boundary_faces(name).tolist()}
+            assert a == b, name
+
+    def test_solve_on_ascii_mesh(self, tmp_path):
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.models.poisson import Poisson
+
+        pa = str(tmp_path / "a41.msh")
+        _write_gmsh41_ascii_fixture(pa)
+        mesh = load_msh(pa, 2)
+        disc = Discretization(mesh, gll_basis_2d(2))
+        prob = Poisson(disc)
+        prob.set_dirichlet("ebc", 0.0)
+        sol = prob.solve(tol=1e-12, host_loop=True)
+        assert bool(sol.cg.converged)
+        assert sol.u.max() > 0
