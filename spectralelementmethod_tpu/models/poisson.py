@@ -402,7 +402,8 @@ class Poisson(BoundaryConditionMixin):
         disc = self.disc
         if disc.mesh.ndim == 3:
             return self._solve_local_3d(tol=tol, max_iter=max_iter,
-                                        host_loop=host_loop)
+                                        host_loop=host_loop,
+                                        precond=precond)
         ex = getattr(self, "_exchange", None)
         if ex is None:
             ex = self._exchange = make_exchange(disc, fused_pad=True)
@@ -587,14 +588,17 @@ class Poisson(BoundaryConditionMixin):
 
     def _solve_local_3d(self, tol: float = 1e-12,
                         max_iter: int | None = None,
-                        host_loop: bool = False) -> PoissonSolution:
+                        host_loop: bool = False,
+                        precond: str = "jacobi") -> PoissonSolution:
         """3D L-vector CG: local sum-factorized apply + pair/scatter DSS.
 
         The 3D production path (``solve_local`` routes here): fields stay
         element-local as (E, n_loc) lexicographic L-vectors, the operator
         is :func:`..ops.sumfac.laplacian_apply_local_3d` followed by
         :class:`..ops.exchange.PairScatterExchange` DSS — no global
-        gather/scatter inside the iteration.
+        gather/scatter inside the iteration.  ``precond``: 'jacobi' or
+        'fdm' (:func:`..solver.fdm.make_fdm_preconditioner_3d` —
+        sum-factorized fast diagonalization).
         """
         from ..ops.exchange import make_exchange
 
@@ -627,8 +631,21 @@ class Poisson(BoundaryConditionMixin):
         bL, u_dL = to_local(b), to_local(u_d)
         r = _masked_residual(A_raw, free, bL, u_dL)
 
-        diagL = to_local(np.asarray(self.operator_diagonal()))
-        M = jacobi_preconditioner(diagL, free)
+        if precond == "fdm":
+            from ..solver.fdm import make_fdm_preconditioner_3d
+
+            M = self._op_cache.get(("M", "fdm3d"))
+            if M is None:
+                M = self._op_cache[("M", "fdm3d")] = (
+                    make_fdm_preconditioner_3d(
+                        ex, self._G_host, disc.basis, free,
+                        dtype=self.dtype))
+        elif precond == "jacobi":
+            diagL = to_local(np.asarray(self.operator_diagonal()))
+            M = jacobi_preconditioner(diagL, free)
+        else:
+            raise ValueError(
+                f"3D precond must be 'jacobi' or 'fdm', got {precond!r}")
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
         if host_loop:

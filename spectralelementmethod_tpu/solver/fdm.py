@@ -147,3 +147,66 @@ def make_fdm_preconditioner(exchange, G, basis, free_local=None,
         raise ValueError(f"unknown vector_layout {vector_layout!r}")
 
     return M
+
+
+def make_fdm_preconditioner_3d(exchange, G, basis, free_local=None,
+                               dtype=np.float64, shift_rel: float = 1e-8):
+    """3D FDM additive Schwarz on lexicographic (E, n) L-vectors.
+
+    Separable surrogate ``A_e ≈ a0 (K⊗M⊗M) + a1 (M⊗K⊗M) + a2 (M⊗M⊗K)``
+    with per-element strengths from the diagonal factor slabs
+    (``G``: (E, 6, *shape) packed upper triangle — indices 0/3/5).
+    Unlike the 2D version, the eigen transforms are applied
+    **sum-factorized** (three (p1, p1) axis matmuls each way): the dense
+    Kronecker matrix would be (p1^3)^2 and cost ~13x the operator apply
+    at p=8, while the factored form costs ~half an apply.  The 3D
+    L-vector path stores lexicographic order, so no permutation folding
+    is needed.
+    """
+    b0 = basis.subbases[0]
+    p1 = b0.n_nodes
+    shape = (p1, p1, p1)
+    n = p1 ** 3
+    E = exchange.E
+
+    lam, S = gll_fdm_eig(b0.nodes, b0.quad_wts, b0.D1)
+
+    Gf = np.asarray(G, dtype=np.float64).reshape(
+        np.asarray(G).shape[0], 6, -1)
+    sumW = float(np.sum(np.asarray(basis.weight_grid())))
+    a = np.ones((3, E))
+    for c, gi in enumerate((0, 3, 5)):
+        a[c, :Gf.shape[0]] = Gf[:, gi, :].sum(axis=1) / sumW
+
+    Dgrid = (a[0][:, None, None, None] * lam[:, None, None]
+             + a[1][:, None, None, None] * lam[None, :, None]
+             + a[2][:, None, None, None] * lam[None, None, :])
+    flat = Dgrid.reshape(E, n)
+    cut = shift_rel * flat.max(axis=1, keepdims=True)
+    pos_min = np.where(flat > cut, flat, np.inf).min(axis=1, keepdims=True)
+    invD = np.where(flat > cut, 1.0 / np.maximum(flat, 1e-300),
+                    1.0 / pos_min).reshape((E,) + shape)
+
+    St_d = jnp.asarray(S.T, dtype=dtype)
+    S_d = jnp.asarray(S, dtype=dtype)
+    invD_d = jnp.asarray(invD, dtype=dtype)
+    w_d = jnp.asarray(np.asarray(exchange.weights), dtype=dtype)
+
+    def axis_transform(t, B):
+        # apply B on each of the three trailing axes
+        t = jnp.einsum("ia,eabc->eibc", B, t)
+        t = jnp.einsum("jb,eibc->eijc", B, t)
+        return jnp.einsum("kc,eijc->eijk", B, t)
+
+    def M(r):
+        if free_local is not None:
+            r = jnp.where(free_local, r, 0.0)
+        t = (r * w_d).reshape((E,) + shape)
+        t = axis_transform(t, St_d) * invD_d
+        z = axis_transform(t, S_d).reshape(E, n) * w_d
+        z = exchange.dss(z)
+        if free_local is not None:
+            z = jnp.where(free_local, z, 0.0)
+        return z
+
+    return M

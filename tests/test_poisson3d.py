@@ -274,3 +274,45 @@ class TestBoxRollExchange3D:
         sol_l = prob.solve_local(tol=1e-11, host_loop=True)
         assert isinstance(prob._exchange, BoxRollExchange3D)
         np.testing.assert_allclose(sol_l.u, sol_g.u, atol=1e-8)
+
+
+class TestFDM3D:
+    """Sum-factorized 3D fast-diagonalization preconditioner."""
+
+    def _solve(self, precond, p=5, nel=3):
+        def exact(x, y, z):
+            return (np.sin(np.pi * x) * np.sin(np.pi * y)
+                    * np.sin(np.pi * z))
+
+        mesh = box_mesh(nel, nel, nel, p)
+        disc = Discretization(mesh, gll_basis_3d(p))
+        prob = Poisson(
+            disc,
+            forcing=lambda x, y, z: 3 * np.pi**2 * exact(x, y, z),
+            dtype=np.float64)
+        prob.set_dirichlet("ebc", 0.0)
+        sol = prob.solve_local(tol=1e-10, precond=precond)
+        return prob, sol, exact
+
+    def test_matches_jacobi_solution_with_fewer_iterations(self):
+        prob_j, sol_j, exact = self._solve("jacobi")
+        prob_f, sol_f, _ = self._solve("fdm")
+        assert bool(sol_f.cg.converged)
+        np.testing.assert_allclose(sol_f.u, sol_j.u, atol=1e-8)
+        # FDM must cut the iteration count substantially (2D measured
+        # 2.7x; 3D surrogate quality is similar on affine boxes)
+        assert int(sol_f.cg.iterations) < 0.6 * int(sol_j.cg.iterations), (
+            int(sol_f.cg.iterations), int(sol_j.cg.iterations))
+
+    def test_manufactured_accuracy(self):
+        prob, sol, exact = self._solve("fdm")
+        x, y, z = np.asarray(prob.x_nodes)
+        assert np.abs(sol.u - exact(x, y, z)).max() < 5e-4
+
+    def test_unknown_precond_raises(self):
+        mesh = box_mesh(2, 2, 2, 2)
+        disc = Discretization(mesh, gll_basis_3d(2))
+        prob = Poisson(disc, dtype=np.float64)
+        prob.set_dirichlet("ebc", 0.0)
+        with pytest.raises(ValueError, match="precond"):
+            prob.solve_local(precond="pmg")
