@@ -640,12 +640,25 @@ class Poisson(BoundaryConditionMixin):
                     make_fdm_preconditioner_3d(
                         ex, self._G_host, disc.basis, free,
                         dtype=self.dtype))
+        elif precond == "pmg" or isinstance(precond, dict):
+            from ..solver.pmg import make_pmg_preconditioner_3d
+
+            pmg_kw = dict(precond.get("pmg", {})) if isinstance(
+                precond, dict) else {}
+            key = ("M", "pmg3d", tuple(sorted(pmg_kw.items())))
+            M = self._op_cache.get(key)
+            if M is None:
+                M = self._op_cache[key] = make_pmg_preconditioner_3d(
+                    disc, ex, A, ~self._dirichlet_mask,
+                    np.asarray(self.operator_diagonal()),
+                    dtype=self.dtype, **pmg_kw)
         elif precond == "jacobi":
             diagL = to_local(np.asarray(self.operator_diagonal()))
             M = jacobi_preconditioner(diagL, free)
         else:
             raise ValueError(
-                f"3D precond must be 'jacobi' or 'fdm', got {precond!r}")
+                f"3D precond must be 'jacobi', 'fdm' or 'pmg', got "
+                f"{precond!r}")
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
         if host_loop:

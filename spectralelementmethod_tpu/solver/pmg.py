@@ -283,6 +283,275 @@ class GridFDM:
         return obj
 
 
+class GridFDM3D:
+    """Exact tensor-grid coarse solve for 3D box meshes.
+
+    3D twin of :class:`GridFDM`, but mapped through the **global node
+    lattice** instead of slice reconstruction: the 3D L-vector path
+    stores lexicographic ``(E, n)`` vectors whose gather ids, on a
+    uniform box mesh, form a coordinate lattice — one host pass derives
+    ``grid_of_slot`` (slot -> lattice position), and the device mapping
+    is a scatter-set/gather pair of size E*n_c (consistent L-vectors
+    make duplicate writes equal-valued).  The separable solve is three
+    per-axis eigen transforms each way over the free sub-box:
+
+        u = (Sx x Sy x Sz) [ t / (a0 lx_i + a1 ly_j + a2 lz_k) ]
+
+    Use :meth:`try_build` (None unless every precondition verifiably
+    holds: uniform affine diagonal factors, zero cross factors, a full
+    coordinate lattice, outer-product contiguous free intervals).
+    """
+
+    def __init__(self, grid_of_slot, dims, free_iv, S_axes, lam3, Er, E):
+        self.dims = dims
+        (self.fx0, self.fx1), (self.fy0, self.fy1), (self.fz0, self.fz1) \
+            = free_iv
+        self.Er, self.E = Er, E
+        self._gos = jnp.asarray(grid_of_slot)            # (Er, n_c) int
+        # float64 masters; cast per-call to the vector dtype (the 3D
+        # path runs f64 on CPU/reference checks, f32 on TPU)
+        self.S = [jnp.asarray(np.asarray(s, np.float64)) for s in S_axes]
+        self._inv_lam = jnp.asarray(1.0 / np.asarray(lam3, np.float64))
+
+    def __call__(self, rc):
+        N0, N1, N2 = self.dims
+        flat = jnp.zeros(N0 * N1 * N2, rc.dtype).at[
+            self._gos.reshape(-1)].set(rc[:self.Er].reshape(-1))
+        G = flat.reshape(N0, N1, N2)
+        Gf = G[self.fx0:self.fx1, self.fy0:self.fy1, self.fz0:self.fz1]
+        Sx, Sy, Sz = (s.astype(rc.dtype) for s in self.S)
+        inv_lam = self._inv_lam.astype(rc.dtype)
+
+        # forward/backward are separable per axis with different B's
+        t = jnp.einsum("ia,abc->ibc", Sx.T, Gf)
+        t = jnp.einsum("jb,ibc->ijc", Sy.T, t)
+        t = jnp.einsum("kc,ijc->ijk", Sz.T, t)
+        t = t * inv_lam
+        t = jnp.einsum("ia,abc->ibc", Sx, t)
+        t = jnp.einsum("jb,ibc->ijc", Sy, t)
+        Uf = jnp.einsum("kc,ijc->ijk", Sz, t)
+        U = jnp.zeros_like(G).at[
+            self.fx0:self.fx1, self.fy0:self.fy1,
+            self.fz0:self.fz1].set(Uf)
+        out = U.reshape(-1)[self._gos]
+        if self.E > self.Er:
+            out = jnp.pad(out, ((0, self.E - self.Er), (0, 0)))
+        return out
+
+    @classmethod
+    def try_build(cls, ex_c, disc_c, free_c_np):
+        """GridFDM3D for the coarse level, or None if inadmissible."""
+        Er = ex_c.E_real
+        basis_c = disc_c.basis
+        W = np.asarray(basis_c.weight_grid()).reshape(-1)
+        sumW = float(W.sum())
+        Gf = np.asarray(disc_c.laplacian_factors(None),
+                        np.float64).reshape(Er, 6, -1)
+        scale = np.abs(Gf).max() + 1e-300
+        a = np.empty(3)
+        for k, c in enumerate((0, 3, 5)):
+            ac = Gf[:, c, :].sum(axis=1) / sumW
+            if (np.abs(Gf[:, c, :] - ac[:, None] * W[None, :]).max()
+                    > 1e-10 * scale
+                    or np.abs(ac - ac[0]).max() > 1e-10 * scale):
+                return None                  # non-affine or non-uniform
+            a[k] = ac[0]
+        for c in (1, 2, 4):
+            if np.abs(Gf[:, c, :]).max() > 1e-10 * scale:
+                return None                  # sheared cells
+        p1 = basis_c.coeff_shape[0]
+        if any(s != p1 for s in basis_c.coeff_shape):
+            return None
+        pc = p1 - 1
+
+        # coordinate lattice of the referenced coarse nodes
+        gix = np.asarray(ex_c.gather_lex[:Er])              # (Er, n_c)
+        used = np.unique(gix.reshape(-1))
+        xyz = np.asarray(disc_c.mesh.nodes)[:, used]        # (3, Nu)
+        axes_vals, axis_idx = [], []
+        span = np.abs(xyz).max() + 1.0
+        for d in range(3):
+            v = xyz[d]
+            vals = np.unique(np.round(v / span * 1e12))
+            idx = np.searchsorted(vals, np.round(v / span * 1e12))
+            axes_vals.append(vals)
+            axis_idx.append(idx)
+        dims = tuple(len(v) for v in axes_vals)
+        if int(np.prod(dims)) != used.size:
+            return None                      # not a full lattice
+        grid_flat_of_used = (axis_idx[0] * dims[1] + axis_idx[1]) \
+            * dims[2] + axis_idx[2]
+        if np.unique(grid_flat_of_used).size != used.size:
+            return None
+        lut = np.full(used.max() + 1, -1, dtype=np.int64)
+        lut[used] = grid_flat_of_used
+        grid_of_slot = lut[gix]
+        if (grid_of_slot < 0).any():
+            return None
+        # per-axis element counts must tile the lattice at order pc
+        n_el = []
+        for Nd in dims:
+            if (Nd - 1) % pc:
+                return None
+            n_el.append((Nd - 1) // pc)
+
+        # free mask must be an outer product of contiguous intervals
+        fflat = np.zeros(int(np.prod(dims)), bool)
+        fflat[grid_of_slot.reshape(-1)] = free_c_np[:Er].reshape(-1)
+        fgrid = fflat.reshape(dims)
+        fx = fgrid.any(axis=(1, 2))
+        fy = fgrid.any(axis=(0, 2))
+        fz = fgrid.any(axis=(0, 1))
+        if not np.array_equal(
+                fgrid, fx[:, None, None] & fy[None, :, None]
+                & fz[None, None, :]):
+            return None
+        ivs = []
+        for f in (fx, fy, fz):
+            idx = np.nonzero(f)[0]
+            if idx.size == 0 or not np.array_equal(
+                    idx, np.arange(idx[0], idx[-1] + 1)):
+                return None
+            ivs.append((int(idx[0]), int(idx[-1] + 1)))
+
+        # 1D eigenpairs on each free interval
+        w1 = np.asarray(basis_c.subbases[0].quad_wts, np.float64)
+        D1 = np.asarray(basis_c.subbases[0].D1, np.float64)
+        khat = D1.T @ np.diag(w1) @ D1
+        S_axes, lams = [], []
+        for d in range(3):
+            K, m = GridFDM._assemble_1d(0.5 * (khat + khat.T), w1, n_el[d])
+            i0, i1 = ivs[d]
+            K, m = K[i0:i1, i0:i1], m[i0:i1]
+            ms = 1.0 / np.sqrt(m)
+            lam, Q = np.linalg.eigh(ms[:, None] * K * ms[None, :])
+            lams.append(np.maximum(lam, 1e-300))
+            S_axes.append(ms[:, None] * Q)
+        lam3 = (a[0] * lams[0][:, None, None]
+                + a[1] * lams[1][None, :, None]
+                + a[2] * lams[2][None, None, :])
+        return cls(grid_of_slot, dims, ivs, S_axes, lam3, Er, ex_c.E)
+
+
+def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
+                               *,
+                               p_coarse: int = 2,
+                               degree: int = 3,
+                               alpha: float = 4.0,
+                               coarse: str = "auto",
+                               coarse_degree: int = 24,
+                               coarse_interval: float = 100.0,
+                               dtype=np.float64):
+    """Two-level p-MG V-cycle on the 3D lexicographic (E, n) L-vectors.
+
+    3D twin of :func:`make_pmg_preconditioner` for the
+    :meth:`..models.poisson.Poisson._solve_local_3d` path: coarse level
+    from the shared-node order-``p_coarse`` mesh
+    (:func:`..mesh.porder.mesh_with_order`) discretized directly (no
+    affine-factor reuse — the coarse Discretization recomputes exact
+    factors), transfers as one ``(E, n_f) @ (n_f, n_c)`` matmul each
+    way, Chebyshev-Jacobi smoothing, and the exact
+    :class:`GridFDM3D` tensor-lattice coarse solve on box meshes
+    (Chebyshev fallback elsewhere).
+    """
+    from ..basis import gll_basis_3d
+    from ..core.discretization import Discretization
+    from ..mesh.porder import mesh_with_order
+    from ..ops import sumfac
+    from ..ops.exchange import make_exchange
+    from .cg import jacobi_preconditioner
+
+    if disc.mesh.ndim != 3:
+        raise ValueError("make_pmg_preconditioner_3d is 3D-only")
+    basis_f = disc.basis
+
+    mesh_c = mesh_with_order(disc.mesh, p_coarse)
+    basis_c = gll_basis_3d(p_coarse)
+    disc_c = Discretization(mesh_c, basis_c)
+    ex_c = make_exchange(disc_c)
+    Er, Ef, Ec = ex_f.E_real, ex_f.E, ex_c.E
+    n_f, n_c = ex_f.n_loc, ex_c.n_loc
+    shape_c = tuple(disc_c.shape)
+
+    G_c = jnp.asarray(disc_c.laplacian_factors(None), dtype=dtype)
+    D_c = [jnp.asarray(basis_c.subbases[d].D1, dtype=dtype)
+           for d in range(3)]
+    free_c_np = np.asarray(free_global, bool)[ex_c.gather_lex]
+    free_c = jnp.asarray(free_c_np)
+
+    def A_c(uL):
+        uL = jnp.where(free_c, uL, 0.0)
+        ue = uL.reshape((Ec,) + shape_c)
+        ve = sumfac.laplacian_apply_local_3d(ue, G_c, *D_c)
+        return jnp.where(free_c, ex_c.dss(ve.reshape(Ec, n_c)), 0.0)
+
+    d_c = sumfac.laplacian_diag_local_host_3d(
+        np.asarray(disc_c.laplacian_factors(None)),
+        *[np.asarray(basis_c.subbases[d].D1) for d in range(3)])
+    dg = np.zeros(disc.mesh.n_nodes)
+    np.add.at(dg, np.asarray(ex_c.gather_lex[:Er]).ravel(),
+              d_c.reshape(Er, -1).ravel())
+    B_c = jacobi_preconditioner(
+        jnp.asarray(dg[ex_c.gather_lex], dtype=dtype), free_c)
+
+    # transfers: coarse basis at the fine GLL lattice, tensorized (lex)
+    P = np.ones((1, 1))
+    for d in range(3):
+        P1 = np.asarray(basis_c.subbases[d](
+            basis_f.subbases[d].nodes), np.float64)
+        P = np.kron(P, P1)                                # (n_f, n_c) lex
+    P_d = jnp.asarray(P, dtype=dtype)
+    w_f = jnp.asarray(ex_f._weights_as(np.dtype(dtype)))
+    free_f = jnp.asarray(np.asarray(free_global, bool)[ex_f.gather_lex])
+
+    def restrict(r):
+        loc = ((w_f * r)[:Er] @ P_d)
+        if Ec > Er:
+            loc = jnp.pad(loc, ((0, Ec - Er), (0, 0)))
+        return jnp.where(free_c, ex_c.dss(loc), 0.0)
+
+    def prolong(ec):
+        ef = ec[:Er] @ P_d.T
+        if Ef > Er:
+            ef = jnp.pad(ef, ((0, Ef - Er), (0, 0)))
+        return jnp.where(free_f, ef, 0.0)
+
+    diagL_f = jnp.asarray(
+        np.asarray(diag_global)[np.asarray(ex_f.gather_lex)], dtype=dtype)
+    B_f = jacobi_preconditioner(diagL_f, free_f)
+    lmax_f = estimate_lmax(A_f, B_f, (Ef, n_f), dtype=dtype)
+    S_f = chebyshev_smoother(A_f, B_f, lmax_f, lmax_f / alpha, degree)
+
+    grid = None
+    if coarse in ("auto", "fdm"):
+        grid = GridFDM3D.try_build(ex_c, disc_c, free_c_np)
+        if grid is None and coarse == "fdm":
+            raise ValueError(
+                "coarse='fdm' needs a uniform box lattice with "
+                "outer-product Dirichlet data")
+    if grid is not None:
+        C = grid
+        coarse_kind = "fdm"
+    else:
+        lmax_c = estimate_lmax(A_c, B_c, (Ec, n_c), dtype=dtype)
+        C = chebyshev_smoother(A_c, B_c, lmax_c,
+                               lmax_c / coarse_interval, coarse_degree)
+        coarse_kind = "chebyshev"
+
+    def M(r):
+        z = S_f(r)
+        ec = C(restrict(r - A_f(z)))
+        z = z + prolong(ec)
+        return z + S_f(r - A_f(z))
+
+    M._coarse_kind = coarse_kind
+    M._levels = (int(basis_f.coeff_shape[0]) - 1, p_coarse)
+    M._lmax_f = lmax_f
+    M._restrict, M._prolong, M._coarse = restrict, prolong, C
+    M._A_c = A_c
+    return M
+
+
 # ---------------------------------------------------------------------------
 # The preconditioner factory
 
