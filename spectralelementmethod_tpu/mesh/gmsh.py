@@ -17,6 +17,8 @@ lexicographic conversion).  Additions over the reference:
 
 from __future__ import annotations
 
+import itertools as _it
+
 import numpy as np
 
 from . import geometry as geo
@@ -28,21 +30,75 @@ class FileFormatError(Exception):
 
 
 # Gmsh element-type id -> geometry constructor
-# (parity: sem/grid_importers.py:19-42)
+# (parity: sem/grid_importers.py:19-42; hexes are a 3D capability
+# extension — the reference is 2D-only)
 GMSH_LINE_TYPES = {1: 2, 8: 3, 26: 4, 27: 5, 28: 6,
                    62: 7, 63: 8, 64: 9, 65: 10, 66: 11}
 GMSH_QUAD_TYPES = {3: 2, 10: 3, 36: 4, 37: 5, 38: 6,
                    47: 7, 48: 8, 49: 9, 50: 10, 51: 11}
+GMSH_HEX_TYPES = {5: 2, 12: 3, 92: 4, 93: 5, 94: 6,
+                  95: 7, 96: 8, 97: 9, 98: 10}
 
 construct_geometry = {}
 for _t, _n in GMSH_LINE_TYPES.items():
     construct_geometry[_t] = (lambda n: (lambda: geo.Line(n)))(_n)
 for _t, _n in GMSH_QUAD_TYPES.items():
     construct_geometry[_t] = (lambda n: (lambda: geo.Quadrilateral(n, n)))(_n)
+for _t, _n in GMSH_HEX_TYPES.items():
+    construct_geometry[_t] = (
+        lambda n: (lambda: geo.Hexahedron(n, n, n)))(_n)
 
 # inverse: nodes-per-side -> gmsh type id
 LINE_TYPE_OF_N = {n: t for t, n in GMSH_LINE_TYPES.items()}
 QUAD_TYPE_OF_N = {n: t for t, n in GMSH_QUAD_TYPES.items()}
+HEX_TYPE_OF_N = {n: t for t, n in GMSH_HEX_TYPES.items()}
+
+# gmsh hex canonical topology (reference-manual node ordering): corner
+# lattice positions at (u, v, w) in {0, L}^3, edge list (each traversed
+# low->high vertex), face list (each a quad (q0, q1, q2, q3) whose
+# interior uses the recursive 2D scheme with u: q0->q1, v: q0->q3)
+_HEX_CORNERS = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+_HEX_EDGES = [(0, 1), (0, 3), (0, 4), (1, 2), (1, 5), (2, 3),
+              (2, 6), (3, 7), (4, 5), (4, 7), (5, 6), (6, 7)]
+_HEX_FACES = [(0, 3, 2, 1), (0, 1, 5, 4), (0, 4, 7, 3),
+              (1, 2, 6, 5), (2, 3, 7, 6), (4, 5, 6, 7)]
+
+
+def _hex_recursive_order(M: int):
+    """(M, M, M) lattice positions in gmsh recursive hex node order.
+
+    Per the published gmsh high-order numbering: 8 corners, 12 edges
+    (low->high vertex), 6 face interiors (recursive 2D quad scheme in
+    each face's induced (u, v) frame), then the volume interior by
+    recursion.  Validated against the documented hex27 numbering in
+    tests; intra-face orientation at order >= 3 follows the spec
+    directly (no public reference bytes exist to cross-check).
+    """
+    if M < 1:
+        return []
+    if M == 1:
+        return [(0, 0, 0)]
+    L = M - 1
+    c = np.asarray(_HEX_CORNERS) * L
+    out = [tuple(p) for p in c]
+    for a, b in _HEX_EDGES:
+        d = (c[b] - c[a]) // L
+        out.extend(tuple(c[a] + d * t) for t in range(1, L))
+    if M > 2:
+        m = M - 2
+        # interior positions of a face in its own 2D recursive order
+        sp2 = spiral_to_lex_permutation((m, m))
+        order2d = np.stack(
+            np.unravel_index(np.argsort(sp2, axis=None), (m, m)), axis=1)
+        for q in _HEX_FACES:
+            du = (c[q[1]] - c[q[0]]) // L
+            dv = (c[q[3]] - c[q[0]]) // L
+            out.extend(tuple(c[q[0]] + du * (a + 1) + dv * (b + 1))
+                       for a, b in order2d)
+        out.extend((i + 1, j + 1, k + 1)
+                   for i, j, k in _hex_recursive_order(m))
+    return out
 
 
 def spiral_to_lex_permutation(shape) -> np.ndarray:
@@ -56,12 +112,21 @@ def spiral_to_lex_permutation(shape) -> np.ndarray:
     """
     if len(shape) == 0:
         return np.zeros((), dtype=np.int64)
+    if len(shape) == 3:
+        if not (shape[0] == shape[1] == shape[2]):
+            raise NotImplementedError(
+                "anisotropic hex gmsh node ordering")
+        order = _hex_recursive_order(shape[0])
+        idxmap3 = np.empty(shape, dtype=np.int64)
+        for t, (i, j, k) in enumerate(order):
+            idxmap3[i, j, k] = t
+        return idxmap3
     if len(shape) == 1:
         M, N = shape[0], 1
     elif len(shape) == 2:
         M, N = shape
     else:
-        raise NotImplementedError("only 1D/2D cells supported")
+        raise NotImplementedError("only 1D/2D/3D cells supported")
 
     idxmap = np.zeros((M, N), dtype=np.int64)
     k = 0
@@ -224,17 +289,8 @@ def _parse_elements_bin(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
         header = np.frombuffer(f.read(12), dtype="<i4")
         elem_type, n_follow, n_tags = (int(x) for x in header)
 
-        if elem_type not in geo_ids:
-            if elem_type not in construct_geometry:
-                raise FileFormatError(f"unsupported element type {elem_type}")
-            geometry = construct_geometry[elem_type]()
-            if geometry.ndim == mesh.ndim:
-                geo_ids[elem_type] = (geometry, mesh.add_geometry(geometry),
-                                      True)
-            else:
-                geo_ids[elem_type] = (
-                    geometry, bnd_mesh.add_geometry(geometry), False)
-        geometry, geometry_id, is_bulk = geo_ids[elem_type]
+        geometry, geometry_id, is_bulk = _register_geometry(
+            geo_ids, elem_type, mesh, bnd_mesh)
         n_nodes = geometry.n_nodes
 
         dt = np.dtype([("index", "<u4"), ("tags", "<u4", (n_tags,)),
@@ -473,20 +529,8 @@ def _parse_elements_bin41(f, mesh: Mesh, bnd_mesh: Mesh, region_map,
     for _ in range(n_blocks):
         dim, etag, elem_type = (int(x) for x in _read(f, "<i4", 3))
         nb = int(_read(f, "<u8", 1)[0])
-        if elem_type not in construct_geometry:
-            raise FileFormatError(f"unsupported element type {elem_type}")
-        if elem_type not in geo_ids:
-            geometry = construct_geometry[elem_type]()
-            if geometry.ndim == mesh.ndim:
-                geo_ids[elem_type] = (geometry, mesh.add_geometry(geometry),
-                                      True)
-            elif geometry.ndim < mesh.ndim:
-                geo_ids[elem_type] = (
-                    geometry, bnd_mesh.add_geometry(geometry), False)
-            else:
-                raise FileFormatError(
-                    f"element dim {geometry.ndim} exceeds mesh dim")
-        geometry, geometry_id, is_bulk = geo_ids[elem_type]
+        geometry, geometry_id, is_bulk = _register_geometry(
+            geo_ids, elem_type, mesh, bnd_mesh)
         n_nodes = geometry.n_nodes
 
         dt = np.dtype([("tag", "<u8"), ("node_ix", "<u8", (n_nodes,))])
@@ -539,7 +583,10 @@ def _parse_entities_ascii41(f) -> dict:
     it = iter(toks)
 
     def nxt(k=1):
-        return [next(it) for _ in range(k)]
+        out = list(_it.islice(it, k))
+        if len(out) != k:
+            raise FileFormatError("truncated $Entities section")
+        return out
 
     n_pts, n_crv, n_srf, n_vol = (int(x) for x in nxt(4))
     ent_phys: dict[tuple, int | None] = {}
@@ -682,15 +729,27 @@ def save_msh(mesh: Mesh, file_path: str, binary: bool = True) -> None:
             f.write(b"$EndNodes\n")
 
         # collect boundary elements (one per (cell, face) on any boundary)
-        bnd_elems = []  # (n_per_side, spiral node list, phys id)
+        bnd_elems = []  # (face shape, spiral node list, phys id)
         for name in boundaries:
             pid = bnd_phys[name]
             for cell_num, face in mesh.boundary_faces(name):
                 cell = mesh.get_cell(cell_num)
-                sub = cell.sub_cell(face)
-                lex = np.asarray(sub.node_ind_lexicographic).ravel()
-                perm = lex_to_spiral_permutation((lex.size,))
-                bnd_elems.append((lex.size, lex[perm], pid))
+                if mesh.ndim == 3:
+                    # Hexahedron faces are (axis, side) slices of the lex
+                    # node grid (SubCell's orientation machinery is
+                    # 2D-only; the reader matches boundary cells by
+                    # vertices, so any consistent face order works)
+                    axis, side = divmod(face, 2)
+                    idx = [slice(None)] * 3
+                    idx[axis] = 0 if side == 0 else -1
+                    lexg = np.asarray(
+                        cell.node_ind_lexicographic)[tuple(idx)]
+                else:
+                    sub = cell.sub_cell(face)
+                    lexg = np.asarray(sub.node_ind_lexicographic)
+                perm = lex_to_spiral_permutation(lexg.shape)
+                bnd_elems.append((tuple(lexg.shape), lexg.ravel()[perm],
+                                  pid))
 
         bulk = []
         for cell in mesh.cells:
@@ -726,20 +785,23 @@ def save_msh(mesh: Mesh, file_path: str, binary: bool = True) -> None:
                 index += 1
             f.write(raw.tobytes())
 
-        # group boundary elements by node count
+        # group boundary/bulk elements by shape; the gmsh type table is
+        # picked by the face/cell dimension (3D: quad faces, hex bulk)
         from collections import defaultdict
 
+        type_of = {1: LINE_TYPE_OF_N, 2: QUAD_TYPE_OF_N, 3: HEX_TYPE_OF_N}
+
         groups = defaultdict(list)
-        for n, nodes, pid in bnd_elems:
-            groups[n].append((n, nodes, pid))
-        for n, elems in sorted(groups.items()):
-            write_block(LINE_TYPE_OF_N[n], elems)
+        for shape, nodes, pid in bnd_elems:
+            groups[shape].append((shape, nodes, pid))
+        for shape, elems in sorted(groups.items()):
+            write_block(type_of[len(shape)][shape[0]], elems)
 
         bulk_groups = defaultdict(list)
         for shape, nodes, pid in bulk:
             bulk_groups[shape].append((shape, nodes, pid))
         for shape, elems in sorted(bulk_groups.items()):
-            write_block(QUAD_TYPE_OF_N[shape[0]], elems)
+            write_block(type_of[len(shape)][shape[0]], elems)
 
         f.write(b"\n$EndElements\n" if binary else b"$EndElements\n")
 

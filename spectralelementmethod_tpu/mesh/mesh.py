@@ -383,6 +383,11 @@ class Mesh:
         Vectorized key match (sorted search).
         """
         keys, cells, faces = self._face_keys()
+        if keys.ndim == 2:
+            # 3D quad-face keys are 2 int64 columns; view as structured
+            # scalars so sort/searchsorted compare lexicographically
+            kdt = np.dtype([("a", "<i8"), ("b", "<i8")])
+            keys = np.ascontiguousarray(keys).view(kdt).ravel()
         order = np.argsort(keys, kind="stable")
         ks, cs, fs = keys[order], cells[order], faces[order]
 
@@ -398,8 +403,16 @@ class Mesh:
             elif verts.shape[1] == 2:
                 v = np.sort(verts, axis=1)
                 bkey = v[:, 0] * np.int64(N + 1) + v[:, 1] + 1
+            elif verts.shape[1] == 4:
+                v = np.sort(verts, axis=1).astype(np.int64)
+                b2 = np.stack(
+                    [v[:, 0] * np.int64(N + 1) + v[:, 1] + 1,
+                     v[:, 2] * np.int64(N + 1) + v[:, 3] + 1], axis=1)
+                kdt = np.dtype([("a", "<i8"), ("b", "<i8")])
+                bkey = np.ascontiguousarray(b2).view(kdt).ravel()
             else:
-                raise NotImplementedError("3D boundary keys not implemented")
+                raise NotImplementedError(
+                    f"{verts.shape[1]}-vertex boundary keys")
             pos = np.searchsorted(ks, bkey)
             ok = (pos < ks.size) & (ks[np.minimum(pos, ks.size - 1)] == bkey)
             if not np.all(ok):

@@ -151,21 +151,23 @@ class Helmholtz(BoundaryConditionMixin):
             return jnp.asarray(np.ascontiguousarray(lv.T) if transposed
                                else lv)
 
-        Gf = np.asarray(self._G, dtype=self.dtype).reshape(disc.E, 3, -1)
-        Dhat = sumfac.make_stacked_derivative(
-            np.asarray(self._D0), np.asarray(self._D1))
         free_np = (~self._dirichlet_mask)[ex.gather_hier]
         free = jnp.asarray(
             np.ascontiguousarray(free_np.T) if transposed else free_np)
-        kM_np = np.zeros((ex.E, ex.n_loc), dtype=self.dtype)
-        kM_np[:disc.E] = np.asarray(self._kM).reshape(disc.E, -1)[
-            :, ex.hier]
-        kM_L = jnp.asarray(np.ascontiguousarray(kM_np.T) if transposed
-                           else kM_np)
 
         key = ("A", structure, vector_layout, backend)
         A = self._op_cache.get(key)
         if A is None:
+            # operator-build-time operands only (cached solves skip them)
+            Gf = np.asarray(self._G, dtype=self.dtype).reshape(
+                disc.E, 3, -1)
+            Dhat = sumfac.make_stacked_derivative(
+                np.asarray(self._D0), np.asarray(self._D1))
+            kM_np = np.zeros((ex.E, ex.n_loc), dtype=self.dtype)
+            kM_np[:disc.E] = np.asarray(self._kM).reshape(disc.E, -1)[
+                :, ex.hier]
+            kM_L = jnp.asarray(np.ascontiguousarray(kM_np.T) if transposed
+                               else kM_np)
             lap = sumfac.make_local_laplacian_operator(
                 ex, Gf, Dhat, None, structure=structure,
                 vector_layout=vector_layout, backend=backend)

@@ -555,23 +555,27 @@ class Poisson(BoundaryConditionMixin):
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
         k = int(R.shape[0])
-        if not transposed:
-            # the multi-RHS factory is transposed-only; vmap the cached
-            # per-RHS operator for the 'en' layout
-            A_wb, wb = jax.vmap(ctx["A"]), True
-        else:
-            # whole-batch operator: one factor read for all k RHS (fused
-            # kernel on TPU general meshes; batched XLA einsums elsewhere)
-            bkey = ("A_batch", k, structure, str(compute_dtype))
-            A_wb = self._op_cache.get(bkey)
-            if A_wb is None:
-                A_wb = self._op_cache[bkey] = (
-                    sumfac.make_multi_rhs_laplacian_T(
-                        ex, ctx["Gf"], ctx["Dhat"], k,
-                        free_local=free_local, structure=structure,
-                        precision="highest",
-                        assume_masked_input=True))
-            wb = True
+        wb = True
+        bkey = ("A_batch", k, structure, str(compute_dtype),
+                ctx["vector_layout"])
+        A_wb = self._op_cache.get(bkey)
+        if A_wb is None:
+            if not transposed:
+                # the multi-RHS factory is transposed-only; vmap the
+                # cached per-RHS operator for the 'en' layout (cached —
+                # a fresh vmap object per call would miss the hoist/jit
+                # caches and recompile every solve)
+                A_wb = jax.vmap(ctx["A"])
+            else:
+                # whole-batch operator: one factor read for all k RHS
+                # (fused kernel on TPU general meshes; batched XLA
+                # einsums elsewhere)
+                A_wb = sumfac.make_multi_rhs_laplacian_T(
+                    ex, ctx["Gf"], ctx["Dhat"], k,
+                    free_local=free_local, structure=structure,
+                    precision="highest", compute_dtype=compute_dtype,
+                    assume_masked_input=True)
+            self._op_cache[bkey] = A_wb
         M_key = ("M_batch", precond, ctx["vector_layout"])
         M_wb = self._op_cache.get(M_key)
         if M_wb is None:

@@ -1108,8 +1108,6 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
     KT, M, aT = prep.KT, prep.M, prep.aT
     p_store = jnp.bfloat16 if p_bf16 else jnp.float32
 
-    smem_scalar = pl.BlockSpec((1, 1), _im32(lambda i: (0, 0)),
-                               memory_space=pltpu.SMEM)
     # partial-sum outputs: one (G, 1) SMEM array whose FULL shape is the
     # block (Mosaic only allows blocks equal to the array dims or
     # 8x128-divisible); each grid step writes its own row via program_id

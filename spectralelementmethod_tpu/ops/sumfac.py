@@ -641,6 +641,7 @@ def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
                                free_local=None,
                                backend: str = "auto",
                                precision: str = "highest",
+                               compute_dtype=None,
                                structure: str = "general",
                                assume_masked_input: bool = False):
     """Batched-RHS transposed weak Laplacian: (k, n, E) -> (k, n, E).
@@ -672,6 +673,14 @@ def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
     dt = jnp.dtype(Gf.dtype)
 
     fused = None
+    if compute_dtype is not None:
+        # reduced matmul-input dtype is an XLA-path knob (the fused
+        # kernel manages precision itself); route through the vmapped
+        # single-RHS operator
+        if backend in ("fused", "fused-interpret"):
+            raise ValueError("fused backends do not support "
+                             f"compute_dtype (got {compute_dtype})")
+        backend = "xla"
     if backend in ("auto", "fused", "fused-interpret"):
         if structure == "auto":
             # affine meshes are better served by the 3-scalar compressed
@@ -718,8 +727,8 @@ def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
 
     one = _make_local_laplacian_operator_T(
         exchange, Gf, Dhat, free_local, backend="xla",
-        precision=precision, structure=structure,
-        assume_masked_input=assume_masked_input)
+        precision=precision, compute_dtype=compute_dtype,
+        structure=structure, assume_masked_input=assume_masked_input)
     return jax.vmap(one)
 
 

@@ -339,14 +339,19 @@ class GridFDM3D:
         return out
 
     @classmethod
-    def try_build(cls, ex_c, disc_c, free_c_np):
-        """GridFDM3D for the coarse level, or None if inadmissible."""
+    def try_build(cls, ex_c, disc_c, free_c_np, G_c=None):
+        """GridFDM3D for the coarse level, or None if inadmissible.
+
+        ``G_c``: optional precomputed ``disc_c.laplacian_factors(None)``
+        (the factory already holds it; recomputing is a full numpy pass
+        over the coarse elements)."""
         Er = ex_c.E_real
         basis_c = disc_c.basis
         W = np.asarray(basis_c.weight_grid()).reshape(-1)
         sumW = float(W.sum())
-        Gf = np.asarray(disc_c.laplacian_factors(None),
-                        np.float64).reshape(Er, 6, -1)
+        if G_c is None:
+            G_c = disc_c.laplacian_factors(None)
+        Gf = np.asarray(G_c, np.float64).reshape(Er, 6, -1)
         scale = np.abs(Gf).max() + 1e-300
         a = np.empty(3)
         for k, c in enumerate((0, 3, 5)):
@@ -473,7 +478,8 @@ def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
     n_f, n_c = ex_f.n_loc, ex_c.n_loc
     shape_c = tuple(disc_c.shape)
 
-    G_c = jnp.asarray(disc_c.laplacian_factors(None), dtype=dtype)
+    G_c_np = disc_c.laplacian_factors(None)     # computed ONCE, reused
+    G_c = jnp.asarray(G_c_np, dtype=dtype)
     D_c = [jnp.asarray(basis_c.subbases[d].D1, dtype=dtype)
            for d in range(3)]
     free_c_np = np.asarray(free_global, bool)[ex_c.gather_lex]
@@ -486,7 +492,7 @@ def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
         return jnp.where(free_c, ex_c.dss(ve.reshape(Ec, n_c)), 0.0)
 
     d_c = sumfac.laplacian_diag_local_host_3d(
-        np.asarray(disc_c.laplacian_factors(None)),
+        np.asarray(G_c_np),
         *[np.asarray(basis_c.subbases[d].D1) for d in range(3)])
     dg = np.zeros(disc.mesh.n_nodes)
     np.add.at(dg, np.asarray(ex_c.gather_lex[:Er]).ravel(),
@@ -524,7 +530,7 @@ def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
 
     grid = None
     if coarse in ("auto", "fdm"):
-        grid = GridFDM3D.try_build(ex_c, disc_c, free_c_np)
+        grid = GridFDM3D.try_build(ex_c, disc_c, free_c_np, G_c=G_c_np)
         if grid is None and coarse == "fdm":
             raise ValueError(
                 "coarse='fdm' needs a uniform box lattice with "

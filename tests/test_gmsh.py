@@ -605,3 +605,109 @@ class TestAsciiRead:
         sol = prob.solve(tol=1e-12, host_loop=True)
         assert bool(sol.cg.converged)
         assert sol.u.max() > 0
+
+
+# ---------------------------------------------------------------------------
+# 3D hexahedra (capability extension; the reference is 2D-only)
+# ---------------------------------------------------------------------------
+
+
+class TestHexOrdering:
+    def test_hex27_matches_documented_numbering(self):
+        """Oracle: the gmsh reference manual's hex27 node numbering
+        (corners 0-7, edge midpoints 8-19 in the documented edge order,
+        face centers 20-25 in the documented face order, center 26)."""
+        from spectralelementmethod_tpu.mesh.gmsh import _hex_recursive_order
+
+        got = [tuple(int(v) for v in t) for t in _hex_recursive_order(3)]
+        expected = [
+            # corners (u, v, w)
+            (0, 0, 0), (2, 0, 0), (2, 2, 0), (0, 2, 0),
+            (0, 0, 2), (2, 0, 2), (2, 2, 2), (0, 2, 2),
+            # edges {0,1},{0,3},{0,4},{1,2},{1,5},{2,3},{2,6},{3,7},
+            #       {4,5},{4,7},{5,6},{6,7}
+            (1, 0, 0), (0, 1, 0), (0, 0, 1), (2, 1, 0), (2, 0, 1),
+            (1, 2, 0), (2, 2, 1), (0, 2, 1), (1, 0, 2), (0, 1, 2),
+            (2, 1, 2), (1, 2, 2),
+            # face centers {0,3,2,1},{0,1,5,4},{0,4,7,3},{1,2,6,5},
+            #              {2,3,7,6},{4,5,6,7}
+            (1, 1, 0), (1, 0, 1), (0, 1, 1), (2, 1, 1), (1, 2, 1),
+            (1, 1, 2),
+            # volume center
+            (1, 1, 1),
+        ]
+        assert got == expected
+
+    @pytest.mark.parametrize("M", [2, 3, 4, 5, 7])
+    def test_structure_all_orders(self, M):
+        """Bijection + class membership: corners/edges/faces/interior
+        land in the right lattice subsets for every order."""
+        from spectralelementmethod_tpu.mesh.gmsh import _hex_recursive_order
+
+        order = _hex_recursive_order(M)
+        assert len(set(order)) == M**3
+        L = M - 1
+
+        def n_ext(pos):
+            return sum(1 for c in pos if c in (0, L))
+
+        k = 0
+        for _ in range(8):
+            assert n_ext(order[k]) == 3; k += 1  # noqa: E702
+        for _ in range(12 * (M - 2)):
+            assert n_ext(order[k]) == 2; k += 1  # noqa: E702
+        for _ in range(6 * (M - 2) ** 2):
+            assert n_ext(order[k]) == 1; k += 1  # noqa: E702
+        for _ in range((M - 2) ** 3):
+            assert n_ext(order[k]) == 0; k += 1  # noqa: E702
+
+    def test_spiral_to_lex_3d_bijection(self):
+        idx = spiral_to_lex_permutation((4, 4, 4))
+        assert sorted(idx.ravel().tolist()) == list(range(64))
+
+
+class TestHexRoundTrip:
+    @pytest.mark.parametrize("p,binary", [(1, True), (2, True),
+                                          (3, True), (2, False)])
+    def test_save_load_box(self, p, binary, tmp_path):
+        from spectralelementmethod_tpu.mesh import box_mesh
+
+        mesh = box_mesh(3, 2, 2, p, x0=(0, 0, 0), x1=(3, 2, 2))
+        path = str(tmp_path / "box.msh")
+        save_msh(mesh, path, binary=binary)
+        loaded = load_msh(path, ndim=3)
+        np.testing.assert_allclose(loaded.nodes, mesh.nodes, atol=1e-15)
+        for c1, c2 in zip(mesh.cells, loaded.cells):
+            np.testing.assert_array_equal(
+                c1.node_ind_lexicographic, c2.node_ind_lexicographic)
+        for name in mesh.boundary_names:
+            a = {tuple(x) for x in mesh.boundary_faces(name).tolist()}
+            b = {tuple(x) for x in loaded.boundary_faces(name).tolist()}
+            assert a == b, name
+        for i in range(mesh.n_cells):
+            for f in range(6):
+                n1 = mesh.get_cell(i).neighbor(f)
+                n2 = loaded.get_cell(i).neighbor(f)
+                assert (n1 is None) == (n2 is None)
+                if n1 is not None:
+                    assert n1.index == n2.index
+
+    def test_solve_on_imported_3d_mesh(self, tmp_path):
+        from spectralelementmethod_tpu.basis import gll_basis_3d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh import box_mesh
+        from spectralelementmethod_tpu.models.poisson import Poisson
+
+        mesh = box_mesh(2, 2, 2, 3)
+        path = str(tmp_path / "box.msh")
+        save_msh(mesh, path)
+        loaded = load_msh(path, ndim=3)
+        sols = []
+        for m in (mesh, loaded):
+            disc = Discretization(m, gll_basis_3d(3))
+            prob = Poisson(disc, dtype=np.float64)
+            prob.set_dirichlet(
+                "ebc", lambda x, y, z: 0.1 * x + 0.2 * y - 0.05 * z)
+            sols.append(prob.solve(tol=1e-12, host_loop=True).u)
+        np.testing.assert_allclose(sols[0], sols[1], atol=1e-11)
