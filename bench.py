@@ -93,6 +93,125 @@ def numpy_reference_apply(u, gather, G, D, n_nodes, n_elems_sample):
     return time.perf_counter() - t0
 
 
+def main_3d(args, dtype):
+    """3D hexahedral bench: box mesh, sum-factorized apply + plane-roll
+    DSS on the (E, n) lexicographic L-vector path, preconditioned CG.
+    (Capability extension — the reference is 2D-only.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from spectralelementmethod_tpu.basis import gll_basis_3d
+    from spectralelementmethod_tpu.core.discretization import Discretization
+    from spectralelementmethod_tpu.mesh import box_mesh
+    from spectralelementmethod_tpu.models.poisson import Poisson
+
+    p = args.order
+    p1 = p + 1
+    nx = max(int(round(args.elements ** (1 / 3))), 1)
+    _progress("building 3D mesh+disc")
+    t0 = time.perf_counter()
+    mesh = box_mesh(nx, nx, nx, p)
+    disc = Discretization(mesh, gll_basis_3d(p))
+    E, n_loc, n_nodes = disc.E, disc.n_loc, disc.n_nodes
+    prob = Poisson(disc, dtype=dtype)
+    prob.set_dirichlet("ebc", 0.0)
+    t_setup = time.perf_counter() - t0
+
+    # raw apply on L-vectors (the solve path reuses this via solve_local)
+    from spectralelementmethod_tpu.ops import sumfac
+    from spectralelementmethod_tpu.ops.exchange import make_exchange
+    from spectralelementmethod_tpu.utils.hoist import hoist_closure
+
+    ex = make_exchange(disc)
+    shape = tuple(disc.shape)
+    G_d = jnp.asarray(prob._G_host.reshape((E, 6) + shape), dtype=dtype)
+    D_d = [jnp.asarray(disc.basis.subbases[d].D1, dtype=dtype)
+           for d in range(3)]
+
+    def one_apply(uL):
+        ue = uL.reshape((ex.E,) + shape)
+        ve = sumfac.laplacian_apply_local_3d(ue, G_d, *D_d)
+        return ex.dss(ve.reshape(ex.E, ex.n_loc))
+
+    rng = np.random.RandomState(1)
+    vec0 = jnp.asarray(
+        ex.local_from_global(
+            rng.random_sample(n_nodes)).astype(dtype))
+
+    A_pure, A_consts = hoist_closure(one_apply, vec0)
+    A_consts = tuple(A_consts)
+
+    @jax.jit
+    def apply_chain(u, n_reps, A_c):
+        def body(i, x):
+            y = A_pure(x, *A_c)
+            return y * jax.lax.rsqrt(
+                jnp.sum(y * y).astype(y.dtype) + 1e-30)
+
+        return jax.lax.fori_loop(0, n_reps, body, u)
+
+    def time_chain(n_reps, tries=3):
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            apply_chain(vec0, n_reps, A_consts).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    reps = args.reps
+    _progress("3D apply_chain warmup")
+    apply_chain(vec0, reps, A_consts).block_until_ready()
+    _progress("3D apply timing")
+    t_n, t_2n = time_chain(reps), time_chain(2 * reps)
+    timing_reliable = True
+    while t_2n - t_n < 0.05 * t_n and reps < 4096:
+        reps *= 4
+        t_n, t_2n = time_chain(reps), time_chain(2 * reps)
+    if t_2n - t_n < 0.05 * t_n:
+        timing_reliable = False
+    t_apply = max(t_2n - t_n, 1e-9) / reps
+
+    # sum-factorized 3D apply FLOPs: 6 (p1, p1) matmuls over p1^2 lines
+    # per element (3 fwd + 3 adjoint) + ~15 pointwise per node
+    flops = E * (12 * p1**4 + 15 * p1**3)
+    gflops = flops / t_apply / 1e9
+    bytes_per_apply = E * p1**3 * np.dtype(dtype).itemsize * (1 + 6 + 1)
+    gbps = bytes_per_apply / t_apply / 1e9
+
+    _progress("3D CG solve")
+    cg_tol = 1e-5 if dtype == np.float32 else 1e-10
+    sol = prob.solve_local(tol=cg_tol, precond=args.precond)
+    t0 = time.perf_counter()
+    sol = prob.solve_local(tol=cg_tol, precond=args.precond)
+    t_cg = time.perf_counter() - t0
+
+    result = {
+        "metric": f"element_apply_gflops_3d_p{p}_{E}el",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": 0.0,     # no 3D reference exists (2D-only)
+        "extras": {
+            "apply_ms": round(t_apply * 1e3, 3),
+            "effective_GB_s": round(gbps, 1),
+            "cg_wallclock_s": round(t_cg, 3),
+            "cg_iters": int(sol.cg.iterations),
+            "cg_converged": bool(sol.cg.converged),
+            "precond": args.precond,
+            "elements": E,
+            "order": p,
+            "dtype": str(np.dtype(dtype)),
+            "n_nodes": n_nodes,
+            "ndim": 3,
+            "device": str(jax.devices()[0]),
+            "exchange": type(ex).__name__,
+            "setup_s": round(t_setup, 2),
+            "timing_reliable": timing_reliable,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny sizes")
@@ -155,6 +274,10 @@ def main():
                          "meshes and compresses to 3 scalars/element; "
                          "general forces the full (3, n, E) slab read "
                          "(the curved-mesh configuration)")
+    ap.add_argument("--ndim", type=int, choices=[2, 3], default=2,
+                    help="3 = hexahedral box mesh on the 3D L-vector "
+                         "path (XLA sum-factorized apply + plane-roll "
+                         "DSS; --precond jacobi/fdm/pmg)")
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the environment may pin "
@@ -174,6 +297,9 @@ def main():
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.f64 else np.float32
+
+    if args.ndim == 3:
+        return main_3d(args, dtype)
 
     from spectralelementmethod_tpu.basis import gll_basis_2d
     from spectralelementmethod_tpu.core.discretization import Discretization

@@ -12,4 +12,8 @@ echo "### solve records (plain / fused / deferred / pmg, 100k + 1M)"
 timeout 10800 python scripts/measure_solve.py
 echo "### general-path fused kernel + multi-RHS sweep"
 timeout 5400 python scripts/measure_multirhs.py
+echo "### 3D apply + solve records (p=8 hexes, jacobi vs fdm vs pmg)"
+timeout 3600 python bench.py --ndim 3 --elements 20000 --order 8
+timeout 3600 python bench.py --ndim 3 --elements 20000 --order 8 --precond fdm
+timeout 3600 python bench.py --ndim 3 --elements 20000 --order 8 --precond pmg
 echo "### all recovery stages done at $(date -u)"
