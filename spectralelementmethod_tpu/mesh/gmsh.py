@@ -811,10 +811,11 @@ def save_msh41(mesh: Mesh, file_path: str) -> None:
 
     Capability extension — the reference has no writer at all
     (``sem/grid_importers.py`` is read-only, 2.2-only).  Model structure:
-    one curve entity per named boundary and one surface entity per region,
-    each carrying exactly its physical tag; all nodes in a single block on
-    the first surface entity; one element block per (physical group,
-    element shape).
+    one (ndim-1)-entity per named boundary and one ndim-entity per
+    region (2D: curves+surfaces; 3D: surfaces+volumes), each carrying
+    exactly its physical tag; all nodes in a single block on the first
+    region entity; one element block per (physical group, element
+    shape).
     """
     boundaries = mesh.boundary_names
     regions = mesh.region_names
@@ -855,7 +856,12 @@ def save_msh41(mesh: Mesh, file_path: str) -> None:
         f.write(b"$EndPhysicalNames\n")
 
         f.write(b"$Entities\n")
-        w_u8(f, 0, len(boundaries), len(regions), 0)
+        # entity counts by dimension: boundaries are (ndim-1)-entities,
+        # regions ndim-entities (2D: curves+surfaces; 3D: surfaces+volumes)
+        counts = [0, 0, 0, 0]
+        counts[mesh.ndim - 1] = len(boundaries)
+        counts[mesh.ndim] = len(regions)
+        w_u8(f, *counts)
         for name in boundaries:
             w_i4(f, bnd_ent[name])
             f.write(bbox.astype("<f8").tobytes())
@@ -884,13 +890,23 @@ def save_msh41(mesh: Mesh, file_path: str) -> None:
         # element blocks: one per (physical group, element shape)
         from collections import defaultdict
 
-        bnd_blocks = defaultdict(list)      # (name, n_side) -> spiral lists
+        type_of = {1: LINE_TYPE_OF_N, 2: QUAD_TYPE_OF_N, 3: HEX_TYPE_OF_N}
+        bnd_blocks = defaultdict(list)      # (name, shape) -> spiral lists
         for name in boundaries:
             for cell_num, face in mesh.boundary_faces(name):
-                sub = mesh.get_cell(cell_num).sub_cell(face)
-                lex = np.asarray(sub.node_ind_lexicographic).ravel()
-                perm = lex_to_spiral_permutation((lex.size,))
-                bnd_blocks[(name, lex.size)].append(lex[perm])
+                cell = mesh.get_cell(cell_num)
+                if mesh.ndim == 3:
+                    axis, side = divmod(face, 2)
+                    idx = [slice(None)] * 3
+                    idx[axis] = 0 if side == 0 else -1
+                    lexg = np.asarray(
+                        cell.node_ind_lexicographic)[tuple(idx)]
+                else:
+                    sub = cell.sub_cell(face)
+                    lexg = np.asarray(sub.node_ind_lexicographic)
+                perm = lex_to_spiral_permutation(lexg.shape)
+                bnd_blocks[(name, tuple(lexg.shape))].append(
+                    lexg.ravel()[perm])
         bulk_blocks = defaultdict(list)     # (region, shape) -> spiral lists
         for cell in mesh.cells:
             lex = cell.node_ind_lexicographic.ravel()
@@ -903,8 +919,10 @@ def save_msh41(mesh: Mesh, file_path: str) -> None:
         f.write(b"$Elements\n")
         w_u8(f, len(bnd_blocks) + len(bulk_blocks), n_elems, 1, n_elems)
         tag = 1
-        for (name, n_side), elems in sorted(bnd_blocks.items()):
-            w_i4(f, mesh.ndim - 1, bnd_ent[name], LINE_TYPE_OF_N[n_side])
+        for (name, shape), elems in sorted(bnd_blocks.items()):
+            n_side = int(np.prod(shape))
+            w_i4(f, mesh.ndim - 1, bnd_ent[name],
+                 type_of[len(shape)][shape[0]])
             w_u8(f, len(elems))
             dt = np.dtype([("tag", "<u8"), ("node_ix", "<u8", (n_side,))])
             raw = np.zeros(len(elems), dtype=dt)
@@ -914,7 +932,8 @@ def save_msh41(mesh: Mesh, file_path: str) -> None:
             f.write(raw.tobytes())
         for (name, shape), elems in sorted(bulk_blocks.items()):
             n_el_nodes = int(np.prod(shape))
-            w_i4(f, mesh.ndim, reg_ent[name], QUAD_TYPE_OF_N[shape[0]])
+            w_i4(f, mesh.ndim, reg_ent[name],
+                 type_of[len(shape)][shape[0]])
             w_u8(f, len(elems))
             dt = np.dtype([("tag", "<u8"),
                            ("node_ix", "<u8", (n_el_nodes,))])

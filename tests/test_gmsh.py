@@ -711,3 +711,21 @@ class TestHexRoundTrip:
                 "ebc", lambda x, y, z: 0.1 * x + 0.2 * y - 0.05 * z)
             sols.append(prob.solve(tol=1e-12, host_loop=True).u)
         np.testing.assert_allclose(sols[0], sols[1], atol=1e-11)
+
+
+class TestHexRoundTrip41:
+    def test_save41_load_box(self, tmp_path):
+        from spectralelementmethod_tpu.mesh import box_mesh
+        from spectralelementmethod_tpu.mesh.gmsh import save_msh41
+
+        mesh = box_mesh(3, 2, 2, 2, x0=(0, 0, 0), x1=(3, 2, 2))
+        path = str(tmp_path / "box41.msh")
+        save_msh41(mesh, path)
+        loaded = load_msh(path, ndim=3)
+        for c1, c2 in zip(mesh.cells, loaded.cells):
+            np.testing.assert_array_equal(
+                c1.node_ind_lexicographic, c2.node_ind_lexicographic)
+        for name in mesh.boundary_names:
+            a = {tuple(x) for x in mesh.boundary_faces(name).tolist()}
+            b = {tuple(x) for x in loaded.boundary_faces(name).tolist()}
+            assert a == b, name
