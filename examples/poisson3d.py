@@ -28,8 +28,24 @@ def main():
     ap.add_argument("--cells", type=int, default=3, help="cells per axis")
     ap.add_argument("--order", type=int, default=6)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the environment may pin "
+                         "a remote TPU via sitecustomize)")
+    ap.add_argument("--precond", choices=["jacobi", "fdm", "pmg"],
+                    default="jacobi",
+                    help="fdm = sum-factorized fast diagonalization; "
+                         "pmg = two-level p-multigrid with the exact "
+                         "tensor-lattice coarse solve (GridFDM3D)")
+    ap.add_argument("--msh", default=None,
+                    help="round-trip the mesh through a Gmsh file "
+                         "(written here, then imported back) before "
+                         "solving — exercises 3D hex .msh I/O")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import spectralelementmethod_tpu as semtpu
     from spectralelementmethod_tpu.basis import gll_basis_3d
     from spectralelementmethod_tpu.core.discretization import Discretization
@@ -46,6 +62,12 @@ def main():
     t0 = time.perf_counter()
     n = args.cells
     mesh = box_mesh(n, n, n, args.order)
+    if args.msh:
+        from spectralelementmethod_tpu.mesh.gmsh import load_msh, save_msh
+
+        save_msh(mesh, args.msh)
+        mesh = load_msh(args.msh, ndim=3)
+        print(f"mesh round-tripped through {args.msh}")
     disc = Discretization(mesh, gll_basis_3d(args.order))
     prob = Poisson(
         disc, forcing=lambda x, y, z: 3 * np.pi**2 * exact(x, y, z),
@@ -56,7 +78,8 @@ def main():
 
     t0 = time.perf_counter()
     # production path: element-local L-vectors + pair/scatter DSS
-    sol = prob.solve_local(tol=1e-6 if args.f32 else 1e-12)
+    sol = prob.solve_local(tol=1e-6 if args.f32 else 1e-12,
+                           precond=args.precond)
     x, y, z = np.asarray(prob.x_nodes)
     err = np.abs(sol.u - exact(x, y, z)).max()
     print(f"CG: {int(sol.cg.iterations)} iterations, "
