@@ -99,3 +99,20 @@ class TestInterpolate:
         # accuracy limited by the inverse-map Newton tol (1e-8 on the
         # parametric step, as in the reference: sem/mapping.py:172)
         np.testing.assert_allclose(vals, pts[:, 0] * pts[:, 1], atol=1e-6)
+
+
+def test_interpolate_3d_box():
+    """3D point location + interpolation (generic-ndim Newton path;
+    the native fast path is 2D-only and falls back)."""
+    from spectralelementmethod_tpu.basis import gll_basis_3d
+    from spectralelementmethod_tpu.mesh import box_mesh
+
+    mesh = box_mesh(2, 2, 2, 4, x0=(0, 0, 0), x1=(2, 2, 2))
+    disc = Discretization(mesh, gll_basis_3d(4))
+    x, y, z = disc.global_gll_coords()
+    u = x**2 * y + z                      # in the p=4 space
+    pts = np.array([[0.37, 1.21, 0.63], [1.9, 0.11, 1.73],
+                    [1.0, 1.0, 1.0]])     # incl. a cell-corner point
+    vals = np.asarray(pl.interpolate(disc, u, pts))
+    exact = pts[:, 0] ** 2 * pts[:, 1] + pts[:, 2]
+    np.testing.assert_allclose(vals, exact, atol=1e-12)
