@@ -17,3 +17,10 @@ timeout 3600 python bench.py --ndim 3 --elements 20000 --order 8
 timeout 3600 python bench.py --ndim 3 --elements 20000 --order 8 --precond fdm
 timeout 3600 python bench.py --ndim 3 --elements 20000 --order 8 --precond pmg
 echo "### all recovery stages done at $(date -u)"
+# Preserve the raw measurement log in-repo even if no session is active
+# when the TPU comes back (the driver snapshots the repo at round end).
+mkdir -p docs/measurements
+cp /tmp/tpuwatch/recovery.out \
+   "docs/measurements/recovery_$(date -u +%Y%m%dT%H%M%S).log" 2>/dev/null
+git add docs/measurements && git commit -q -m \
+  "Record TPU recovery-batch measurement log (automated)" || true
