@@ -502,20 +502,25 @@ class Poisson(BoundaryConditionMixin):
         """Solve ``-div(c grad u_j) = f_j`` for a batch of forcings.
 
         One operator, one preconditioner, one CG ladder for all k
-        right-hand sides (:func:`..solver.cg.cg_batched`): each RHS
-        converges independently (per-RHS alpha/beta via ``vmap``), but
-        every host synchronization and operator setup is shared — through
-        a remote-TPU tunnel, k solves cost barely more dispatches than
-        one.  The currently-set Dirichlet/Neumann boundary conditions are
-        shared by every solve.  (The reference solves one system per call,
-        ``sem/discrete.py:502-528``; multi-RHS is net-new.)
+        right-hand sides (:func:`..solver.cg.cg_batched` in whole-batch
+        mode): each RHS converges independently (per-RHS alpha/beta/
+        freeze), every host synchronization and operator setup is shared
+        — through a remote-TPU tunnel, k solves cost barely more
+        dispatches than one — and the batched apply reads the operator
+        once per iteration for all k RHS (the fused multi-RHS Pallas
+        kernel on TPU curved f32 meshes,
+        :func:`..ops.sumfac.make_multi_rhs_laplacian_T`; batched XLA
+        einsums elsewhere).  The currently-set Dirichlet/Neumann
+        boundary conditions are shared by every solve.  (The reference
+        solves one system per call, ``sem/discrete.py:502-528``;
+        multi-RHS is net-new.)
 
         ``forcings``: sequence of k forcing fields (callables ``f(x, y)``
         or scalars), or a ready (k, n_nodes) array of *nodal forcing
         values* (the weak RHS is formed here in either case).
 
         Returns a :class:`PoissonSolution` whose ``u`` is (k, n_nodes)
-        and whose ``result`` fields are all batched (k leading axis).
+        and whose ``cg`` fields are all batched (k leading axis).
         """
         from ..ops.exchange import make_exchange
 
