@@ -210,6 +210,50 @@ def main():
                 "resnorm": float(res.residual_norm)}), flush=True)
             del kA, kB
 
+    def batched_fused_cg():
+        """k-RHS fused CG ms/iter/RHS (shared factor/diag/weight
+        streams) vs the single-RHS fused iteration, k in {2, 4}."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels_general)
+        from spectralelementmethod_tpu.solver.cg import cg_fused_batched
+
+        iters = 100
+        free = jnp.ones((n, E), bool)
+        w = ex._weights_as(np.float32, transposed=True)
+        inv0 = jnp.where(free, 0.1, 0.0).astype(jnp.bfloat16)
+        wf0 = jnp.asarray(w).astype(jnp.bfloat16)
+        for k in (2, 4):
+            try:
+                kA, kB, G = make_fused_cg_kernels_general(
+                    ex, sumfac._pad_factors_to_exchange(Gf, ex), Dhat,
+                    n_rhs=k, precision="high", p_dtype=jnp.bfloat16)
+            except ValueError as e:
+                print(f"[batched-fused-cg-k{k}: skipped — {e}]",
+                      flush=True)
+                continue
+            B = jnp.asarray(rng.standard_normal(
+                (k, n, E)).astype(np.float32))
+
+            def run():
+                res = cg_fused_batched(kA, kB, B, inv=inv0, w_free=wf0,
+                                       tol=0.0, max_iter=iters,
+                                       block=iters,
+                                       p_dtype=jnp.bfloat16)
+                res.x.block_until_ready()
+                return res
+
+            run()
+            t0 = time.perf_counter()
+            run()
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": f"cg_general_fused_batched[k{k}]",
+                "value": round(dt * 1e3 / iters, 3),
+                "per_rhs_ms": round(dt * 1e3 / iters / k, 3),
+                "TE": kA._prep.TE, "Hb": kA._prep.Hb,
+            }), flush=True)
+            del kA, kB
+
     stage("xla general apply", xla_general)
     if pallas_kernels.supported():
         stage("fused general k-sweep", fused_general)
@@ -220,6 +264,7 @@ def main():
     stage("whole-batch CG solve", batched_solve)
     if pallas_kernels.supported():
         stage("general fused CG", general_cg)
+        stage("batched fused CG", batched_fused_cg)
     banner("measure_multirhs done")
 
 

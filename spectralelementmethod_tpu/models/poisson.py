@@ -498,7 +498,9 @@ class Poisson(BoundaryConditionMixin):
                           precond: str = "jacobi",
                           structure: str = "auto",
                           compute_dtype=None,
-                          vector_layout: str = "auto") -> PoissonSolution:
+                          vector_layout: str = "auto",
+                          cg_kernel: str = "plain",
+                          p_dtype=None) -> PoissonSolution:
         """Solve ``-div(c grad u_j) = f_j`` for a batch of forcings.
 
         One operator, one preconditioner, one CG ladder for all k
@@ -518,6 +520,13 @@ class Poisson(BoundaryConditionMixin):
         ``forcings``: sequence of k forcing fields (callables ``f(x, y)``
         or scalars), or a ready (k, n_nodes) array of *nodal forcing
         values* (the weak RHS is formed here in either case).
+
+        ``cg_kernel='fused'`` (or 'fused-interpret' for CPU testing)
+        runs whole batched CG iterations in two Pallas kernels
+        (:func:`..ops.pallas_kernels.make_fused_cg_kernels_general`
+        with ``n_rhs=k`` + :func:`..solver.cg.cg_fused_batched`):
+        requires the 'ne' layout, jacobi, float32; ``p_dtype=bfloat16``
+        stores the k search directions in bf16.
 
         Returns a :class:`PoissonSolution` whose ``u`` is (k, n_nodes)
         and whose ``cg`` fields are all batched (k leading axis).
@@ -560,6 +569,39 @@ class Poisson(BoundaryConditionMixin):
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
         k = int(R.shape[0])
+
+        if cg_kernel not in ("plain", "fused", "fused-interpret"):
+            raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
+        if cg_kernel != "plain":
+            if not (transposed and precond == "jacobi"
+                    and np.dtype(self.dtype) == np.float32):
+                raise ValueError("batched fused CG requires the 'ne' "
+                                 "layout, precond='jacobi' and float32")
+            from ..ops import pallas_kernels
+            from ..solver.cg import cg_fused_batched
+
+            fkey = ("cg_fused_batch", k, cg_kernel, str(p_dtype))
+            fused = self._op_cache.get(fkey)
+            if fused is None:
+                Gf_p = sumfac._pad_factors_to_exchange(
+                    np.asarray(ctx["Gf"], np.float32), ex)
+                kA, kB, _ = pallas_kernels.make_fused_cg_kernels_general(
+                    ex, Gf_p, ctx["Dhat"], n_rhs=k,
+                    precision="high" if p_dtype is not None
+                    else "highest",
+                    p_dtype=p_dtype,
+                    interpret=cg_kernel == "fused-interpret")
+                inv, wf = self._fused_cg_operands(ex, free_local, p_dtype)
+                fused = self._op_cache[fkey] = (kA, kB, inv, wf)
+            kA, kB, inv, wf = fused
+            res = cg_fused_batched(kA, kB, R, inv=inv, w_free=wf,
+                                   tol=tol, max_iter=max_iter,
+                                   p_dtype=p_dtype)
+            u = np.stack([
+                ex.global_from_local_T(np.asarray(u_dL + res.x[j]))
+                for j in range(k)])
+            return PoissonSolution(u, res)
+
         wb = True
         bkey = ("A_batch", k, structure, str(compute_dtype),
                 ctx["vector_layout"])
@@ -714,6 +756,12 @@ class Poisson(BoundaryConditionMixin):
                 p_dtype=p_dtype,
                 interpret=cg_kernel == "fused-interpret")
 
+        inv, w_free = self._fused_cg_operands(ex, free_local, p_dtype)
+        return kA, kB, inv, w_free
+
+    def _fused_cg_operands(self, ex, free_local, p_dtype):
+        """Masked inverse diagonal + dot weights for the fused CG
+        kernels (shared by the single-RHS and batched builders)."""
         diagL = jnp.asarray(np.ascontiguousarray(
             (np.asarray(self.operator_diagonal())
              [ex.gather_hier]).astype(np.float32).T))
@@ -728,7 +776,7 @@ class Poisson(BoundaryConditionMixin):
             # HBM half-passes per iteration.  x and r stay float32.
             inv = inv.astype(jnp.bfloat16)
             w_free = w_free.astype(jnp.bfloat16)
-        return kA, kB, inv, w_free
+        return inv, w_free
 
     # -- post-processing -----------------------------------------------------------
 

@@ -1302,6 +1302,7 @@ def _build_cg_kernel_b(prep, interpret: bool):
 
 
 def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
+                                  n_rhs: int = 1,
                                   precision: str = "high",
                                   p_dtype=None,
                                   target_win: int | None = None,
@@ -1328,6 +1329,17 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
     computed from the stored direction so full f32 accuracy is
     attainable.  ``defer_x`` is not offered here (the x update is a
     smaller fraction of this kernel's traffic).
+
+    ``n_rhs=k`` batches k independent CG solves through the kernels
+    (driver: :func:`..solver.cg.cg_fused_batched`): r/p/x/Ap stack k
+    sublane blocks of n rows ((k, n, E) reshaped to (k*n, E)), while
+    the factor window, the inverse diagonal, the dot weights, and the
+    class masks stream ONCE for all k; beta/alpha arrive as (k,)
+    vectors and the partial sums return (G, k).  Per-RHS the factor
+    traffic (~3 of the iteration's ~15 passes) amortizes by 1/k and
+    the per-dispatch latency by k.  The VMEM window shrinks ~k-fold —
+    large-offset roll classes (lex-ordered big meshes) may be
+    inadmissible at k > 2; panel element orders keep H small.
     """
     import numpy as np
 
@@ -1339,11 +1351,15 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
     p_bf16 = p_dtype is not None
     if p_bf16 and precision != "high":
         raise ValueError("p_dtype=bfloat16 requires precision='high'")
+    if n_rhs < 1:
+        raise ValueError(f"n_rhs must be >= 1, got {n_rhs}")
+    k_rhs = n_rhs
     if target_win is None:
-        # kernel A holds ~15n rows of per-lane state (r/p/inv windows,
-        # the factor window, x, three outputs, grads/flux transients) vs
-        # the affine kernel's ~10n — scale its measured windows down
-        target_win = 2048 if p_bf16 else 1024
+        # kernel A holds ~(7k + 8)n rows of per-lane state (k r/p
+        # windows + x/outs, one shared inv/factor window, transients)
+        base = 2048 if p_bf16 else 1024
+        target_win = max(int(base * 15 / (7 * k_rhs + 8)) // 128 * 128,
+                         384)
 
     prep = _AffineFusedPrep(exchange, None, None, precision, target_win,
                             max_halo=None)
@@ -1361,36 +1377,41 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, gL, gC, gR,
                  x_ref, dh_ref, dht_ref, m_ref, sc_ref,
                  po_ref, apo_ref, xo_ref, d_ref):
-        beta = sc_ref[0, 0]
-        alpha_prev = sc_ref[0, 1]
-        r_win = jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
-        p_win = jnp.concatenate([pL[:], pC[:], pR[:]], axis=1)
-        i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
         g_win = jnp.concatenate([gL[:], gC[:], gR[:]], axis=1)
-        p32 = p_win.astype(jnp.float32)
-        xo_ref[:] = x_ref[:] + alpha_prev * p32[:, Hb:Hb + TE]
-        pn = i_win.astype(jnp.float32) * r_win + beta * p32
-        # Ap must be computed from the *stored* direction: round first
-        pn_st = pn.astype(p_store)
-        grads = prep.prec_dot(dh_ref, 2 * n, pn_st)          # (2n, W)
-        ur, us = grads[:n], grads[n:]
         g0, g1, g2 = g_win[:n], g_win[n:2 * n], g_win[2 * n:]
-        flux = jnp.concatenate(
-            [g0 * ur + g1 * us, g1 * ur + g2 * us], axis=0)
-        S = prep.prec_dot(dht_ref, n, flux)                  # (n, W)
-        po_ref[:] = pn_st[:, Hb:Hb + TE]
-        apo_ref[:] = prep.roll_dss(S, m_ref)
-        d_ref[pl.program_id(0), 0] = jnp.sum(
-            pn_st[:, Hb:Hb + TE].astype(jnp.float32) * S[:, Hb:Hb + TE])
+        i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
+        i32w = i_win.astype(jnp.float32)
+        for j in range(k_rhs):
+            sl = slice(j * n, (j + 1) * n)
+            beta = sc_ref[j, 0]
+            alpha_prev = sc_ref[j, 1]
+            r_win = jnp.concatenate([rL[sl], rC[sl], rR[sl]], axis=1)
+            p_win = jnp.concatenate([pL[sl], pC[sl], pR[sl]], axis=1)
+            p32 = p_win.astype(jnp.float32)
+            xo_ref[sl] = x_ref[sl] + alpha_prev * p32[:, Hb:Hb + TE]
+            pn = i32w * r_win + beta * p32
+            # Ap must be computed from the *stored* direction
+            pn_st = pn.astype(p_store)
+            grads = prep.prec_dot(dh_ref, 2 * n, pn_st)      # (2n, W)
+            ur, us = grads[:n], grads[n:]
+            flux = jnp.concatenate(
+                [g0 * ur + g1 * us, g1 * ur + g2 * us], axis=0)
+            S = prep.prec_dot(dht_ref, n, flux)              # (n, W)
+            po_ref[sl] = pn_st[:, Hb:Hb + TE]
+            apo_ref[sl] = prep.roll_dss(S, m_ref)
+            d_ref[pl.program_id(0), j] = jnp.sum(
+                pn_st[:, Hb:Hb + TE].astype(jnp.float32)
+                * S[:, Hb:Hb + TE])
 
-    smem_pair = pl.BlockSpec((1, 2), _im32(lambda i: (0, 0)),
-                             memory_space=pltpu.SMEM)
-    smem_out = pl.BlockSpec((G, 1), _im32(lambda i: (0, 0)),
+    smem_sc = pl.BlockSpec((k_rhs, 2), _im32(lambda i: (0, 0)),
+                           memory_space=pltpu.SMEM)
+    smem_out = pl.BlockSpec((G, k_rhs), _im32(lambda i: (0, 0)),
                             memory_space=pltpu.SMEM)
     d_rows, dt_rows = Dh_c.shape[0], DhT_c.shape[0]
-    a_specs = (prep.halo_triple(n) + prep.halo_triple(n)
+    kn = k_rhs * n
+    a_specs = (prep.halo_triple(kn) + prep.halo_triple(kn)
                + prep.halo_triple(n) + prep.halo_triple(3 * n)
-               + [prep.center_spec(n)] + [
+               + [prep.center_spec(kn)] + [
                    pl.BlockSpec((d_rows, n), _im32(lambda i: (0, 0)),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((dt_rows, 2 * n), _im32(lambda i: (0, 0)),
@@ -1398,19 +1419,21 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
                    pl.BlockSpec((prep.n_mask_rows, TE),
                                 _im32(lambda i: (0, i)),
                                 memory_space=pltpu.VMEM),
-               ] + [smem_pair])
+               ] + [smem_sc])
     a_out_shapes = (
-        jax.ShapeDtypeStruct((n, E), p_store),
-        jax.ShapeDtypeStruct((n, E), jnp.float32),
-        jax.ShapeDtypeStruct((n, E), jnp.float32),
-        jax.ShapeDtypeStruct((G, 1), jnp.float32),
+        jax.ShapeDtypeStruct((kn, E), p_store),
+        jax.ShapeDtypeStruct((kn, E), jnp.float32),
+        jax.ShapeDtypeStruct((kn, E), jnp.float32),
+        jax.ShapeDtypeStruct((G, k_rhs), jnp.float32),
     )
-    a_out_specs = (prep.center_spec(n), prep.center_spec(n),
-                   prep.center_spec(n), smem_out)
+    a_out_specs = (prep.center_spec(kn), prep.center_spec(kn),
+                   prep.center_spec(kn), smem_out)
 
     def kA(r, p, inv, x, beta, alpha_prev):
-        sc = jnp.stack([jnp.asarray(beta, jnp.float32),
-                        jnp.asarray(alpha_prev, jnp.float32)]).reshape(1, 2)
+        sc = jnp.stack(
+            [jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (k_rhs,)),
+             jnp.broadcast_to(jnp.asarray(alpha_prev, jnp.float32),
+                              (k_rhs,))], axis=1)            # (k, 2)
         return pl.pallas_call(
             kernel_a,
             out_shape=a_out_shapes,
@@ -1421,11 +1444,65 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
         )(r, r, r, p, p, p, inv, inv, inv, gT, gT, gT, x,
           Dh_c, DhT_c, M, sc)
 
-    kB = _build_cg_kernel_b(prep, interpret)
+    if k_rhs == 1:
+        kB = _build_cg_kernel_b(prep, interpret)
+    else:
+        kB = _build_cg_kernel_b_batched(prep, k_rhs, interpret)
     kA._prep = kB._prep = prep        # introspection (tests, bench)
     kA._defer_x = False
+    kA._n_rhs = k_rhs
     kA._no_hoist = kB._no_hoist = True
     return kA, kB, G
+
+
+def _build_cg_kernel_b_batched(prep, k_rhs: int, interpret: bool):
+    """Batched CG tail kernel: k sublane-stacked residual blocks share
+    one inverse-diagonal and one dot-weight stream; alpha is (k,) and
+    the weighted reductions return (G, k) partials."""
+    n, E, G = prep.n, prep.E, prep.G
+    kn = k_rhs * n
+
+    smem_al = pl.BlockSpec((k_rhs, 1), _im32(lambda i: (0, 0)),
+                           memory_space=pltpu.SMEM)
+    smem_out = pl.BlockSpec((G, k_rhs), _im32(lambda i: (0, 0)),
+                            memory_space=pltpu.SMEM)
+
+    def kernel_b(r_ref, ap_ref, i_ref, w_ref, al_ref,
+                 ro_ref, rz_ref, rn_ref):
+        w = w_ref[:].astype(jnp.float32)
+        iw = i_ref[:].astype(jnp.float32)
+        g = pl.program_id(0)
+        for j in range(k_rhs):
+            sl = slice(j * n, (j + 1) * n)
+            alpha = al_ref[j, 0]
+            r_new = r_ref[sl] - alpha * ap_ref[sl]
+            ro_ref[sl] = r_new
+            z = iw * r_new
+            rz_ref[g, j] = jnp.sum(w * r_new * z)
+            rn_ref[g, j] = jnp.sum(w * r_new * r_new)
+
+    cs_kn = prep.center_spec(kn)
+    cs_n = prep.center_spec(n)
+    b_specs = [cs_kn, cs_kn, cs_n, cs_n, smem_al]
+    b_out_shapes = (
+        jax.ShapeDtypeStruct((kn, E), jnp.float32),
+        jax.ShapeDtypeStruct((G, k_rhs), jnp.float32),
+        jax.ShapeDtypeStruct((G, k_rhs), jnp.float32),
+    )
+    b_out_specs = (cs_kn, smem_out, smem_out)
+
+    def kB(r, Ap, inv, w_free, alpha):
+        al = jnp.asarray(alpha, jnp.float32).reshape(k_rhs, 1)
+        return pl.pallas_call(
+            kernel_b,
+            out_shape=b_out_shapes,
+            grid=(G,),
+            in_specs=b_specs,
+            out_specs=b_out_specs,
+            interpret=interpret,
+        )(r, Ap, inv, w_free, al)
+
+    return kB
 
 
 def supported() -> bool:

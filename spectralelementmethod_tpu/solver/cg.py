@@ -621,6 +621,155 @@ def cg_fused(
     return CGResult(x, k_dev, rnorm, rn2 <= stop2)
 
 
+def cg_fused_batched(
+    kA: Callable,
+    kB: Callable,
+    B: jax.Array,
+    *,
+    inv: jax.Array,
+    w_free: jax.Array,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    max_iter: int = 1000,
+    block: int = 64,
+    p_dtype=None,
+) -> CGResult:
+    """Batched-RHS twin of :func:`cg_fused`.
+
+    ``kA``/``kB`` come from :func:`..ops.pallas_kernels.
+    make_fused_cg_kernels_general` built with ``n_rhs=k``; ``B`` stacks
+    k initial residuals as (k, n, E) (or the equivalent (k*n, E)).  The
+    kernels stream the geometric factors, inverse diagonal, dot weights
+    and class masks ONCE per iteration for all k solves; each RHS
+    carries its own alpha/beta/convergence scalars and freezes
+    independently (zero step length), exactly like :func:`cg_batched`.
+    One host ladder serves all k solves.
+
+    Returns a batched :class:`CGResult` with ``x`` shaped (k, n, E).
+    """
+    k = int(getattr(kA, "_n_rhs", 1))
+    import numpy as np
+
+    ftype = jnp.float32
+    tol = jnp.asarray(tol, dtype=ftype)
+    atol = jnp.asarray(atol, dtype=ftype)
+    p_bf16 = p_dtype is not None and jnp.dtype(p_dtype) == jnp.bfloat16
+
+    if B.ndim == 3:
+        kk, n_loc, E = B.shape
+        B2 = B.reshape(kk * n_loc, E)
+    else:
+        B2 = B
+        kk = k
+        n_loc = B2.shape[0] // k
+    if kk != k or B2.shape[0] != k * n_loc:
+        raise ValueError(f"B batch size {kk} != kernel n_rhs {k}")
+
+    init_k, block_k = _cg_fused_kernels_batched(kA, kB, k, p_bf16)
+    state = init_k(B2, inv, w_free, tol, atol,
+                   jnp.asarray(max_iter, dtype=jnp.int32))
+
+    issued = 0
+    best_state = state
+    best_rn2 = np.full(k, np.inf)
+    while issued < max_iter:
+        remaining = -(-(max_iter - issued) // 64) * 64
+        n = min(block, remaining)
+        state = block_k(n, state, inv, w_free)
+        issued += n
+        rn2, stop2_np, rn2m = jax.device_get(
+            (state[7], state[9], state[10]))
+        improved = rn2 <= best_rn2
+        if improved.all():
+            best_state, best_rn2 = state, rn2
+        elif improved.any():
+            best_state = _select_best_fused(jnp.asarray(improved), state,
+                                            best_state, n_loc)
+            best_rn2 = np.where(improved, rn2, best_rn2)
+        done = ((rn2 <= stop2_np) | (rn2 > 1e6 * rn2m)
+                | ~np.isfinite(rn2))
+        if done.all():
+            break
+        block = min(block * 2, 4096)
+
+    (x, r, p, rz, rz_prev, a_prev, k_dev, rn2, _, stop2,
+     _) = best_state
+    # x lags one direction per RHS: apply the pending per-k update
+    x = (x.reshape(k, n_loc, -1)
+         + a_prev[:, None, None]
+         * p.reshape(k, n_loc, -1).astype(x.dtype))
+    rnorm = jnp.sqrt(rn2)
+    return CGResult(x, k_dev, rnorm, rn2 <= stop2)
+
+
+def _select_best_fused(improved, new, old, n_loc):
+    """Per-RHS best-state merge for the fused batched ladder: the big
+    arrays are (k*n, E) stacks, scalars are (k,).  Called at most once
+    per ladder block (host side), so left unjitted."""
+    k = improved.shape[0]
+
+    def sel(a, b):
+        if a.ndim == 2 and a.shape[0] == k * n_loc:
+            m = jnp.repeat(improved, n_loc)[:, None]
+            return jnp.where(m, a, b)
+        if a.ndim == 1 and a.shape[0] == k:
+            return jnp.where(improved, a, b)
+        return a                   # shared scalars (max_iter etc.)
+
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+@lru_cache(maxsize=16)
+def _cg_fused_kernels_batched(kA, kB, k: int, p_bf16: bool = False):
+    """Jitted (init, block) for the batched fused CG (per-RHS scalars
+    as (k,) vectors; kernel partials reduced over axis 0)."""
+
+    @jax.jit
+    def init(B2, inv, w_free, tol, atol, max_iter):
+        r0 = B2.astype(jnp.float32)
+        kn = r0.shape[0]
+        n_loc = kn // k
+        x0 = jnp.zeros_like(r0)
+        p0 = jnp.zeros_like(r0, dtype=jnp.bfloat16 if p_bf16
+                            else r0.dtype)
+        wf = w_free.astype(jnp.float32)          # (n, E) shared
+        r3 = r0.reshape(k, n_loc, -1)
+        iv3 = inv.astype(jnp.float32)[None]
+        rn0 = jnp.sum(wf[None] * r3 * r3, axis=(1, 2))
+        rz0 = jnp.sum(wf[None] * r3 * (iv3 * r3), axis=(1, 2))
+        stop2 = jnp.maximum(tol * tol * rn0, atol * atol)
+        return (x0, r0, p0, rz0, rz0, jnp.zeros(k, jnp.float32),
+                jnp.zeros(k, dtype=jnp.int32), rn0,
+                jnp.broadcast_to(max_iter, (k,)), stop2, rn0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(n, state, inv, w_free):
+        def body(i, st):
+            (x, r, p, rz, rz_prev, alpha_prev, it, rn2, max_it, stop2,
+             rn2_min) = st
+            done = ((rn2 <= stop2) | (it >= max_it)
+                    | (rn2 > 1e6 * rn2_min) | ~jnp.isfinite(rn2))
+            beta = jnp.where(
+                (it == 0) | done, 0.0,
+                rz / jnp.where(rz_prev != 0, rz_prev, 1.0))
+            p, Ap, x, dparts = kA(r, p, inv, x, beta, alpha_prev)
+            denom = jnp.sum(dparts, axis=0)                  # (k,)
+            alpha = jnp.where(
+                done, 0.0, rz / jnp.where(denom != 0, denom, 1.0))
+            r, rzp, rn2p = kB(r, Ap, inv, w_free, alpha)
+            rz_new = jnp.sum(rzp, axis=0)
+            rn2_new = jnp.sum(rn2p, axis=0)
+            it = it + jnp.where(done, 0, 1).astype(it.dtype)
+            rn2_min = jnp.where(done, rn2_min,
+                                jnp.minimum(rn2_min, rn2_new))
+            return (x, r, p, rz_new, rz, alpha, it, rn2_new, max_it,
+                    stop2, rn2_min)
+
+        return jax.lax.fori_loop(0, n, body, state)
+
+    return init, block
+
+
 @lru_cache(maxsize=16)
 def _cg_fused_kernels(kA, kB, p_bf16: bool = False):
     """Jitted (init, block) for one (kA, kB) kernel pair (see _cg_kernels

@@ -187,6 +187,96 @@ class TestGeneralFusedCG:
                              defer_x=8, vector_layout="ne")
 
 
+class TestBatchedFusedCG:
+    """Multi-RHS fused CG: k solves per kernel invocation, shared
+    factor/diagonal/weight/mask streams, per-RHS scalars."""
+
+    def _prob(self):
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, coefficient=lambda x, y: 1 + x**2 * y**2,
+                       dtype=np.float32)
+        prob.set_dirichlet("ebc", lambda x, y: 0.0)
+        return prob
+
+    def test_kernels_match_single_rhs(self):
+        """One batched iteration == k independent single-RHS fused
+        iterations (identical kernels, stacked operands)."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels_general)
+
+        ex, Gf, Dhat = general_problem()
+        n, E = ex.n_loc, ex.E
+        k = 3
+        kA1, kB1, _ = make_fused_cg_kernels_general(
+            ex, Gf, Dhat, precision="highest", interpret=True)
+        kAb, kBb, _ = make_fused_cg_kernels_general(
+            ex, Gf, Dhat, n_rhs=k, precision="highest", interpret=True)
+        rng = np.random.RandomState(31)
+        R = ex.dss_T(jnp.asarray(
+            rng.standard_normal((n, E)).astype(np.float32)))
+        Rs = [jnp.roll(R, j, axis=1) for j in range(k)]
+        P = [ex.dss_T(jnp.asarray(
+            rng.standard_normal((n, E)).astype(np.float32)))
+            for _ in range(k)]
+        inv = ex.dss_T(jnp.asarray(
+            rng.rand(n, E).astype(np.float32))) * 0.1
+        x0 = jnp.zeros((n, E), jnp.float32)
+        betas = np.array([0.3, 0.0, 1.2], np.float32)
+        alphas = np.array([0.5, 0.9, 0.0], np.float32)
+
+        Rb = jnp.concatenate(Rs, axis=0)
+        Pb = jnp.concatenate(P, axis=0)
+        Xb = jnp.zeros((k * n, E), jnp.float32)
+        pb, apb, xb, db = kAb(Rb, Pb, inv, Xb,
+                              jnp.asarray(betas), jnp.asarray(alphas))
+        for j in range(k):
+            p1, ap1, x1, d1 = kA1(Rs[j], P[j], inv, x0,
+                                  float(betas[j]), float(alphas[j]))
+            sl = slice(j * n, (j + 1) * n)
+            np.testing.assert_allclose(np.asarray(pb[sl]),
+                                       np.asarray(p1), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(apb[sl]),
+                                       np.asarray(ap1), rtol=2e-6,
+                                       atol=1e-4)
+            np.testing.assert_allclose(float(jnp.sum(db[:, j])),
+                                       float(jnp.sum(d1)), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(xb[sl]),
+                                       np.asarray(x1), atol=1e-6)
+
+    def test_solve_local_batch_fused_matches_plain(self):
+        prob = self._prob()
+        fs = [1.0, lambda x, y: x + y, lambda x, y: np.sin(x) * y]
+        sol_p = prob.solve_local_batch(fs, tol=1e-5,
+                                       structure="general")
+        sol_f = prob.solve_local_batch(fs, tol=1e-5,
+                                       cg_kernel="fused-interpret")
+        assert bool(np.asarray(sol_f.cg.converged).all())
+        scale = max(np.abs(sol_p.u).max(), 1e-30)
+        assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-4
+
+    def test_solve_local_batch_fused_bf16p(self):
+        prob = self._prob()
+        fs = [1.0, lambda x, y: x + y]
+        sol_p = prob.solve_local_batch(fs, tol=1e-5,
+                                       structure="general")
+        sol_f = prob.solve_local_batch(fs, tol=1e-5,
+                                       cg_kernel="fused-interpret",
+                                       p_dtype=jnp.bfloat16)
+        assert bool(np.asarray(sol_f.cg.converged).all())
+        scale = max(np.abs(sol_p.u).max(), 1e-30)
+        assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
+
+    def test_fused_requires_f32(self):
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float64)
+        prob.set_dirichlet("ebc", 0.0)
+        with pytest.raises(ValueError, match="float32"):
+            prob.solve_local_batch([1.0, 2.0],
+                                   cg_kernel="fused-interpret")
+
+
 class TestOperatorWiring:
     def test_explicit_fused_backend_on_general_mesh(self):
         """backend='fused-interpret' + non-affine factors routes to the

@@ -235,3 +235,21 @@ def test_general_fused_cg_on_device():
     assert bool(sol_f.cg.converged)
     scale = max(np.abs(sol_p.u).max(), 1e-30)
     assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
+
+
+def test_batched_fused_cg_on_device():
+    """k-RHS fused CG kernels compile under real Mosaic and solve a
+    batched variable-coefficient problem end-to-end."""
+    p = 8
+    mesh = rectangle_mesh(16, 8, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, coefficient=lambda x, y: 1 + x * x * y * y,
+                   dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    fs = [1.0, lambda x, y: x + y]
+    sol_p = prob.solve_local_batch(fs, tol=1e-5, structure="general")
+    sol_f = prob.solve_local_batch(fs, tol=1e-5, cg_kernel="fused",
+                                   p_dtype=jnp.bfloat16)
+    assert bool(np.asarray(sol_f.cg.converged).all())
+    scale = max(np.abs(sol_p.u).max(), 1e-30)
+    assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
