@@ -222,13 +222,25 @@ def main():
         w = ex._weights_as(np.float32, transposed=True)
         inv0 = jnp.where(free, 0.1, 0.0).astype(jnp.bfloat16)
         wf0 = jnp.asarray(w).astype(jnp.bfloat16)
-        for k in (2, 4):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels_batched)
+
+        Gf_p = sumfac._pad_factors_to_exchange(Gf, ex)
+        Wg = prob.disc.basis.weight_grid().reshape(-1)
+        a_f, _ = sumfac.affine_factorization(Gf_p, Wg)
+        Kc = sumfac.make_affine_element_matrices(Dhat, Wg, order=ex.hier)
+        for arm, k in (("gen", 2), ("gen", 4), ("aff", 2), ("aff", 4)):
             try:
-                kA, kB, G = make_fused_cg_kernels_general(
-                    ex, sumfac._pad_factors_to_exchange(Gf, ex), Dhat,
-                    n_rhs=k, precision="high", p_dtype=jnp.bfloat16)
+                if arm == "gen":
+                    kA, kB, G = make_fused_cg_kernels_general(
+                        ex, Gf_p, Dhat, n_rhs=k, precision="high",
+                        p_dtype=jnp.bfloat16)
+                else:
+                    kA, kB, G = make_fused_cg_kernels_batched(
+                        ex, Kc, a_f, n_rhs=k, precision="high",
+                        p_dtype=jnp.bfloat16)
             except ValueError as e:
-                print(f"[batched-fused-cg-k{k}: skipped — {e}]",
+                print(f"[batched-fused-cg-{arm}-k{k}: skipped — {e}]",
                       flush=True)
                 continue
             B = jnp.asarray(rng.standard_normal(
@@ -247,7 +259,7 @@ def main():
             run()
             dt = time.perf_counter() - t0
             print(json.dumps({
-                "metric": f"cg_general_fused_batched[k{k}]",
+                "metric": f"cg_fused_batched[{arm}-k{k}]",
                 "value": round(dt * 1e3 / iters, 3),
                 "per_rhs_ms": round(dt * 1e3 / iters / k, 3),
                 "TE": kA._prep.TE, "Hb": kA._prep.Hb,

@@ -585,12 +585,23 @@ class Poisson(BoundaryConditionMixin):
             if fused is None:
                 Gf_p = sumfac._pad_factors_to_exchange(
                     np.asarray(ctx["Gf"], np.float32), ex)
-                kA, kB, _ = pallas_kernels.make_fused_cg_kernels_general(
-                    ex, Gf_p, ctx["Dhat"], n_rhs=k,
-                    precision="high" if p_dtype is not None
-                    else "highest",
-                    p_dtype=p_dtype,
-                    interpret=cg_kernel == "fused-interpret")
+                prec = "high" if p_dtype is not None else "highest"
+                interp = cg_kernel == "fused-interpret"
+                Wgrid = disc.basis.weight_grid().reshape(-1)
+                a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wgrid)
+                if exact_aff:
+                    # affine meshes: the assembled-K kernels (the full
+                    # factor slabs of the general variant would add ~3
+                    # wasted passes per RHS)
+                    Kcat = sumfac.make_affine_element_matrices(
+                        ctx["Dhat"], Wgrid, order=ex.hier)
+                    kA, kB, _ = pallas_kernels.make_fused_cg_kernels_batched(
+                        ex, Kcat, a_f, n_rhs=k, precision=prec,
+                        p_dtype=p_dtype, interpret=interp)
+                else:
+                    kA, kB, _ = pallas_kernels.make_fused_cg_kernels_general(
+                        ex, Gf_p, ctx["Dhat"], n_rhs=k, precision=prec,
+                        p_dtype=p_dtype, interpret=interp)
                 inv, wf = self._fused_cg_operands(ex, free_local, p_dtype)
                 fused = self._op_cache[fkey] = (kA, kB, inv, wf)
             kA, kB, inv, wf = fused

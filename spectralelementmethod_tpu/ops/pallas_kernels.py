@@ -1455,6 +1455,113 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
     return kA, kB, G
 
 
+def make_fused_cg_kernels_batched(exchange, Kcat, a, *,
+                                  n_rhs: int,
+                                  precision: str = "high",
+                                  p_dtype=None,
+                                  target_win: int | None = None,
+                                  interpret: bool = False):
+    """Batched-RHS affine fused CG kernels (k solves per invocation).
+
+    The affine twin of ``make_fused_cg_kernels_general(n_rhs=k)``:
+    kernel A loops k sublane-stacked r/p/x blocks over ONE shared
+    assembled-K constant, affine-factor window, inverse diagonal and
+    class-mask stream, with per-RHS (k,) beta/alpha scalars and (G, k)
+    denominator partials; kernel B is the shared batched tail.  Full
+    halo only, no defer_x/far split.  Driver:
+    :func:`..solver.cg.cg_fused_batched`.  Amortized per RHS: the
+    inv/w/mask streams (~2.5 of ~9.5 passes) and the per-dispatch
+    latency; the affine factors themselves are already tiny.
+    """
+    import numpy as np  # noqa: F401  (parallel structure with general)
+
+    from ..utils.hoist import ensure_recursion_headroom
+
+    ensure_recursion_headroom()
+    if p_dtype is not None and jnp.dtype(p_dtype) != jnp.bfloat16:
+        raise ValueError(f"p_dtype must be None or bfloat16, got {p_dtype}")
+    p_bf16 = p_dtype is not None
+    if p_bf16 and precision != "high":
+        raise ValueError("p_dtype=bfloat16 requires precision='high'")
+    if n_rhs < 2:
+        raise ValueError("n_rhs must be >= 2 (use make_fused_cg_kernels "
+                         "for one RHS)")
+    k_rhs = n_rhs
+    if target_win is None:
+        base = 3072 if p_bf16 else 1536
+        target_win = max(int(base * 10 / (7 * k_rhs + 3)) // 128 * 128,
+                         384)
+
+    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
+                            max_halo=None)
+    n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
+    KT, M, aT = prep.KT, prep.M, prep.aT
+    p_store = jnp.bfloat16 if p_bf16 else jnp.float32
+    kn = k_rhs * n
+
+    def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
+                 x_ref, K_ref, m_ref, sc_ref, po_ref, apo_ref, xo_ref,
+                 d_ref):
+        a_win = jnp.concatenate([aL[:], aC[:], aR[:]], axis=1)
+        i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
+        i32w = i_win.astype(jnp.float32)
+        for j in range(k_rhs):
+            sl = slice(j * n, (j + 1) * n)
+            beta = sc_ref[j, 0]
+            alpha_prev = sc_ref[j, 1]
+            r_win = jnp.concatenate([rL[sl], rC[sl], rR[sl]], axis=1)
+            p_win = jnp.concatenate([pL[sl], pC[sl], pR[sl]], axis=1)
+            p32 = p_win.astype(jnp.float32)
+            xo_ref[sl] = x_ref[sl] + alpha_prev * p32[:, Hb:Hb + TE]
+            pn = i32w * r_win + beta * p32
+            pn_st = pn.astype(p_store)
+            V = prep.dot_window(K_ref, pn_st)
+            S = prep.affine_reduce(a_win, V)
+            po_ref[sl] = pn_st[:, Hb:Hb + TE]
+            apo_ref[sl] = prep.roll_dss(S, m_ref)
+            d_ref[pl.program_id(0), j] = jnp.sum(
+                pn_st[:, Hb:Hb + TE].astype(jnp.float32)
+                * S[:, Hb:Hb + TE])
+
+    smem_sc = pl.BlockSpec((k_rhs, 2), _im32(lambda i: (0, 0)),
+                           memory_space=pltpu.SMEM)
+    smem_out = pl.BlockSpec((G, k_rhs), _im32(lambda i: (0, 0)),
+                            memory_space=pltpu.SMEM)
+    a_specs = (prep.halo_triple(kn) + prep.halo_triple(kn)
+               + prep.halo_triple(n) + prep.halo_triple(3)
+               + [prep.center_spec(kn)] + prep.const_specs()
+               + [smem_sc])
+    a_out_shapes = (
+        jax.ShapeDtypeStruct((kn, E), p_store),
+        jax.ShapeDtypeStruct((kn, E), jnp.float32),
+        jax.ShapeDtypeStruct((kn, E), jnp.float32),
+        jax.ShapeDtypeStruct((G, k_rhs), jnp.float32),
+    )
+    a_out_specs = (prep.center_spec(kn), prep.center_spec(kn),
+                   prep.center_spec(kn), smem_out)
+
+    def kA(r, p, inv, x, beta, alpha_prev):
+        sc = jnp.stack(
+            [jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (k_rhs,)),
+             jnp.broadcast_to(jnp.asarray(alpha_prev, jnp.float32),
+                              (k_rhs,))], axis=1)
+        return pl.pallas_call(
+            kernel_a,
+            out_shape=a_out_shapes,
+            grid=(G,),
+            in_specs=a_specs,
+            out_specs=a_out_specs,
+            interpret=interpret,
+        )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, x, KT, M, sc)
+
+    kB = _build_cg_kernel_b_batched(prep, k_rhs, interpret)
+    kA._prep = kB._prep = prep
+    kA._defer_x = False
+    kA._n_rhs = k_rhs
+    kA._no_hoist = kB._no_hoist = True
+    return kA, kB, G
+
+
 def _build_cg_kernel_b_batched(prep, k_rhs: int, interpret: bool):
     """Batched CG tail kernel: k sublane-stacked residual blocks share
     one inverse-diagonal and one dot-weight stream; alpha is (k,) and

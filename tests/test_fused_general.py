@@ -267,6 +267,71 @@ class TestBatchedFusedCG:
         scale = max(np.abs(sol_p.u).max(), 1e-30)
         assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
 
+    def test_affine_batched_kernels_match_single(self):
+        """Affine batched kernel A == k single-RHS affine kernels."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels, make_fused_cg_kernels_batched)
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        kA1, kB1, _ = make_fused_cg_kernels(
+            ex, Kcat, a, precision="highest", max_halo=None,
+            interpret=True)
+        kAb, kBb, _ = make_fused_cg_kernels_batched(
+            ex, Kcat, a, n_rhs=2, precision="highest", interpret=True)
+        n, E = ex.n_loc, ex.E
+        rng = np.random.RandomState(41)
+        Rs = [ex.dss_T(jnp.asarray(
+            rng.standard_normal((n, E)).astype(np.float32)))
+            for _ in range(2)]
+        Ps = [ex.dss_T(jnp.asarray(
+            rng.standard_normal((n, E)).astype(np.float32)))
+            for _ in range(2)]
+        inv = ex.dss_T(jnp.asarray(
+            rng.rand(n, E).astype(np.float32))) * 0.1
+        x0 = jnp.zeros((n, E), jnp.float32)
+        betas = np.array([0.4, 1.1], np.float32)
+        alphas = np.array([0.0, 0.7], np.float32)
+        pb, apb, xb, db = kAb(
+            jnp.concatenate(Rs, axis=0), jnp.concatenate(Ps, axis=0),
+            inv, jnp.zeros((2 * n, E), jnp.float32),
+            jnp.asarray(betas), jnp.asarray(alphas))
+        for j in range(2):
+            p1, ap1, x1, d1 = kA1(Rs[j], Ps[j], inv, x0,
+                                  float(betas[j]), float(alphas[j]))
+            sl = slice(j * n, (j + 1) * n)
+            np.testing.assert_allclose(np.asarray(apb[sl]),
+                                       np.asarray(ap1), rtol=2e-6,
+                                       atol=1e-4)
+            np.testing.assert_allclose(float(jnp.sum(db[:, j])),
+                                       float(jnp.sum(d1)), rtol=1e-5)
+
+    def test_affine_mesh_batched_solve_routes_to_affine_kernels(self):
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        fs = [1.0, lambda x, y: x + y]
+        sol_p = prob.solve_local_batch(fs, tol=1e-5)
+        sol_f = prob.solve_local_batch(fs, tol=1e-5,
+                                       cg_kernel="fused-interpret")
+        assert bool(np.asarray(sol_f.cg.converged).all())
+        kA = prob._op_cache[("cg_fused_batch", 2, "fused-interpret",
+                             "None")][0]
+        assert kA._prep.KT is not None      # affine kernels engaged
+        scale = max(np.abs(sol_p.u).max(), 1e-30)
+        assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-4
+
     def test_fused_requires_f32(self):
         mesh = rectangle_mesh(16, 8, 3)
         disc = Discretization(mesh, gll_basis_2d(3))
