@@ -543,6 +543,49 @@ def main():
 
     flops = sumfac.element_apply_flops(E, p1, p1) * args.nrhs
     gflops = flops / t_apply / 1e9
+
+    # secondary record in the DEFAULT run: the same apply at the bf16x3
+    # 'high' dot precision (~1e-6 relative error, still more mantissa
+    # than torch's TF32) — the fastest accuracy tier (measured ~1.5x)
+    t_apply_high = None
+    if (args.precision == "highest" and args.nrhs == 1
+            and args.kernel in ("local", "xla-local")
+            and not args.smoke):
+        try:
+            A_high = sumfac.make_local_laplacian_operator(
+                ex, Gf, Dhat, backend=backend, precision="high",
+                compute_dtype=cdt, vector_layout=vlayout,
+                structure=args.structure)
+            Ah_pure, Ah_consts = hoist_closure(A_high, vec_timed)
+            Ah_consts = tuple(Ah_consts)
+
+            @jax.jit
+            def apply_chain_h(u, n_reps, A_c, d_c):
+                def body(i, x):
+                    y = Ah_pure(x, *A_c)
+                    return y * jax.lax.rsqrt(
+                        d_pure(y, y, *d_c).real.astype(y.dtype) + 1e-30)
+
+                return jax.lax.fori_loop(0, n_reps, body, u)
+
+            def time_h(n_reps, tries=3):
+                best = float("inf")
+                for _ in range(tries):
+                    t0 = time.perf_counter()
+                    apply_chain_h(vec_timed, n_reps, Ah_consts,
+                                  d_consts).block_until_ready()
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            _progress("high-precision apply timing")
+            apply_chain_h(vec_timed, reps, Ah_consts,
+                          d_consts).block_until_ready()
+            th_n, th_2n = time_h(reps), time_h(2 * reps)
+            if th_2n - th_n > 0.05 * th_n:
+                t_apply_high = (th_2n - th_n) / reps
+        except Exception as e:               # noqa: BLE001
+            _progress(f"high-precision arm skipped: {e}")
+
     if args.nrhs > 1:
         # general-path traffic model: k (u in + out) passes + 3 shared
         # factor slabs (the amortization being measured)
@@ -598,6 +641,11 @@ def main():
         "vs_baseline": round(vs_baseline, 1),
         "extras": {
             "apply_ms": round(t_apply * 1e3, 3),
+            "apply_ms_high_precision": (
+                round(t_apply_high * 1e3, 3) if t_apply_high else None),
+            "gflops_high_precision": (
+                round(flops / t_apply_high / 1e9, 2) if t_apply_high
+                else None),
             "dispatch_overhead_ms": round(t_dispatch * 1e3, 2),
             "effective_GB_s": round(gbps, 1),
             "cg_wallclock_s": round(t_cg, 3),
