@@ -253,3 +253,22 @@ def test_batched_fused_cg_on_device():
     assert bool(np.asarray(sol_f.cg.converged).all())
     scale = max(np.abs(sol_p.u).max(), 1e-30)
     assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
+
+
+def test_batched_affine_fused_cg_on_device():
+    """Affine-routed batched fused CG under real Mosaic."""
+    p = 8
+    mesh = rectangle_mesh(16, 8, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    fs = [1.0, lambda x, y: x + y]
+    sol_p = prob.solve_local_batch(fs, tol=1e-5)
+    sol_f = prob.solve_local_batch(fs, tol=1e-5, cg_kernel="fused",
+                                   p_dtype=jnp.bfloat16)
+    kA = prob._op_cache[("cg_fused_batch", 2, "fused",
+                         str(jnp.bfloat16))][0]
+    assert kA._prep.KT is not None          # affine kernels engaged
+    assert bool(np.asarray(sol_f.cg.converged).all())
+    scale = max(np.abs(sol_p.u).max(), 1e-30)
+    assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
