@@ -11,6 +11,7 @@ from .sumfac import (
     laplacian_apply_fused,
     laplacian_apply_local,
     make_local_laplacian_operator,
+    make_multi_rhs_laplacian_T,
     make_poisson_operator,
     make_stacked_derivative,
     mass_apply_local,
@@ -26,6 +27,7 @@ __all__ = [
     "laplacian_apply_fused",
     "laplacian_apply_local",
     "make_local_laplacian_operator",
+    "make_multi_rhs_laplacian_T",
     "make_poisson_operator",
     "make_stacked_derivative",
     "mass_apply_local",

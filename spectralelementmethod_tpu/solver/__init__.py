@@ -5,7 +5,8 @@ Replaces the reference's sparse direct pipeline (``sem/linalg.py``,
 condensation (SURVEY.md §2 table).
 """
 
-from .cg import CGResult, cg, cg_batched, cg_host, jacobi_preconditioner
+from .cg import (CGResult, cg, cg_batched, cg_fused, cg_fused_batched,
+                 cg_host, jacobi_preconditioner)
 from .gmres import GMRESResult, gmres
 from .condensation import CondensedSystem, schur_solve
 from .fdm import gll_fdm_eig, make_fdm_preconditioner
@@ -15,6 +16,8 @@ __all__ = [
     "CGResult",
     "cg",
     "cg_batched",
+    "cg_fused",
+    "cg_fused_batched",
     "cg_host",
     "jacobi_preconditioner",
     "GMRESResult",
