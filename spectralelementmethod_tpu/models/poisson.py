@@ -82,6 +82,13 @@ class BoundaryConditionMixin:
         x = self.x_nodes[:, nodes]
         self._dirichlet_mask[nodes] = True
         self._dirichlet_vals[nodes] = g(*x)
+        # Dirichlet masks are baked into cached operators and
+        # preconditioners (solve_local's _op_cache): changing BCs after
+        # a solve must rebuild them, or CG silently solves the
+        # stale-constrained system
+        cache = getattr(self, "_op_cache", None)
+        if cache:
+            cache.clear()
 
     def set_neumann(self, boundary_name: str, value) -> None:
         """Natural BC: adds the contour integral ∫ g v dS to the RHS.
@@ -540,9 +547,22 @@ class Poisson(BoundaryConditionMixin):
             raise ValueError("solve_local_batch supports precond="
                              "'jacobi' or 'fdm' (pmg's coarse solve is "
                              "not vmap-audited)")
+        from ..ops.exchange import RollExchange
+
         if getattr(self, "_exchange", None) is None:
             self._exchange = make_exchange(disc, fused_pad=True)
             self._op_cache = {}
+        ex0 = self._exchange
+        if (cg_kernel in ("fused", "fused-interpret")
+                and isinstance(ex0, RollExchange)
+                and ex0.E == ex0.E_real):
+            # small meshes skip the fused_pad min-size gate; an EXPLICIT
+            # fused request re-pads so an admissible lane tiling exists
+            # (mirror of solve_local's re-pad)
+            ex2 = make_exchange(disc, fused_pad=True, fused_pad_min_e=0)
+            if getattr(ex2, "E", ex0.E) != ex0.E:
+                self._exchange = ex2
+                self._op_cache = {}
         ctx = self._local_setup(precond, structure, compute_dtype,
                                 vector_layout)
         ex, transposed = ctx["ex"], ctx["transposed"]
@@ -551,7 +571,12 @@ class Poisson(BoundaryConditionMixin):
 
         # weak RHS rows: b_j = scatter(f_j detJxW) + shared Neumann data
         coords = [disc.x_coeffs[:, d] for d in range(disc.mesh.ndim)]
-        nodal = isinstance(forcings, np.ndarray)
+        # nodal-values mode: any 2D array-like (numpy, jax, nested list
+        # of equal-length vectors), not just np.ndarray
+        nodal = (not callable(forcings) and hasattr(forcings, "__len__")
+                 and np.asarray(forcings[0]).ndim == 1)
+        if nodal:
+            forcings = np.asarray(forcings, dtype=np.float64)
         rows = []
         for f in forcings:
             f_gll = (disc.gather(np.asarray(f)) if nodal
@@ -608,9 +633,10 @@ class Poisson(BoundaryConditionMixin):
             res = cg_fused_batched(kA, kB, R, inv=inv, w_free=wf,
                                    tol=tol, max_iter=max_iter,
                                    p_dtype=p_dtype)
-            u = np.stack([
-                ex.global_from_local_T(np.asarray(u_dL + res.x[j]))
-                for j in range(k)])
+            # ONE device->host transfer for the whole batch (per-row
+            # np.asarray would pay a tunnel round trip per RHS)
+            X = np.asarray(res.x) + np.asarray(u_dL)[None]
+            u = np.stack([ex.global_from_local_T(X[j]) for j in range(k)])
             return PoissonSolution(u, res)
 
         wb = True
@@ -644,8 +670,9 @@ class Poisson(BoundaryConditionMixin):
 
         back = (ex.global_from_local_T if transposed
                 else ex.global_from_local)
-        u = np.stack([back(np.asarray(u_dL + res.x[j]))
-                      for j in range(R.shape[0])])
+        # ONE device->host transfer for the whole batch
+        X = np.asarray(res.x) + np.asarray(u_dL)[None]
+        u = np.stack([back(X[j]) for j in range(int(R.shape[0]))])
         return PoissonSolution(u, res)
 
     def _solve_local_3d(self, tol: float = 1e-12,

@@ -1483,9 +1483,8 @@ def make_fused_cg_kernels_batched(exchange, Kcat, a, *,
     p_bf16 = p_dtype is not None
     if p_bf16 and precision != "high":
         raise ValueError("p_dtype=bfloat16 requires precision='high'")
-    if n_rhs < 2:
-        raise ValueError("n_rhs must be >= 2 (use make_fused_cg_kernels "
-                         "for one RHS)")
+    if n_rhs < 1:
+        raise ValueError(f"n_rhs must be >= 1, got {n_rhs}")
     k_rhs = n_rhs
     if target_win is None:
         base = 3072 if p_bf16 else 1536

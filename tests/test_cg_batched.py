@@ -225,3 +225,66 @@ class TestPoissonBatch:
         prob.set_dirichlet("d", 0.0)
         with pytest.raises(ValueError, match="pmg"):
             prob.solve_local_batch([1.0], precond="pmg")
+
+
+class TestReviewRegressions:
+    def test_bc_change_invalidates_cached_operator(self):
+        """set_dirichlet after a solve must rebuild the cached masked
+        operator/preconditioner (round-2 review finding)."""
+        disc = TestPoissonBatch._problem(TestPoissonBatch(), p=4)
+        prob = Poisson(disc)
+        prob.set_dirichlet("d", 0.0)
+        prob.solve_local(tol=1e-11)
+        prob.set_dirichlet("d", lambda x, y: x + y)
+        sol2 = prob.solve_local(tol=1e-11)
+        fresh = Poisson(disc)
+        fresh.set_dirichlet("d", lambda x, y: x + y)
+        ref = fresh.solve_local(tol=1e-11)
+        np.testing.assert_allclose(sol2.u, ref.u, atol=1e-9)
+
+    def test_bc_change_invalidates_helmholtz(self):
+        from spectralelementmethod_tpu.models.helmholtz import Helmholtz
+
+        disc = TestPoissonBatch._problem(TestPoissonBatch(), p=4)
+        prob = Helmholtz(disc, forcing=1.0, reaction=2.0)
+        prob.set_dirichlet("d", 0.0)
+        prob.solve_local(tol=1e-11)
+        prob.set_dirichlet("d", 1.0)
+        sol2 = prob.solve_local(tol=1e-11)
+        fresh = Helmholtz(disc, forcing=1.0, reaction=2.0)
+        fresh.set_dirichlet("d", 1.0)
+        ref = fresh.solve_local(tol=1e-11)
+        np.testing.assert_allclose(sol2.u, ref.u, atol=1e-9)
+
+    def test_small_mesh_fused_batch_repads(self):
+        """E=288 admits no 128-multiple tiling without the re-pad; the
+        batched fused entry point must re-pad like solve_local does."""
+        mesh = rectangle_mesh(18, 16, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        sol = prob.solve_local_batch([1.0, 2.0], tol=1e-5,
+                                     cg_kernel="fused-interpret")
+        assert bool(np.asarray(sol.cg.converged).all())
+        # linearity oracle: f=2 gives exactly twice the f=1 solution
+        np.testing.assert_allclose(sol.u[1], 2 * sol.u[0], atol=1e-5)
+
+    def test_jax_array_nodal_forcings(self):
+        disc = TestPoissonBatch._problem(TestPoissonBatch(), p=4)
+        prob = Poisson(disc)
+        prob.set_dirichlet("d", 0.0)
+        F = jnp.stack([jnp.ones(disc.n_nodes),
+                       2.0 * jnp.ones(disc.n_nodes)])
+        sol = prob.solve_local_batch(F, tol=1e-11)
+        assert bool(np.asarray(sol.cg.converged).all())
+        np.testing.assert_allclose(sol.u[1], 2 * sol.u[0], atol=1e-9)
+
+    def test_k1_fused_batch_on_affine_mesh(self):
+        mesh = rectangle_mesh(16, 8, 3)
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        sol = prob.solve_local_batch([1.0], tol=1e-5,
+                                     cg_kernel="fused-interpret")
+        assert sol.u.shape[0] == 1 and bool(
+            np.asarray(sol.cg.converged).all())
