@@ -161,3 +161,27 @@ class TestSolveLocal:
         assert bool(sol_f.cg.converged)
         scale = max(np.abs(sol_x.u).max(), 1e-30)
         assert np.abs(sol_f.u - sol_x.u).max() / scale < 1e-4
+
+
+class TestSolveLocalBatch:
+    def test_matches_individual_solves(self):
+        c = lambda x, y: 1.0 + 0.25 * x * x * y * y  # noqa: E731
+        disc = all_dirichlet_rect(3, 3, 5)
+        fs = [1.0, lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y)]
+        prob = Helmholtz(disc, forcing=fs[0], coefficient=c, reaction=2.0)
+        prob.set_dirichlet("d", 0.0)
+        sol_b = prob.solve_local_batch(fs, tol=1e-11)
+        assert bool(np.asarray(sol_b.cg.converged).all())
+        for j, f in enumerate(fs):
+            pj = Helmholtz(disc, forcing=f, coefficient=c, reaction=2.0)
+            pj.set_dirichlet("d", 0.0)
+            sol_j = pj.solve_local(tol=1e-11)
+            np.testing.assert_allclose(sol_b.u[j], sol_j.u, atol=1e-8)
+
+    def test_nodal_forcing_array(self):
+        disc = all_dirichlet_rect(2, 2, 4)
+        prob = Helmholtz(disc, reaction=1.0)
+        prob.set_dirichlet("d", 0.0)
+        F = np.stack([np.ones(disc.n_nodes), 3.0 * np.ones(disc.n_nodes)])
+        sol = prob.solve_local_batch(F, tol=1e-11)
+        np.testing.assert_allclose(sol.u[1], 3 * sol.u[0], atol=1e-9)
