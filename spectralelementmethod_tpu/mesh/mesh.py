@@ -394,6 +394,11 @@ class Mesh:
         N = max(self.n_nodes, 1)
         for chunk in bnd_mesh._chunks:
             geometry = bnd_mesh._geometries[chunk.geometry_id]
+            if geometry.ndim != self.ndim - 1:
+                # only codimension-1 entities are solver boundaries; a
+                # 3D gmsh file may also carry physical curves/points
+                # (feature edges) — they match no bulk face
+                continue
             k = chunk.node_maps.shape[0]
             flat = chunk.node_maps.reshape(k, -1)
             verts = flat[:, geometry.hierarchical_node_order[
