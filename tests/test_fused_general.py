@@ -391,3 +391,26 @@ class TestOperatorWiring:
         for j in range(3):
             np.testing.assert_allclose(got[j], np.asarray(A_1(U[j])),
                                        rtol=0, atol=1e-4)
+
+
+def test_panel_order_batched_fused_cg():
+    """Panel element order + batched fused CG (the 1M-scale recipe:
+    the batched kernels are full-halo only, panel ordering keeps the
+    halo small enough for the k-fold-shrunk VMEM window)."""
+    from spectralelementmethod_tpu.parallel.partition import (
+        panel_order, reorder_elements)
+
+    mesh = rectangle_mesh(16, 16, 2)
+    mesh = reorder_elements(mesh, panel_order(16, 16, 4))
+    disc = Discretization(mesh, gll_basis_2d(2))
+    prob = Poisson(disc, coefficient=lambda x, y: 1 + 0.2 * x * x,
+                   dtype=np.float32)
+    prob.set_dirichlet("ebc", 0.0)
+    fs = [1.0, lambda x, y: x + y]
+    sol_p = prob.solve_local_batch(fs, tol=1e-5, structure="general")
+    sol_f = prob.solve_local_batch(fs, tol=1e-5,
+                                   cg_kernel="fused-interpret",
+                                   p_dtype=jnp.bfloat16)
+    assert bool(np.asarray(sol_f.cg.converged).all())
+    scale = max(np.abs(sol_p.u).max(), 1e-30)
+    assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
