@@ -541,8 +541,11 @@ class Poisson(BoundaryConditionMixin):
         from ..ops.exchange import make_exchange
 
         disc = self.disc
-        if disc.mesh.ndim != 2:
-            raise NotImplementedError("solve_local_batch is 2D-only")
+        if disc.mesh.ndim == 3:
+            return self._solve_local_batch_3d(forcings, tol=tol,
+                                              max_iter=max_iter,
+                                              precond=precond,
+                                              cg_kernel=cg_kernel)
         if precond == "pmg" or isinstance(precond, dict):
             raise ValueError("solve_local_batch supports precond="
                              "'jacobi' or 'fdm' (pmg's coarse solve is "
@@ -675,20 +678,61 @@ class Poisson(BoundaryConditionMixin):
         u = np.stack([back(X[j]) for j in range(int(R.shape[0]))])
         return PoissonSolution(u, res)
 
-    def _solve_local_3d(self, tol: float = 1e-12,
-                        max_iter: int | None = None,
-                        host_loop: bool = False,
-                        precond: str = "jacobi") -> PoissonSolution:
-        """3D L-vector CG: local sum-factorized apply + pair/scatter DSS.
+    def _solve_local_batch_3d(self, forcings, tol, max_iter, precond,
+                              cg_kernel):
+        """3D branch of :meth:`solve_local_batch`: whole-batch CG with
+        the vmapped 3D operator (no fused 3D kernels, by design —
+        TODO.md design note)."""
+        if cg_kernel not in ("plain",):
+            raise ValueError("3D batched solves support cg_kernel="
+                             "'plain' only (no fused 3D kernels)")
+        disc = self.disc
+        ctx = self._local_setup_3d(precond)
+        ex, to_local, free = ctx["ex"], ctx["to_local"], ctx["free"]
+        A_raw, A, M = ctx["A_raw"], ctx["A"], ctx["M"]
 
-        The 3D production path (``solve_local`` routes here): fields stay
-        element-local as (E, n_loc) lexicographic L-vectors, the operator
-        is :func:`..ops.sumfac.laplacian_apply_local_3d` followed by
-        :class:`..ops.exchange.PairScatterExchange` DSS — no global
-        gather/scatter inside the iteration.  ``precond``: 'jacobi' or
-        'fdm' (:func:`..solver.fdm.make_fdm_preconditioner_3d` —
-        sum-factorized fast diagonalization).
-        """
+        coords = [disc.x_coeffs[:, d] for d in range(3)]
+        nodal = (not callable(forcings) and hasattr(forcings, "__len__")
+                 and np.asarray(forcings[0]).ndim == 1)
+        if nodal:
+            forcings = np.asarray(forcings, dtype=np.float64)
+        rows = []
+        for f in forcings:
+            f_gll = (disc.gather(np.asarray(f)) if nodal
+                     else np.broadcast_to(
+                         np.asarray(_as_callable(f)(*coords)),
+                         disc.detJxW.shape))
+            b = disc.scatter_add(
+                np.asarray(f_gll * disc.detJxW)).astype(self.dtype)
+            rows.append(b + self._neumann)
+        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
+        u_dL = to_local(u_d)
+        Au_d = A_raw(u_dL)
+        R = jnp.stack([jnp.where(free, to_local(b) - Au_d, 0.0)
+                       for b in rows])
+
+        if max_iter is None:
+            max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
+        k = int(R.shape[0])
+        bkey = ("A3d_batch", k)
+        A_wb = self._op_cache.get(bkey)
+        if A_wb is None:
+            A_wb = self._op_cache[bkey] = jax.vmap(A)
+        Mk = ("M3d_batch", precond if isinstance(precond, str) else "pmg")
+        M_wb = self._op_cache.get(Mk)
+        if M_wb is None:
+            M_wb = self._op_cache[Mk] = jax.vmap(M)
+        w = ex._weights_as(np.dtype(self.dtype))
+        res = cg_batched(A_wb, R, M=M_wb, tol=tol, max_iter=max_iter,
+                         dot_weight=w, whole_batch=True)
+        X = np.asarray(res.x) + np.asarray(u_dL)[None]
+        u = np.stack([ex.global_from_local(X[j]) for j in range(k)])
+        return PoissonSolution(u, res)
+
+    def _local_setup_3d(self, precond):
+        """Shared 3D L-vector setup (operator + preconditioner; used by
+        :meth:`_solve_local_3d` and the 3D branch of
+        :meth:`solve_local_batch`).  Lexicographic (E, n) layout."""
         from ..ops.exchange import make_exchange
 
         disc = self.disc
@@ -703,22 +747,22 @@ class Poisson(BoundaryConditionMixin):
                 ex.local_from_global(u_global).astype(self.dtype))
 
         free = jnp.asarray((~self._dirichlet_mask)[ex.gather_lex])
-        D0, D1, D2 = self._D0, self._D1, self._D2
-        G = self._G.reshape((disc.E, 6) + shape)
+        cached = self._op_cache.get(("A3d",))
+        if cached is None:
+            D0, D1, D2 = self._D0, self._D1, self._D2
+            G = self._G.reshape((disc.E, 6) + shape)
 
-        def A_raw(uL):
-            ue = uL.reshape((ex.E, ) + shape)
-            ve = sumfac.laplacian_apply_local_3d(ue, G, D0, D1, D2)
-            return ex.dss(ve.reshape(ex.E, ex.n_loc))
+            def A_raw(uL):
+                ue = uL.reshape((ex.E,) + shape)
+                ve = sumfac.laplacian_apply_local_3d(ue, G, D0, D1, D2)
+                return ex.dss(ve.reshape(ex.E, ex.n_loc))
 
-        def A(uL):
-            uL = sumfac.masked(uL, free)
-            return sumfac.masked(A_raw(uL), free)
+            def A(uL):
+                uL = sumfac.masked(uL, free)
+                return sumfac.masked(A_raw(uL), free)
 
-        b = np.asarray(self._b) + self._neumann
-        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
-        bL, u_dL = to_local(b), to_local(u_d)
-        r = _masked_residual(A_raw, free, bL, u_dL)
+            cached = self._op_cache[("A3d",)] = (A_raw, A)
+        A_raw, A = cached
 
         if precond == "fdm":
             from ..solver.fdm import make_fdm_preconditioner_3d
@@ -742,14 +786,43 @@ class Poisson(BoundaryConditionMixin):
                     np.asarray(self.operator_diagonal()),
                     dtype=self.dtype, **pmg_kw)
         elif precond == "jacobi":
-            diagL = to_local(np.asarray(self.operator_diagonal()))
-            M = jacobi_preconditioner(diagL, free)
+            M = self._op_cache.get(("M", "jac3d"))
+            if M is None:
+                diagL = to_local(np.asarray(self.operator_diagonal()))
+                M = self._op_cache[("M", "jac3d")] = (
+                    jacobi_preconditioner(diagL, free))
         else:
             raise ValueError(
                 f"3D precond must be 'jacobi', 'fdm' or 'pmg', got "
                 f"{precond!r}")
+        return dict(ex=ex, to_local=to_local, free=free, A_raw=A_raw,
+                    A=A, M=M)
+
+    def _solve_local_3d(self, tol: float = 1e-12,
+                        max_iter: int | None = None,
+                        host_loop: bool = False,
+                        precond: str = "jacobi") -> PoissonSolution:
+        """3D L-vector CG: local sum-factorized apply + pair/scatter DSS.
+
+        The 3D production path (``solve_local`` routes here): fields stay
+        element-local as (E, n_loc) lexicographic L-vectors, the operator
+        is :func:`..ops.sumfac.laplacian_apply_local_3d` followed by
+        :class:`..ops.exchange.PairScatterExchange` DSS — no global
+        gather/scatter inside the iteration.  ``precond``: 'jacobi' or
+        'fdm' (:func:`..solver.fdm.make_fdm_preconditioner_3d` —
+        sum-factorized fast diagonalization).
+        """
+        ctx = self._local_setup_3d(precond)
+        ex, to_local, free = ctx["ex"], ctx["to_local"], ctx["free"]
+        A_raw, A, M = ctx["A_raw"], ctx["A"], ctx["M"]
+
+        b = np.asarray(self._b) + self._neumann
+        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
+        bL, u_dL = to_local(b), to_local(u_d)
+        r = _masked_residual(A_raw, free, bL, u_dL)
+
         if max_iter is None:
-            max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
+            max_iter = max(200, 20 * int(np.sqrt(self.disc.ndof)))
         if host_loop:
             res = cg_host(A, r, M=M, tol=tol, max_iter=max_iter,
                           dot=ex.dot)

@@ -368,3 +368,29 @@ class TestPMG3D:
         prob, sol, exact = self._solve("pmg", p=6, nel=2)
         x, y, z = np.asarray(prob.x_nodes)
         assert np.abs(sol.u - exact(x, y, z)).max() < 3e-5
+
+
+class TestBatch3D:
+    def test_batched_matches_individual(self):
+        mesh = box_mesh(2, 2, 2, 4)
+        disc = Discretization(mesh, gll_basis_3d(4))
+        fs = [1.0,
+              lambda x, y, z: np.sin(np.pi * x) * np.sin(np.pi * y)
+              * np.sin(np.pi * z)]
+        prob = Poisson(disc, forcing=fs[0], dtype=np.float64)
+        prob.set_dirichlet("ebc", 0.0)
+        sol_b = prob.solve_local_batch(fs, tol=1e-11, precond="fdm")
+        assert bool(np.asarray(sol_b.cg.converged).all())
+        for j, f in enumerate(fs):
+            pj = Poisson(disc, forcing=f, dtype=np.float64)
+            pj.set_dirichlet("ebc", 0.0)
+            sj = pj.solve_local(tol=1e-11, precond="fdm")
+            np.testing.assert_allclose(sol_b.u[j], sj.u, atol=1e-8)
+
+    def test_fused_kernel_rejected_in_3d(self):
+        mesh = box_mesh(2, 2, 2, 2)
+        disc = Discretization(mesh, gll_basis_3d(2))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        with pytest.raises(ValueError, match="plain"):
+            prob.solve_local_batch([1.0], cg_kernel="fused")
