@@ -150,6 +150,66 @@ class AdvectionDiffusion(BoundaryConditionMixin):
         u = ex.global_from_local(np.asarray(u_dL + res.x))
         return AdvectionDiffusionSolution(u, res)
 
+    def solve_batch(self, forcings, tol: float = 1e-10,
+                    restart: int = 40,
+                    max_restarts: int = 100) -> AdvectionDiffusionSolution:
+        """Solve for a batch of forcings with ONE batched-GMRES ladder
+        (:func:`..solver.gmres.gmres_batched`): shared operator and
+        Jacobi preconditioner, per-RHS Arnoldi/convergence state.
+        ``forcings``: callables/scalars or a (k, n_nodes) nodal array.
+        Returns batched ``u`` (k, n_nodes) / ``gmres`` fields.
+        """
+        import jax
+
+        from ..solver.cg import jacobi_preconditioner
+        from ..solver.gmres import gmres_batched
+
+        disc = self.disc
+        ex, apply_raw = self._build()
+        free = jnp.asarray((~self._dirichlet_mask)[ex.gather_hier])
+
+        def A(uL):
+            uL = jnp.where(free, uL, 0.0)
+            return jnp.where(free, apply_raw(uL), 0.0)
+
+        coords = [disc.x_coeffs[:, d] for d in range(disc.mesh.ndim)]
+        nodal = (not callable(forcings) and hasattr(forcings, "__len__")
+                 and np.asarray(forcings[0]).ndim == 1)
+        if nodal:
+            forcings = np.asarray(forcings, dtype=np.float64)
+        rows = []
+        for f in forcings:
+            f_gll = (disc.gather(np.asarray(f)) if nodal
+                     else np.broadcast_to(
+                         np.asarray(_as_callable(f)(*coords)),
+                         disc.detJxW.shape))
+            b = disc.scatter_add(
+                np.asarray(f_gll * disc.detJxW)).astype(self.dtype)
+            rows.append(b + self._neumann)
+        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
+        u_dL = jnp.asarray(ex.local_from_global(u_d).astype(self.dtype))
+        Au_d = apply_raw(u_dL)
+        R = jnp.stack([
+            jnp.where(free, jnp.asarray(
+                ex.local_from_global(b).astype(self.dtype)) - Au_d, 0.0)
+            for b in rows])
+
+        de = sumfac.laplacian_diag_local(
+            self._G, jnp.asarray(disc.basis.subbases[0].D1, self.dtype),
+            jnp.asarray(disc.basis.subbases[1].D1, self.dtype))
+        diag = sumfac.scatter_add(
+            de, jnp.asarray(disc.gather_nodes), disc.n_nodes)
+        diagL = jnp.asarray(
+            ex.local_from_global(np.asarray(diag)).astype(self.dtype))
+        M = jacobi_preconditioner(diagL, free)
+
+        res = gmres_batched(A, R, M=M, tol=tol, restart=restart,
+                            max_restarts=max_restarts, dot=ex.dot)
+        X = np.asarray(res.x) + np.asarray(u_dL)[None]
+        u = np.stack([ex.global_from_local(X[j])
+                      for j in range(int(R.shape[0]))])
+        return AdvectionDiffusionSolution(u, res)
+
     def l2_error(self, u: np.ndarray, exact) -> float:
         disc = self.disc
         ue = disc.gather(u)

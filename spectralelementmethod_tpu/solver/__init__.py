@@ -7,7 +7,7 @@ condensation (SURVEY.md §2 table).
 
 from .cg import (CGResult, cg, cg_batched, cg_fused, cg_fused_batched,
                  cg_host, jacobi_preconditioner)
-from .gmres import GMRESResult, gmres
+from .gmres import GMRESResult, gmres, gmres_batched
 from .condensation import CondensedSystem, schur_solve
 from .fdm import gll_fdm_eig, make_fdm_preconditioner
 from .rootfind import SolverFailure, newton
@@ -22,6 +22,7 @@ __all__ = [
     "jacobi_preconditioner",
     "GMRESResult",
     "gmres",
+    "gmres_batched",
     "CondensedSystem",
     "schur_solve",
     "gll_fdm_eig",

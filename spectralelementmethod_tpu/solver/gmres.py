@@ -98,6 +98,102 @@ def gmres(
     )
 
 
+def gmres_batched(
+    A: Callable,
+    B: jax.Array,
+    X0: jax.Array | None = None,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-10,
+    atol: float = 0.0,
+    restart: int = 30,
+    max_restarts: int = 50,
+    dot: Callable | None = None,
+) -> GMRESResult:
+    """Solve ``A x_j = b_j`` for a batch of RHS with restarted GMRES.
+
+    The batched twin of :func:`gmres` (and of :func:`.cg.cg_batched`):
+    ``B`` stacks k right-hand sides on a leading axis, the jitted
+    restart cycles are ``vmap``-ped so each RHS carries its own Arnoldi
+    state and convergence/stagnation freeze, and ONE host ladder drives
+    all k solves.  The reference solves one system per ``spsolve`` call
+    (``sem/discrete.py:502-528``); batched nonsymmetric solves are
+    net-new.  Returns a :class:`GMRESResult` with batched fields.
+    """
+    from ..utils.hoist import hoist_closure
+
+    if M is None:
+        M = _identity_M
+    if dot is None:
+        dot = _euclidean_dot
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+
+    A_p, A_c = hoist_closure(A, B[0])
+    M_p, M_c = hoist_closure(M, B[0])
+    dot_p, dot_c = hoist_closure(dot, B[0], B[0])
+    A_c, M_c, dot_c = tuple(A_c), tuple(M_c), tuple(dot_c)
+
+    cycles = _gmres_cycles_batched(A_p, M_p, dot_p, int(restart))
+
+    ftype = jnp.result_type(B.dtype, jnp.float32)
+
+    def stop_of(b):
+        Mb = M_p(b, *M_c)
+        return jnp.sqrt(jnp.real(dot_p(Mb, Mb, *dot_c)))
+
+    bnorms = jax.jit(jax.vmap(stop_of))(B)
+    stops = jnp.maximum(jnp.asarray(tol, ftype) * bnorms,
+                        jnp.asarray(atol, ftype))
+
+    X = X0
+    total_its = jnp.zeros(B.shape[0], jnp.int32)
+    rnorm = None
+    issued, batch = 0, 2
+    while issued < max_restarts:
+        k = min(batch, max_restarts - issued)
+        X, rnorm, its, done_d = cycles(k, X, B, stops, A_c, M_c, dot_c)
+        total_its = total_its + its
+        issued += k
+        if bool(jax.device_get(done_d).all()):
+            break
+        batch = min(batch * 2, 16)
+    return GMRESResult(X, total_its, rnorm, rnorm <= stops)
+
+
+@lru_cache(maxsize=64)
+def _gmres_cycles_batched(A, M, dot, m: int):
+    """vmapped twin of :func:`_gmres_cycles` (shared operator consts,
+    per-RHS Arnoldi/convergence/stagnation state)."""
+    from functools import partial
+
+    body = _gmres_cycle_fn(A, M, dot, m)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def cycles(k, X, B, stops, A_c, M_c, dot_c):
+        ftype = jnp.result_type(B.dtype, jnp.float32)
+
+        def per_rhs(x, b, stop):
+            def one(_i, carry):
+                def run(carry):
+                    x, rn_prev, its, _done = carry
+                    x2, rn2, dk = body(x, b, stop, A_c, M_c, dot_c)
+                    stalled = (rn2 > 0.5 * rn_prev) & (rn2 > stop)
+                    return (x2, rn2, its + dk, (rn2 <= stop) | stalled)
+
+                return jax.lax.cond(carry[3], lambda c: c, run, carry)
+
+            return jax.lax.fori_loop(
+                0, k, one,
+                (x, jnp.asarray(jnp.inf, ftype),
+                 jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+            )
+
+        return jax.vmap(per_rhs)(X, B, stops)
+
+    return cycles
+
+
 @lru_cache(maxsize=64)
 def _gmres_cycle_fn(A, M, dot, m: int):
     """One GMRES(m) cycle (un-jitted): Arnoldi + Givens + update."""

@@ -143,3 +143,52 @@ def test_batched_cycles_match_sequential():
                                rtol=1e-10, atol=1e-12)
     assert int(its_bat) == its_seq
     assert bool(done) == bool(rn_seq <= stop)
+
+
+class TestGMRESBatched:
+    def test_matches_per_rhs(self):
+        from spectralelementmethod_tpu.solver.gmres import gmres_batched
+
+        rng = np.random.RandomState(5)
+        n, k = 30, 3
+        A_np = rng.randn(n, n) + n * np.eye(n)    # nonsymmetric, well-posed
+        A_d = jnp.asarray(A_np)
+        B = jnp.asarray(rng.randn(k, n))
+
+        def A(v):
+            return A_d @ v
+
+        res_b = gmres_batched(A, B, tol=1e-11, restart=15,
+                              max_restarts=30)
+        assert bool(np.asarray(res_b.converged).all())
+        for j in range(k):
+            res_j = gmres(A, B[j], tol=1e-11, restart=15, max_restarts=30)
+            np.testing.assert_allclose(np.asarray(res_b.x[j]),
+                                       np.asarray(res_j.x),
+                                       rtol=0, atol=1e-9)
+            x_ref = np.linalg.solve(A_np, np.asarray(B[j]))
+            np.testing.assert_allclose(np.asarray(res_b.x[j]), x_ref,
+                                       atol=1e-8)
+
+    def test_advection_diffusion_batch(self):
+        from spectralelementmethod_tpu.basis import gll_basis_2d
+        from spectralelementmethod_tpu.core.discretization import (
+            Discretization)
+        from spectralelementmethod_tpu.mesh import rectangle_mesh
+        from spectralelementmethod_tpu.models.advection_diffusion import (
+            AdvectionDiffusion)
+
+        mesh = rectangle_mesh(3, 3, 4, boundary_names={
+            "west": "d", "east": "d", "south": "d", "north": "d"})
+        disc = Discretization(mesh, gll_basis_2d(4))
+        fs = [1.0, lambda x, y: x + y]
+        prob = AdvectionDiffusion(disc, velocity=(1.0, 0.5),
+                                  forcing=fs[0])
+        prob.set_dirichlet("d", 0.0)
+        sol_b = prob.solve_batch(fs, tol=1e-10)
+        assert bool(np.asarray(sol_b.gmres.converged).all())
+        for j, f in enumerate(fs):
+            pj = AdvectionDiffusion(disc, velocity=(1.0, 0.5), forcing=f)
+            pj.set_dirichlet("d", 0.0)
+            sj = pj.solve(tol=1e-10)
+            np.testing.assert_allclose(sol_b.u[j], sj.u, atol=1e-7)
