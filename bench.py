@@ -455,6 +455,9 @@ def main():
         if args.nrhs > 1:
             raise SystemExit("--nrhs > 1 requires --kernel local/"
                              "xla-local")
+        if args.precond != "jacobi":
+            raise SystemExit("--precond fdm/pmg requires --kernel local/"
+                             "xla-local")
         dot = None
         free = jnp.asarray(~prob._dirichlet_mask)
         gix_d, G_d = prob._gix, prob._G      # lazy device uploads

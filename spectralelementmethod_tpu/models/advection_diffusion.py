@@ -87,6 +87,8 @@ class AdvectionDiffusion(BoundaryConditionMixin):
         self._dirichlet_vals = np.zeros(disc.n_nodes)
         self._neumann = np.zeros(disc.n_nodes)
         self._ops = None
+        self._diagL = None
+        self._op_cache = {}
 
     # -- operator ----------------------------------------------------------
 
@@ -116,34 +118,49 @@ class AdvectionDiffusion(BoundaryConditionMixin):
         self._ops = (ex, apply_raw)
         return self._ops
 
-    def solve(self, tol: float = 1e-10, restart: int = 40,
-              max_restarts: int = 100) -> AdvectionDiffusionSolution:
-        """GMRES solve with symmetric Dirichlet elimination."""
+    def _solver_ops(self):
+        """Stable masked operator + Jacobi preconditioner for the GMRES
+        paths, cached in ``_op_cache`` (cleared by ``set_dirichlet``) —
+        fresh closures per solve would miss the hoist/jit caches and
+        recompile every restart-cycle kernel."""
         from ..solver.cg import jacobi_preconditioner
 
         disc = self.disc
         ex, apply_raw = self._build()
-        free = jnp.asarray((~self._dirichlet_mask)[ex.gather_hier])
+        ops = self._op_cache.get("gmres_ops")
+        if ops is None:
+            free = jnp.asarray((~self._dirichlet_mask)[ex.gather_hier])
 
-        def A(uL):
-            uL = jnp.where(free, uL, 0.0)
-            return jnp.where(free, apply_raw(uL), 0.0)
+            def A(uL):
+                uL = jnp.where(free, uL, 0.0)
+                return jnp.where(free, apply_raw(uL), 0.0)
+
+            if self._diagL is None:
+                # Jacobi on the (BC-independent) symmetric-part diagonal
+                de = sumfac.laplacian_diag_local(
+                    self._G,
+                    jnp.asarray(disc.basis.subbases[0].D1, self.dtype),
+                    jnp.asarray(disc.basis.subbases[1].D1, self.dtype))
+                diag = sumfac.scatter_add(
+                    de, jnp.asarray(disc.gather_nodes), disc.n_nodes)
+                self._diagL = jnp.asarray(
+                    ex.local_from_global(np.asarray(diag))
+                    .astype(self.dtype))
+            M = jacobi_preconditioner(self._diagL, free)
+            ops = self._op_cache["gmres_ops"] = (free, A, M)
+        free, A, M = ops
+        return ex, apply_raw, free, A, M
+
+    def solve(self, tol: float = 1e-10, restart: int = 40,
+              max_restarts: int = 100) -> AdvectionDiffusionSolution:
+        """GMRES solve with symmetric Dirichlet elimination."""
+        ex, apply_raw, free, A, M = self._solver_ops()
 
         b = np.asarray(self._b) + self._neumann
         u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
         bL = jnp.asarray(ex.local_from_global(b).astype(self.dtype))
         u_dL = jnp.asarray(ex.local_from_global(u_d).astype(self.dtype))
         r = jnp.where(free, bL - apply_raw(u_dL), 0.0)
-
-        # Jacobi on the symmetric part as a cheap preconditioner
-        de = sumfac.laplacian_diag_local(
-            self._G, jnp.asarray(disc.basis.subbases[0].D1, self.dtype),
-            jnp.asarray(disc.basis.subbases[1].D1, self.dtype))
-        diag = sumfac.scatter_add(
-            de, jnp.asarray(disc.gather_nodes), disc.n_nodes)
-        diagL = jnp.asarray(
-            ex.local_from_global(np.asarray(diag)).astype(self.dtype))
-        M = jacobi_preconditioner(diagL, free)
 
         res = gmres(A, r, M=M, tol=tol, restart=restart,
                     max_restarts=max_restarts, dot=ex.dot)
@@ -159,18 +176,10 @@ class AdvectionDiffusion(BoundaryConditionMixin):
         ``forcings``: callables/scalars or a (k, n_nodes) nodal array.
         Returns batched ``u`` (k, n_nodes) / ``gmres`` fields.
         """
-        import jax
-
-        from ..solver.cg import jacobi_preconditioner
         from ..solver.gmres import gmres_batched
 
         disc = self.disc
-        ex, apply_raw = self._build()
-        free = jnp.asarray((~self._dirichlet_mask)[ex.gather_hier])
-
-        def A(uL):
-            uL = jnp.where(free, uL, 0.0)
-            return jnp.where(free, apply_raw(uL), 0.0)
+        ex, apply_raw, free, A, M = self._solver_ops()
 
         coords = [disc.x_coeffs[:, d] for d in range(disc.mesh.ndim)]
         nodal = (not callable(forcings) and hasattr(forcings, "__len__")
@@ -193,15 +202,6 @@ class AdvectionDiffusion(BoundaryConditionMixin):
             jnp.where(free, jnp.asarray(
                 ex.local_from_global(b).astype(self.dtype)) - Au_d, 0.0)
             for b in rows])
-
-        de = sumfac.laplacian_diag_local(
-            self._G, jnp.asarray(disc.basis.subbases[0].D1, self.dtype),
-            jnp.asarray(disc.basis.subbases[1].D1, self.dtype))
-        diag = sumfac.scatter_add(
-            de, jnp.asarray(disc.gather_nodes), disc.n_nodes)
-        diagL = jnp.asarray(
-            ex.local_from_global(np.asarray(diag)).astype(self.dtype))
-        M = jacobi_preconditioner(diagL, free)
 
         res = gmres_batched(A, R, M=M, tol=tol, restart=restart,
                             max_restarts=max_restarts, dot=ex.dot)

@@ -134,6 +134,35 @@ class Helmholtz(BoundaryConditionMixin):
         forwards to the Laplacian factory ('fused-interpret' for CPU
         kernel testing).
         """
+        ctx = self._local_ops(structure, vector_layout, backend)
+        disc = self.disc
+        ex, transposed = ctx["ex"], ctx["transposed"]
+        to_local, free = ctx["to_local"], ctx["free"]
+        A, M = ctx["A"], ctx["M"]
+
+        b = np.asarray(self._b) + self._neumann
+        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
+        bL, u_dL = to_local(b), to_local(u_d)
+        r = jnp.where(free, bL - A._raw(u_dL), 0.0)
+
+        if max_iter is None:
+            max_iter = max(200, 30 * int(np.sqrt(disc.ndof)))
+        if host_loop:
+            dot = ex.dot_T if transposed else ex.dot
+            res = cg_host(A, r, M=M, tol=tol, max_iter=max_iter, dot=dot)
+        else:
+            w = ex._weights_as(np.dtype(self.dtype), transposed=transposed)
+            res = cg(A, r, M=M, tol=tol, max_iter=max_iter, dot_weight=w)
+
+        uL = u_dL + res.x
+        back = ex.global_from_local_T if transposed else ex.global_from_local
+        return HelmholtzSolution(back(np.asarray(uL)), res)
+
+    def _local_ops(self, structure, vector_layout, backend) -> dict:
+        """Build (or fetch from ``_op_cache``) the L-vector operator,
+        Jacobi preconditioner, free mask and transfer closure shared by
+        :meth:`solve_local` and :meth:`solve_local_batch` — setup only,
+        no solve."""
         from ..ops.exchange import RollExchange, make_exchange
         from ..utils.hoist import hoist_closure  # noqa: F401 (doc link)
 
@@ -187,29 +216,15 @@ class Helmholtz(BoundaryConditionMixin):
             A._raw = A_raw
             A = self._op_cache.setdefault(key, A)
 
-        b = np.asarray(self._b) + self._neumann
-        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
-        bL, u_dL = to_local(b), to_local(u_d)
-        r = jnp.where(free, bL - A._raw(u_dL), 0.0)
-
         Mk = ("M", vector_layout)
         M = self._op_cache.get(Mk)
         if M is None:
             diagL = to_local(np.asarray(self.operator_diagonal()))
             M = self._op_cache[Mk] = jacobi_preconditioner(diagL, free)
 
-        if max_iter is None:
-            max_iter = max(200, 30 * int(np.sqrt(disc.ndof)))
-        if host_loop:
-            dot = ex.dot_T if transposed else ex.dot
-            res = cg_host(A, r, M=M, tol=tol, max_iter=max_iter, dot=dot)
-        else:
-            w = ex._weights_as(np.dtype(self.dtype), transposed=transposed)
-            res = cg(A, r, M=M, tol=tol, max_iter=max_iter, dot_weight=w)
-
-        uL = u_dL + res.x
-        back = ex.global_from_local_T if transposed else ex.global_from_local
-        return HelmholtzSolution(back(np.asarray(uL)), res)
+        return {"ex": ex, "transposed": transposed,
+                "vector_layout": vector_layout, "to_local": to_local,
+                "free": free, "A": A, "M": M}
 
     def solve_local_batch(self, forcings, tol: float = 1e-12,
                           max_iter: int | None = None,
@@ -229,37 +244,15 @@ class Helmholtz(BoundaryConditionMixin):
         import jax
 
         from ..solver.cg import cg_batched
-        from ..ops.exchange import RollExchange, make_exchange
         from .poisson import _as_callable as _asc
 
         backend = "xla" if backend in ("auto", "fused") else backend
         disc = self.disc
-        ex = getattr(self, "_exchange", None)
-        if ex is None:
-            ex = self._exchange = make_exchange(disc, fused_pad=True)
-            self._op_cache = {}
-        if vector_layout == "auto":
-            vector_layout = "ne" if isinstance(ex, RollExchange) else "en"
-        # reuse solve_local's cached operator/preconditioner (building
-        # them if absent) by running a zero-iteration solve would be
-        # wasteful; instead call into the same cache keys directly
-        key = ("A", structure, vector_layout, backend)
-        if key not in self._op_cache or ("M", vector_layout) \
-                not in self._op_cache:
-            self.solve_local(tol=1.0, max_iter=1, structure=structure,
-                             vector_layout=vector_layout, backend=backend)
-        A = self._op_cache[key]
-        M1 = self._op_cache[("M", vector_layout)]
-        transposed = vector_layout == "ne"
-
-        def to_local(u_global):
-            lv = ex.local_from_global(u_global).astype(self.dtype)
-            return jnp.asarray(np.ascontiguousarray(lv.T) if transposed
-                               else lv)
-
-        free_np = (~self._dirichlet_mask)[ex.gather_hier]
-        free = jnp.asarray(
-            np.ascontiguousarray(free_np.T) if transposed else free_np)
+        ctx = self._local_ops(structure, vector_layout, backend)
+        ex, transposed = ctx["ex"], ctx["transposed"]
+        vector_layout = ctx["vector_layout"]
+        to_local, free = ctx["to_local"], ctx["free"]
+        A, M1 = ctx["A"], ctx["M"]
 
         rho, zz = disc.x_coeffs[:, 0], disc.x_coeffs[:, 1]
         nodal = (not callable(forcings) and hasattr(forcings, "__len__")

@@ -546,10 +546,6 @@ class Poisson(BoundaryConditionMixin):
                                               max_iter=max_iter,
                                               precond=precond,
                                               cg_kernel=cg_kernel)
-        if precond == "pmg" or isinstance(precond, dict):
-            raise ValueError("solve_local_batch supports precond="
-                             "'jacobi' or 'fdm' (pmg's coarse solve is "
-                             "not vmap-audited)")
         from ..ops.exchange import RollExchange
 
         if getattr(self, "_exchange", None) is None:

@@ -1167,8 +1167,10 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
                 p_new, Ap, dparts, aux = res
                 return p_new, (Ap, prep.far_rows(aux)), dparts
             return res
-    else:
-        kA_d = None
+        kB = _build_cg_kernel_b(prep, interpret)
+        kA_d._prep = kB._prep = prep  # introspection (tests, bench)
+        kA_d._defer_x = True
+        return kA_d, kB, G
 
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
                  x_ref, K_ref, m_ref, sc_ref, po_ref, apo_ref, xo_ref,
@@ -1233,11 +1235,8 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         return res
 
     kB = _build_cg_kernel_b(prep, interpret)
-
-    if defer_x:
-        kA = kA_d
     kA._prep = kB._prep = prep        # introspection (tests, bench)
-    kA._defer_x = defer_x
+    kA._defer_x = False
     return kA, kB, G
 
 
