@@ -60,7 +60,7 @@ def main():
         print(f"[cold solve {time.perf_counter() - t0:.1f}s]", flush=True)
 
         sq.set_initial_guess()
-        sq.set_boundary_conditions(1.0, 1.0, 1.0)
+        sq.set_boundary_conditions(speed=1.0, beta=1.0)
         n_rey = float(sq.phys_params["N_Re"])
         cint = jnp.asarray(sq.cint, dtype=sq.dtype)
         free_ext = sq._free_ext

@@ -520,7 +520,11 @@ class SphereWithSlipVel:
             dx = dx.at[int_gdof].set(x_loc[:, ne_ldof:].reshape(-1))
             return jnp.where(free_dof, dx.astype(r.dtype), r)
 
-        cycles = _gmres_cycles(Jv, Mpre, _euclidean_dot, int(restart))
+        # stall_ratio=0.5: freeze restart cycles burnt below the
+        # attainable-accuracy floor of the f32-preconditioned correction
+        # (measured: calc_speed 171.6 -> 56.3 s — BASELINE round-2b/2c)
+        cycles = _gmres_cycles(Jv, Mpre, _euclidean_dot, int(restart),
+                               stall_ratio=0.5)
 
         @jax.jit
         def factor(lmat, free_ext):
@@ -837,6 +841,16 @@ class SphereWithSlipVel:
         D0 = jnp.asarray(np.asarray(disc.basis.subbases[0].D1))
         D1 = jnp.asarray(np.asarray(disc.basis.subbases[1].D1))
 
+        # the slip profile depends only on the STATIC face coordinates —
+        # evaluate it host-side with numpy operands and bake the values,
+        # so numpy-based profiles (zero_slip_vel's np.zeros_like) never
+        # see a tracer (round-2 review)
+        sin_np = np.asarray(fg.x)[:, 0]
+        cos_np = np.asarray(fg.x)[:, 1]
+        vslip = jnp.asarray(np.broadcast_to(
+            np.asarray(slip(sin_np, cos_np), dtype=np.float64),
+            sin_np.shape))
+
         @jax.jit
         def force(soln, n_rey):
             w_all = soln[:, 1][gath]                       # (nc, n_loc)
@@ -850,7 +864,6 @@ class SphereWithSlipVel:
             dw_dr = jnp.einsum("cam,caim,cim->cm", dw_du, invJ_d, x_S)
             sin_th, cos_th = x_S[:, 0], x_S[:, 1]
             sin2 = sin_th**2
-            vslip = slip(sin_th, cos_th)
             bernouli = jnp.pi * n_rey * vslip**2 * sin_th * cos_th
             w_asym = jnp.pi * (dw_dr + w_S) * sin2
             viscous = -2.0 * jnp.pi * w_S * sin2

@@ -841,6 +841,7 @@ def make_exchange(disc, threshold: float = 0.25,
         # anisotropic node grid with edge tails: the roll fast path
         # needs full class coverage there — generic exchange instead
         return LocalExchange(disc, pad_to=pad_to, layout=layout)
+    used_mcf = min_class_fraction
     if (min_class_fraction is None
             and (ex.n_edge_tail or ex.n_vert_tail)):
         # tails may be small *uniform* classes below the default size
@@ -853,6 +854,7 @@ def make_exchange(disc, threshold: float = 0.25,
         if (not (ex2.n_edge_tail or ex2.n_vert_tail)
                 and len(ex2.edge_classes) + len(ex2.vert_classes) <= 64):
             ex = ex2
+            used_mcf = 0.0
     if ex.tail_fraction > threshold:
         return LocalExchange(disc, pad_to=pad_to, layout=layout)
     if (fused_pad and pad_to is None and ex.E >= fused_pad_min_e
@@ -863,8 +865,20 @@ def make_exchange(disc, threshold: float = 0.25,
         deltas = ([abs(c[2]) for c in ex.edge_classes]
                   + [abs(c[2]) for c in ex.vert_classes])
         H = max(deltas) if deltas else 1
-        if fused_affine_tile_shape(ex.E, H) is None:
-            ex = RollExchange(disc, pad_to=fused_affine_pad(ex.E, H),
-                              layout=layout,
-                              min_class_fraction=min_class_fraction)
+        # the fused kernels far-split classes with |delta| > 128 lanes
+        # out of the VMEM window (_AffineFusedPrep._pick_max_halo), so
+        # an admissible tiling at the 128-lane near halo is enough —
+        # only re-pad when even that fails, and with the SAME effective
+        # min_class_fraction that produced this exchange (panel-ordered
+        # meshes need the 0.0 retry's zero tails; rebuilding with the
+        # default threshold would silently reintroduce tails and lock
+        # out the fused kernels)
+        if (fused_affine_tile_shape(ex.E, H) is None
+                and fused_affine_tile_shape(ex.E, min(H, 128)) is None):
+            ex3 = RollExchange(disc,
+                               pad_to=fused_affine_pad(ex.E, min(H, 128)),
+                               layout=layout,
+                               min_class_fraction=used_mcf)
+            if not (ex3.n_edge_tail or ex3.n_vert_tail):
+                ex = ex3
     return ex

@@ -89,7 +89,10 @@ def make_halo_dss_T(exchange, axis_name: str = ELEM_AXIS,
     :func:`global_roll` in place of ``jnp.roll``.
     """
     ex = _check_exchange(exchange)
-    ne, neb = ex.ne, ex.n_edge_block
+    neb = ex.n_edge_block
+    # per-slot offsets/lengths (anisotropic orders: axis-0 and axis-1
+    # edge slots differ in length; class pairing is always same-length)
+    eo, el = ex.edge_off, ex.edge_len
     oe, ov = ex.off_edge, ex.off_vert
     edge_classes = [(d, s, int(dl), bool(f))
                     for d, s, dl, f, _m in ex.edge_classes]
@@ -97,16 +100,16 @@ def make_halo_dss_T(exchange, axis_name: str = ELEM_AXIS,
     n_e = len(edge_classes)
 
     def dss(vT, masks):
-        if ne > 0:
+        if neb > 0:
             F = vT[oe:oe + neb]
             recv = jnp.zeros_like(F)
             for ci, (d_f, s_f, delta, flip) in enumerate(edge_classes):
-                src = global_roll(vT[oe + s_f * ne: oe + (s_f + 1) * ne],
+                src = global_roll(vT[oe + eo[s_f]: oe + eo[s_f] + el[s_f]],
                                   delta, axis_name, n_shards)
                 if flip:
                     src = src[::-1, :]
                 src = jnp.where(masks[ci:ci + 1], src, 0.0)
-                recv = recv.at[d_f * ne:(d_f + 1) * ne].add(src)
+                recv = recv.at[eo[d_f]:eo[d_f] + el[d_f]].add(src)
             edges = F + recv
         else:
             edges = None

@@ -50,6 +50,7 @@ def gmres(
     restart: int = 30,
     max_restarts: int = 50,
     dot: Callable | None = None,
+    stall_ratio: float | None = None,
 ) -> GMRESResult:
     """Solve ``A x = b`` (A nonsymmetric OK) with left-preconditioned
     restarted GMRES(restart).
@@ -57,6 +58,13 @@ def gmres(
     ``M`` approximates A^-1 (applied to residuals); ``dot`` defines the
     inner product (e.g. multiplicity-weighted for L-vectors).  Stops when
     the preconditioned residual norm <= max(tol * ||M b||, atol).
+
+    ``stall_ratio`` (None = off) freezes a solve whose restart cycle
+    fails to shrink the residual below ``stall_ratio * rn_prev`` while
+    still above ``stop`` — the attainable-accuracy-floor cutoff the
+    squirmer's GMRES-IR path uses (0.5 there, measured).  Off by
+    default: a slow-but-converging solve (plateau-then-drop restarting
+    behavior) must keep its full restart budget (round-2 review).
     """
     from ..utils.hoist import hoist_closure
 
@@ -72,7 +80,8 @@ def gmres(
     dot_p, dot_c = hoist_closure(dot, b, b)
     A_c, M_c, dot_c = tuple(A_c), tuple(M_c), tuple(dot_c)
 
-    cycles = _gmres_cycles(A_p, M_p, dot_p, int(restart))
+    cycles = _gmres_cycles(A_p, M_p, dot_p, int(restart),
+                           stall_ratio)
 
     ftype = jnp.result_type(b.dtype, jnp.float32)
     Mb = M_p(b, *M_c)
@@ -109,6 +118,7 @@ def gmres_batched(
     restart: int = 30,
     max_restarts: int = 50,
     dot: Callable | None = None,
+    stall_ratio: float | None = None,
 ) -> GMRESResult:
     """Solve ``A x_j = b_j`` for a batch of RHS with restarted GMRES.
 
@@ -134,7 +144,8 @@ def gmres_batched(
     dot_p, dot_c = hoist_closure(dot, B[0], B[0])
     A_c, M_c, dot_c = tuple(A_c), tuple(M_c), tuple(dot_c)
 
-    cycles = _gmres_cycles_batched(A_p, M_p, dot_p, int(restart))
+    cycles = _gmres_cycles_batched(A_p, M_p, dot_p, int(restart),
+                                   stall_ratio)
 
     ftype = jnp.result_type(B.dtype, jnp.float32)
 
@@ -162,7 +173,8 @@ def gmres_batched(
 
 
 @lru_cache(maxsize=64)
-def _gmres_cycles_batched(A, M, dot, m: int):
+def _gmres_cycles_batched(A, M, dot, m: int,
+                          stall_ratio: float | None = None):
     """vmapped twin of :func:`_gmres_cycles` (shared operator consts,
     per-RHS Arnoldi/convergence/stagnation state)."""
     from functools import partial
@@ -178,8 +190,11 @@ def _gmres_cycles_batched(A, M, dot, m: int):
                 def run(carry):
                     x, rn_prev, its, _done = carry
                     x2, rn2, dk = body(x, b, stop, A_c, M_c, dot_c)
-                    stalled = (rn2 > 0.5 * rn_prev) & (rn2 > stop)
-                    return (x2, rn2, its + dk, (rn2 <= stop) | stalled)
+                    done = rn2 <= stop
+                    if stall_ratio is not None:
+                        done = done | ((rn2 > stall_ratio * rn_prev)
+                                       & (rn2 > stop))
+                    return (x2, rn2, its + dk, done)
 
                 return jax.lax.cond(carry[3], lambda c: c, run, carry)
 
@@ -293,7 +308,7 @@ def _gmres_cycle(A, M, dot, m: int):
 
 
 @lru_cache(maxsize=64)
-def _gmres_cycles(A, M, dot, m: int):
+def _gmres_cycles(A, M, dot, m: int, stall_ratio: float | None = None):
     """k restart cycles per dispatch with device-side convergence freeze.
 
     On remote backends each host convergence check costs a round trip
@@ -302,12 +317,14 @@ def _gmres_cycles(A, M, dot, m: int):
     the syncs to O(max_restarts / k).  Converged state short-circuits via
     ``lax.cond`` — frozen cycles do no Arnoldi work.
 
-    A cycle that fails to halve the residual while still above ``stop``
-    also freezes (stagnation at the attainable-accuracy floor: with a
+    With ``stall_ratio`` set, a cycle that fails to shrink the residual
+    below ``stall_ratio * rn_prev`` while still above ``stop`` also
+    freezes (stagnation at the attainable-accuracy floor: with a
     reduced-precision preconditioner, ``stop`` relative to a tiny rhs can
     sit below what the arithmetic can reach — burning restart cycles
-    there costs seconds per solve for zero gain).  Callers distinguish
-    the two exits by comparing the returned ``rnorm`` against ``stop``.
+    there costs seconds per solve for zero gain; the squirmer's GMRES-IR
+    passes 0.5).  Callers distinguish the two exits by comparing the
+    returned ``rnorm`` against ``stop``.
 
     Returns ``cycles(k, x, b, stop, A_c, M_c, dot_c) ->
     (x, rnorm, total_new_its, done)`` with ``done`` = converged OR
@@ -325,8 +342,11 @@ def _gmres_cycles(A, M, dot, m: int):
             def run(carry):
                 x, rn_prev, its, _done = carry
                 x2, rn2, dk = body(x, b, stop, A_c, M_c, dot_c)
-                stalled = (rn2 > 0.5 * rn_prev) & (rn2 > stop)
-                return (x2, rn2, its + dk, (rn2 <= stop) | stalled)
+                done = rn2 <= stop
+                if stall_ratio is not None:
+                    done = done | ((rn2 > stall_ratio * rn_prev)
+                                   & (rn2 > stop))
+                return (x2, rn2, its + dk, done)
 
             return jax.lax.cond(carry[3], lambda c: c, run, carry)
 

@@ -192,3 +192,28 @@ class TestGMRESBatched:
             pj.set_dirichlet("d", 0.0)
             sj = pj.solve(tol=1e-10)
             np.testing.assert_allclose(sol_b.u[j], sj.u, atol=1e-7)
+
+
+def test_gmres_slow_convergence_keeps_restart_budget():
+    """Round-2 review regression: a solve whose restart cycles shrink the
+    residual by less than 2x each must NOT be frozen by a stagnation
+    heuristic — the stall freeze is opt-in (``stall_ratio``), used only
+    by the squirmer's GMRES-IR path."""
+    rng = np.random.RandomState(3)
+    n = 80
+    # small restart on a spread spectrum (kappa ~ 300): each GMRES(6)
+    # cycle shrinks the residual by well under 2x but the solve converges
+    Amat = (np.diag(np.linspace(1 / 300, 1.0, n))
+            + 1e-4 * rng.standard_normal((n, n)))
+    b = rng.standard_normal(n)
+    A = lambda x: jnp.asarray(Amat) @ x  # noqa: E731
+    res = gmres(A, jnp.asarray(b, dtype=np.float64), tol=1e-10,
+                restart=6, max_restarts=3000)
+    assert bool(res.converged), float(res.residual_norm)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(Amat, b), atol=1e-6)
+    # opt-in freeze reproduces the squirmer path's early exit
+    res_frozen = gmres(A, jnp.asarray(b, dtype=np.float64), tol=1e-10,
+                       restart=6, max_restarts=3000, stall_ratio=0.5)
+    assert not bool(res_frozen.converged)
+    assert int(res_frozen.iterations) < int(res.iterations)

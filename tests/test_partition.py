@@ -117,3 +117,53 @@ class TestPanelOrder:
         got = np.asarray(fused(uT))
         scale = np.abs(expected).max()
         assert np.abs(got - expected).max() / scale < 1e-5
+
+
+def test_make_exchange_keeps_zero_tails_on_degenerate_panel_halo():
+    """Round-2 review regression: when a panel-ordered mesh's cross-panel
+    offset makes the FULL-halo fused tiling inadmissible, make_exchange
+    must not rebuild with the default min_class_fraction (which drops the
+    small cross-panel classes back to tails and locks out the fused
+    kernels) — the kernels far-split |delta| > 128 classes themselves, so
+    an admissible 128-lane near tiling is enough."""
+    from spectralelementmethod_tpu.ops.exchange import (RollExchange,
+                                                        make_exchange)
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        _AffineFusedPrep, fused_affine_tile_shape)
+    from spectralelementmethod_tpu.ops import sumfac
+
+    n_fast, n_slow, panel = 64, 6, 32
+    mesh = pt.reorder_elements(
+        rectangle_mesh(n_fast, n_slow, 2),
+        pt.panel_order(n_fast, n_slow, panel))
+    disc = Discretization(mesh, gll_basis_2d(2))
+
+    # scenario preconditions: tails at the default class threshold, a
+    # cross-panel delta whose full-halo tiling is inadmissible, and an
+    # admissible near tiling
+    ex_def = RollExchange(disc)
+    assert ex_def.n_edge_tail or ex_def.n_vert_tail
+    ex0 = RollExchange(disc, min_class_fraction=0.0)
+    H = max(abs(int(c[2])) for c in ex0.edge_classes)
+    assert H > 128
+    assert fused_affine_tile_shape(ex0.E, H) is None
+    assert fused_affine_tile_shape(ex0.E, 128) is not None
+
+    ex = make_exchange(disc, fused_pad=True, fused_pad_min_e=0)
+    assert isinstance(ex, RollExchange)
+    assert ex.n_edge_tail == 0 and ex.n_vert_tail == 0
+
+    # and the fused prep accepts it (auto max_halo far-splits the
+    # cross-panel classes)
+    prob = Poisson(Discretization(mesh, gll_basis_2d(2)), dtype=np.float32)
+    Gf = prob._G_host.reshape(disc.E, 3, -1)
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(
+        sumfac._pad_factors_to_exchange(Gf, ex), W)
+    assert exact
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    prep = _AffineFusedPrep(ex, Kcat, a, "highest", 4608, "auto",
+                            cheap_far=False)
+    assert prep.has_far and prep.Hb <= 128

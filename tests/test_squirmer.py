@@ -279,3 +279,21 @@ class TestSchurFactorApply:
         xe1, _ = sc.schur_apply(facs, lrhs, csys, rhs_extra=extra)
         np.testing.assert_allclose(np.asarray(xe1), np.asarray(xe0),
                                    rtol=1e-9, atol=1e-10)
+
+
+class TestDeviceForceNumpySlip:
+    def test_fixed_sphere_device_force(self):
+        """Round-2 review regression: the device-resident force quadrature
+        must not jit-trace numpy-based slip profiles (FixedSphere's
+        zero_slip_vel calls np.zeros_like) — the profile is evaluated
+        host-side at the static face coordinates instead."""
+        fs = sqm.FixedSphere(coarse_mesh(), order=6,
+                             linear_solver="gmres-ir")
+        fs.run(0.01, verbose=False, newton_loop="device")
+        assert fs._soln_dev is not None
+        f_dev = fs.calc_force()                # device quadrature
+        _ = fs.soln                            # downloads
+        assert fs._soln_dev is None
+        f_np = fs.calc_force()                 # numpy quadrature
+        assert abs(f_dev - f_np) < 1e-10
+        assert abs(f_dev - (-6 * np.pi)) < 0.06 * 6 * np.pi
