@@ -8,6 +8,7 @@ backend.
 from .partition import cut_faces, morton_order, rcm_order, reorder_elements
 from .sharding import (
     device_mesh,
+    hybrid_device_mesh,
     make_sharded_poisson_operator,
     pad_elements,
     sharded_local_poisson_problem,
@@ -20,6 +21,7 @@ __all__ = [
     "rcm_order",
     "reorder_elements",
     "device_mesh",
+    "hybrid_device_mesh",
     "make_sharded_poisson_operator",
     "pad_elements",
     "sharded_local_poisson_problem",

@@ -32,13 +32,21 @@ from ..ops import sumfac
 ELEM_AXIS = "elements"
 
 
-def global_roll(x, delta: int, axis_name: str, n_shards: int):
+def global_roll(x, delta: int, axis_name: str, n_shards: int,
+                wrap: bool = True):
     """``jnp.roll(x, -delta, axis=-1)`` over a block-sharded last axis.
 
     Call inside ``shard_map``: ``x`` is the local (..., Eb) block.  The
     wrapped strip travels to the neighboring shard via one ppermute
     (global wrap-around included — class masks zero those lanes, exactly
     as they do for single-device ``jnp.roll``).
+
+    ``wrap=False`` drops the global wrap-around pair from the ring
+    (ppermute zero-fills the shard that receives nothing) — valid
+    whenever the caller's class mask discards every wrapped lane, i.e.
+    for any non-periodic element order.  On multi-slice fleets
+    (:func:`.sharding.hybrid_device_mesh`) this removes the one ring hop
+    that would otherwise cross DCN twice.
     """
     if delta == 0:
         return x
@@ -52,14 +60,31 @@ def global_roll(x, delta: int, axis_name: str, n_shards: int):
     S = n_shards
     if delta > 0:
         strip = x[..., :delta]
-        recv = jax.lax.ppermute(
-            strip, axis_name, [((i + 1) % S, i) for i in range(S)])
+        pairs = [((i + 1) % S, i) for i in range(S)]
+        if not wrap:
+            pairs = pairs[:-1]          # drop source 0 -> dest S-1
+        recv = jax.lax.ppermute(strip, axis_name, pairs)
         return jnp.concatenate([x[..., delta:], recv], axis=-1)
     d = -delta
     strip = x[..., Eb - d:]
-    recv = jax.lax.ppermute(
-        strip, axis_name, [((i - 1) % S, i) for i in range(S)])
+    pairs = [((i - 1) % S, i) for i in range(S)]
+    if not wrap:
+        pairs = pairs[1:]               # drop source S-1 -> dest 0
+    recv = jax.lax.ppermute(strip, axis_name, pairs)
     return jnp.concatenate([recv, x[..., :Eb - d]], axis=-1)
+
+
+def _class_uses_wrap(mask, delta: int) -> bool:
+    """True iff rolling by ``delta`` feeds any unmasked destination lane
+    from a wrapped (modulo-E) source — i.e. the element order is
+    periodic for this roll class.
+
+    ``jnp.roll(v, -delta)`` wraps destinations ``[E-delta, E)`` (for
+    ``delta > 0``; ``[0, -delta)`` otherwise); the contribution survives
+    the class mask only if the mask is set there.
+    """
+    m = np.asarray(mask, bool)
+    return bool(m[-delta:].any() if delta > 0 else m[:-delta].any())
 
 
 def _check_exchange(exchange):
@@ -94,18 +119,23 @@ def make_halo_dss_T(exchange, axis_name: str = ELEM_AXIS,
     # edge slots differ in length; class pairing is always same-length)
     eo, el = ex.edge_off, ex.edge_len
     oe, ov = ex.off_edge, ex.off_vert
-    edge_classes = [(d, s, int(dl), bool(f))
-                    for d, s, dl, f, _m in ex.edge_classes]
-    vert_classes = [(d, s, int(dl)) for d, s, dl, _m in ex.vert_classes]
+    # per-class wrap elision: a class whose mask discards every wrapped
+    # lane (any non-periodic element order) skips the ring's wrap-around
+    # ppermute pair — on a slice-major multi-slice mesh that pair is the
+    # one crossing DCN in both directions
+    edge_classes = [(d, s, int(dl), bool(f), _class_uses_wrap(m, int(dl)))
+                    for d, s, dl, f, m in ex.edge_classes]
+    vert_classes = [(d, s, int(dl), _class_uses_wrap(m, int(dl)))
+                    for d, s, dl, m in ex.vert_classes]
     n_e = len(edge_classes)
 
     def dss(vT, masks):
         if neb > 0:
             F = vT[oe:oe + neb]
             recv = jnp.zeros_like(F)
-            for ci, (d_f, s_f, delta, flip) in enumerate(edge_classes):
+            for ci, (d_f, s_f, delta, flip, wrp) in enumerate(edge_classes):
                 src = global_roll(vT[oe + eo[s_f]: oe + eo[s_f] + el[s_f]],
-                                  delta, axis_name, n_shards)
+                                  delta, axis_name, n_shards, wrap=wrp)
                 if flip:
                     src = src[::-1, :]
                 src = jnp.where(masks[ci:ci + 1], src, 0.0)
@@ -116,8 +146,8 @@ def make_halo_dss_T(exchange, axis_name: str = ELEM_AXIS,
 
         V = vT[ov:ov + 4]
         vsum = V
-        for cj, (d_s, s_s, delta) in enumerate(vert_classes):
-            src = global_roll(V[s_s], delta, axis_name, n_shards)
+        for cj, (d_s, s_s, delta, wrp) in enumerate(vert_classes):
+            src = global_roll(V[s_s], delta, axis_name, n_shards, wrap=wrp)
             vsum = vsum.at[d_s].add(
                 jnp.where(masks[n_e + cj], src, 0.0))
 
@@ -125,6 +155,8 @@ def make_halo_dss_T(exchange, axis_name: str = ELEM_AXIS,
             return jnp.concatenate([edges, vsum, vT[ex.off_int:]], axis=0)
         return vT.at[ov:ov + 4].set(vsum)
 
+    dss._edge_wrap = [c[4] for c in edge_classes]
+    dss._vert_wrap = [c[3] for c in vert_classes]
     return dss
 
 
@@ -325,4 +357,5 @@ def make_sharded_local_operator(exchange, Gf, Dhat, mesh,
             vT = jnp.where(free_local, vT, 0.0)
         return vT
 
+    A._dss = dss
     return A

@@ -41,6 +41,56 @@ def device_mesh(n_devices: int | None = None, axis: str = ELEM_AXIS):
     )
 
 
+def hybrid_device_mesh(n_slices: int | None = None, axis: str = ELEM_AXIS,
+                       devices=None):
+    """1D element-axis mesh over a multi-slice (ICI x DCN) TPU fleet.
+
+    Multi-slice topologies have two interconnect tiers: chips within a
+    slice talk over ICI, slices over the data-center network (DCN, ~10x
+    less bandwidth).  This helper orders the flattened element axis
+    *slice-major*, so the nearest-neighbor ring halo exchange
+    (:mod:`.halo`) crosses DCN only at the ``n_slices`` slice boundaries
+    — every other ppermute pair is one ICI hop, and with the wrap pair
+    elided for non-periodic meshes (:func:`.halo.make_halo_dss_T`
+    detects that from the class masks) the DCN carries exactly
+    ``n_slices - 1`` boundary strips per operator apply.
+
+    On real multi-slice hardware the grouping comes from
+    ``device.slice_index``; elsewhere (CPU meshes, single slice)
+    ``n_slices`` splits the device list into contiguous pseudo-slices so
+    the same code path is testable anywhere.  The mesh carries its
+    per-shard slice ids in ``mesh.shard_slice_ids`` (numpy int array).
+    """
+    if devices is None:
+        devices = jax.devices()
+    slice_ids = [getattr(d, "slice_index", None) for d in devices]
+    if len({s for s in slice_ids if s is not None}) > 1:
+        order = sorted(
+            range(len(devices)),
+            key=lambda i: (slice_ids[i] or 0,
+                           getattr(devices[i], "id", i)))
+        devices = [devices[i] for i in order]
+        ids = np.asarray([slice_ids[i] or 0 for i in order])
+        found = len(set(ids.tolist()))
+        if n_slices is not None and int(n_slices) != found:
+            raise ValueError(
+                f"hardware reports {found} slices, n_slices={n_slices}")
+    else:
+        if n_slices is None:
+            n_slices = 1
+        if len(devices) % int(n_slices):
+            raise ValueError(
+                f"{len(devices)} devices do not split into "
+                f"{n_slices} equal pseudo-slices")
+        per = len(devices) // int(n_slices)
+        ids = np.repeat(np.arange(int(n_slices)), per)
+    mesh = jax.sharding.Mesh(np.asarray(devices), (axis,))
+    # tuple, not ndarray: Mesh instances are interned and __setattr__
+    # equality-checks re-set attributes
+    mesh.shard_slice_ids = tuple(int(i) for i in ids)
+    return mesh
+
+
 def pad_elements(E: int, n_shards: int) -> int:
     """Padded element count (multiple of n_shards)."""
     return ((E + n_shards - 1) // n_shards) * n_shards

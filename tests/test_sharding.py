@@ -1,5 +1,7 @@
 """Multi-device sharding tests on the 8-device virtual CPU mesh."""
 
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -225,3 +227,100 @@ class TestSharded3D:
         txt = jax.jit(A).lower(r).compile().as_text()
         assert "collective-permute" in txt
         assert "all-gather" not in txt
+
+
+class TestHybridMeshAndWrapElision:
+    """Multi-slice (ICI x DCN) tier: slice-major hybrid mesh + elision of
+    the ring's wrap-around ppermute for non-periodic element orders."""
+
+    def test_hybrid_mesh_pseudo_slices(self):
+        mesh = sh.hybrid_device_mesh(n_slices=2)
+        assert mesh.devices.size == 8
+        np.testing.assert_array_equal(
+            mesh.shard_slice_ids, [0, 0, 0, 0, 1, 1, 1, 1])
+        with pytest.raises(ValueError):
+            sh.hybrid_device_mesh(n_slices=3)
+
+    @staticmethod
+    def _wide_problem():
+        # wide enough that every roll delta fits an 8-shard block
+        m = rectangle_mesh(16, 8, 3)                      # E = 128
+        problem = Poisson(Discretization(m, gll_basis_2d(3)))
+        problem.set_dirichlet("ebc", lambda x, y: 0.2 * ((x + 1) + (y + 1)))
+        return problem
+
+    def test_hybrid_mesh_solve_matches(self):
+        problem = self._wide_problem()
+        sol_single = problem.solve(tol=1e-13, host_loop=True)
+        mesh = sh.hybrid_device_mesh(n_slices=2)
+        A, r, M, u_dL, ex, _ = sh.sharded_local_poisson_problem(
+            problem, mesh, comm="shardmap")
+        res = cg(A, r, M=M, tol=1e-13, max_iter=2000, dot=ex.dot_T)
+        assert bool(res.converged)
+        u = ex.global_from_local_T(np.asarray(u_dL + res.x))
+        np.testing.assert_allclose(u, sol_single.u, atol=1e-9)
+
+    def test_wrap_elided_for_nonperiodic_order(self):
+        """A rectangle mesh's element order never wraps: every roll class
+        elides the ring's wrap pair, so the lowered HLO contains
+        collective-permutes but neither {0,S-1} nor {S-1,0}."""
+        from spectralelementmethod_tpu.utils.hoist import hoist_closure
+
+        problem = self._wide_problem()
+        mesh = sh.hybrid_device_mesh(n_slices=2)
+        A, r, *_rest = sh.sharded_local_poisson_problem(
+            problem, mesh, comm="shardmap")
+        assert not any(A._dss._edge_wrap) and not any(A._dss._vert_wrap)
+
+        A_pure, A_c = hoist_closure(A, r)
+        hlo = jax.jit(lambda u, *c: A_pure(u, *c)).lower(
+            r, *A_c).compile().as_text()
+        assert "collective-permute" in hlo
+        # wrap pairs: source 0 -> dest 7 (delta > 0) and 7 -> 0 (delta < 0)
+        pairs = set()
+        for m in re.finditer(r"source_target_pairs=\{([^}]*(?:\},\{[^}]*)*)\}\}",
+                             hlo):
+            for a, b in re.findall(r"\{(\d+),(\d+)\}", m.group(0)):
+                pairs.add((int(a), int(b)))
+        assert pairs, "no source_target_pairs parsed from HLO"
+        assert (0, 7) not in pairs and (7, 0) not in pairs
+        assert (1, 0) in pairs or (0, 1) in pairs
+
+    def test_wrap_kept_when_order_is_periodic(self, problem):
+        """Force a synthetic periodic class mask: the wrap pair must stay
+        and global_roll must reproduce jnp.roll exactly."""
+        from spectralelementmethod_tpu.parallel import halo
+
+        # wrap=True reproduces jnp.roll over shards; wrap=False zero-fills
+        # exactly the wrapped lanes
+        mesh = sh.device_mesh(8)
+        x = np.arange(32, dtype=np.float64)[None, :] + 1.0
+        for delta in (3, -3):
+            for wrap in (True, False):
+                f = jax.shard_map(
+                    lambda blk, d=delta, w=wrap: halo.global_roll(
+                        blk, d, sh.ELEM_AXIS, 8, wrap=w),
+                    mesh=mesh,
+                    in_specs=(jax.sharding.PartitionSpec(None, "elements"),),
+                    out_specs=jax.sharding.PartitionSpec(None, "elements"))
+                got = np.asarray(f(jnp.asarray(x)))
+                want = np.roll(x, -delta, axis=-1)
+                if not wrap:
+                    if delta > 0:
+                        want[..., -delta:] = 0.0
+                    else:
+                        want[..., :-delta] = 0.0
+                np.testing.assert_allclose(got, want, atol=0)
+
+    def test_class_uses_wrap_detection(self):
+        from spectralelementmethod_tpu.parallel.halo import _class_uses_wrap
+
+        m = np.zeros(16, bool)
+        assert not _class_uses_wrap(m, 3)
+        m[15] = True
+        assert _class_uses_wrap(m, 3)
+        assert not _class_uses_wrap(m, -3)
+        m2 = np.zeros(16, bool)
+        m2[1] = True
+        assert _class_uses_wrap(m2, -3)
+        assert not _class_uses_wrap(m2, 3)
