@@ -27,9 +27,14 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    import importlib
+
     from spectralelementmethod_tpu.mesh import annulus_mesh
     from spectralelementmethod_tpu.models.squirmer import Squirmer
-    import spectralelementmethod_tpu.solver.gmres as G
+
+    # `import ...solver.gmres as G` would bind the package attribute,
+    # which solver/__init__.py rebinds to the gmres *function*
+    G = importlib.import_module("spectralelementmethod_tpu.solver.gmres")
 
     t0 = time.perf_counter()
     mesh = annulus_mesh(order=8, n_theta=9, n_r=15, r_outer=100.0,
