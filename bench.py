@@ -637,6 +637,61 @@ def main():
     res.x.block_until_ready()
     t_cg = time.perf_counter() - t0
 
+    # secondary record in the DEFAULT run: the fused-bf16p CG iteration
+    # (two Pallas kernels per iteration, bf16 direction/aux storage) — the
+    # measured-fastest solve configuration on affine meshes (BASELINE.md
+    # round-2 table).  Only on a real TPU (interpret mode would crawl).
+    fused_extra = {}
+    if (args.cg_mode == "plain" and args.precond == "jacobi"
+            and args.kernel in ("local", "xla-local") and args.nrhs == 1
+            and not args.smoke and dtype == np.float32 and transposed):
+        try:
+            from spectralelementmethod_tpu.ops import pallas_kernels
+            from spectralelementmethod_tpu.solver.cg import cg_fused
+
+            if not pallas_kernels.supported():
+                raise RuntimeError("no TPU (interpret mode skipped)")
+            Gf_p = sumfac._pad_factors_to_exchange(
+                Gf.astype(np.float32), ex)
+            Wg = disc.basis.weight_grid().reshape(-1)
+            a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wg)
+            if not exact_aff:
+                raise RuntimeError("mesh not affine")
+            Kcat = sumfac.make_affine_element_matrices(
+                Dhat, Wg, order=ex.hier)
+            kA_x, kB_x, _ = pallas_kernels.make_fused_cg_kernels(
+                ex, Kcat, a_f, precision="high",
+                p_dtype=jnp.bfloat16)
+            inv_x = jnp.where(
+                free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
+            ).astype(jnp.bfloat16)
+            wf_x = jnp.where(
+                free, ex._weights_as(np.float32, transposed=True), 0.0
+            ).astype(jnp.bfloat16)
+
+            def run_cg_fused():
+                return cg_fused(kA_x, kB_x, r_cg, inv=inv_x, w_free=wf_x,
+                                tol=cg_tol, max_iter=cg_iters,
+                                block=cg_iters, p_dtype=jnp.bfloat16)
+
+            _progress("fused-bf16p cg warmup (compile)")
+            rf = run_cg_fused()
+            rf.x.block_until_ready()
+            _progress("fused-bf16p cg timing")
+            t0 = time.perf_counter()
+            rf = run_cg_fused()
+            rf.x.block_until_ready()
+            t_cg_f = time.perf_counter() - t0
+            fused_extra = {
+                "cg_ms_per_iter_fused_bf16p": round(
+                    t_cg_f * 1e3 / max(int(rf.iterations), 1), 3),
+                "cg_wallclock_s_fused_bf16p": round(t_cg_f, 3),
+                "cg_iters_fused_bf16p": int(rf.iterations),
+                "cg_resnorm_fused_bf16p": float(rf.residual_norm),
+            }
+        except Exception as e:               # noqa: BLE001
+            _progress(f"fused-CG arm skipped: {e}")
+
     result = {
         "metric": f"element_apply_gflops_p{args.order}_{E}el",
         "value": round(gflops, 2),
@@ -675,6 +730,7 @@ def main():
             "timing_reliable": timing_reliable,
             "baseline": "serial per-element numpy einsum apply "
                         f"(reference style), {n_sample}-element sample",
+            **fused_extra,
         },
     }
     print(json.dumps(result))
