@@ -554,40 +554,47 @@ def main():
     if (args.precision == "highest" and args.nrhs == 1
             and args.kernel in ("local", "xla-local")
             and not args.smoke):
-        try:
-            A_high = sumfac.make_local_laplacian_operator(
-                ex, Gf, Dhat, backend=backend, precision="high",
-                compute_dtype=cdt, vector_layout=vlayout,
-                structure=args.structure)
-            Ah_pure, Ah_consts = hoist_closure(A_high, vec_timed)
-            Ah_consts = tuple(Ah_consts)
+        # the 'high' kernel holds more VMEM state than 'highest' (K
+        # hi/lo split); the default window can overflow the 16 MB scoped
+        # stack at far-split paddings — retry smaller windows on failure
+        for twin in (None, 3584, 2560):
+            try:
+                A_high = sumfac.make_local_laplacian_operator(
+                    ex, Gf, Dhat, backend=backend, precision="high",
+                    compute_dtype=cdt, vector_layout=vlayout,
+                    structure=args.structure, fused_target_win=twin)
+                Ah_pure, Ah_consts = hoist_closure(A_high, vec_timed)
+                Ah_consts = tuple(Ah_consts)
 
-            @jax.jit
-            def apply_chain_h(u, n_reps, A_c, d_c):
-                def body(i, x):
-                    y = Ah_pure(x, *A_c)
-                    return y * jax.lax.rsqrt(
-                        d_pure(y, y, *d_c).real.astype(y.dtype) + 1e-30)
+                @jax.jit
+                def apply_chain_h(u, n_reps, A_c, d_c, _Ah=Ah_pure):
+                    def body(i, x):
+                        y = _Ah(x, *A_c)
+                        return y * jax.lax.rsqrt(
+                            d_pure(y, y, *d_c).real.astype(y.dtype)
+                            + 1e-30)
 
-                return jax.lax.fori_loop(0, n_reps, body, u)
+                    return jax.lax.fori_loop(0, n_reps, body, u)
 
-            def time_h(n_reps, tries=3):
-                best = float("inf")
-                for _ in range(tries):
-                    t0 = time.perf_counter()
-                    apply_chain_h(vec_timed, n_reps, Ah_consts,
-                                  d_consts).block_until_ready()
-                    best = min(best, time.perf_counter() - t0)
-                return best
+                def time_h(n_reps, tries=3, _chain=apply_chain_h,
+                           _Ah_c=Ah_consts):
+                    best = float("inf")
+                    for _ in range(tries):
+                        t0 = time.perf_counter()
+                        _chain(vec_timed, n_reps, _Ah_c,
+                               d_consts).block_until_ready()
+                        best = min(best, time.perf_counter() - t0)
+                    return best
 
-            _progress("high-precision apply timing")
-            apply_chain_h(vec_timed, reps, Ah_consts,
-                          d_consts).block_until_ready()
-            th_n, th_2n = time_h(reps), time_h(2 * reps)
-            if th_2n - th_n > 0.05 * th_n:
-                t_apply_high = (th_2n - th_n) / reps
-        except Exception as e:               # noqa: BLE001
-            _progress(f"high-precision arm skipped: {e}")
+                _progress(f"high-precision apply timing (win={twin})")
+                apply_chain_h(vec_timed, reps, Ah_consts,
+                              d_consts).block_until_ready()
+                th_n, th_2n = time_h(reps), time_h(2 * reps)
+                if th_2n - th_n > 0.05 * th_n:
+                    t_apply_high = (th_2n - th_n) / reps
+                break
+            except Exception as e:           # noqa: BLE001
+                _progress(f"high-precision arm (win={twin}) failed: {e}")
 
     if args.nrhs > 1:
         # general-path traffic model: k (u in + out) passes + 3 shared

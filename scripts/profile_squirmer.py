@@ -47,8 +47,8 @@ def main():
     orig_cycles_fn = G._gmres_cycles
     timings = {"gmres": []}
 
-    def timed_cycles(A, M, dot, m):
-        cycles = orig_cycles_fn(A, M, dot, m)
+    def timed_cycles(A, M, dot, m, *extra, **kw):
+        cycles = orig_cycles_fn(A, M, dot, m, *extra, **kw)
 
         def wrapped(k, x, b, stop, A_c, M_c, dot_c):
             t0 = time.perf_counter()

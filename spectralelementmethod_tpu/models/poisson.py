@@ -479,9 +479,11 @@ class Poisson(BoundaryConditionMixin):
 
         if fused_cg is not None:
             kA, kB, inv, w_free = fused_cg
+            # A enables the true-residual restart when the bf16-direction
+            # recurrence floors just above stop (see cg_fused docstring)
             res = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=tol,
                            max_iter=max_iter, p_dtype=p_dtype,
-                           defer_x=defer_x)
+                           defer_x=defer_x, A=A)
             uL = u_dL + res.x
             u = ex.global_from_local_T(np.asarray(uL))
             return PoissonSolution(u, res)

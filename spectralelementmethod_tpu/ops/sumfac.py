@@ -305,7 +305,8 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
                                   compute_dtype=None,
                                   structure: str = "auto",
                                   vector_layout: str = "en",
-                                  assume_masked_input: bool = False):
+                                  assume_masked_input: bool = False,
+                                  fused_target_win: int | None = None):
     """Weak Laplacian acting on hierarchical L-vectors (E, n).
 
     The production TPU formulation: no global vector in the loop —
@@ -345,7 +346,8 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
         return _make_local_laplacian_operator_T(
             exchange, Gf, Dhat, free_local, backend=backend,
             precision=precision, compute_dtype=compute_dtype,
-            structure=structure, assume_masked_input=assume_masked_input)
+            structure=structure, assume_masked_input=assume_masked_input,
+            fused_target_win=fused_target_win)
     if vector_layout != "en":
         raise ValueError(f"unknown vector_layout {vector_layout!r}")
 
@@ -469,7 +471,8 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
                                      precision: str = "highest",
                                      compute_dtype=None,
                                      structure: str = "auto",
-                                     assume_masked_input: bool = False):
+                                     assume_masked_input: bool = False,
+                                     fused_target_win: int | None = None):
     """Transposed (n, E) variant of :func:`make_local_laplacian_operator`.
 
     Affine meshes: ``S = sum_c Kc @ (a_c * u)`` — the assembled per-term
@@ -530,19 +533,21 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
                     f"overrides (got {compute_dtype}); use precision=")
         if fused_ok or backend != "auto":
             try:
+                win_kw = ({} if fused_target_win is None
+                          else {"target_win": int(fused_target_win)})
                 if affine_a is not None:
                     Kcat = make_affine_element_matrices(
                         np.asarray(Dhat), Wgrid, order=exchange.hier)
                     local_dss = pallas_kernels.make_fused_affine_laplacian_T(
                         exchange, Kcat, affine_a, precision=precision,
-                        interpret=backend == "fused-interpret")
+                        interpret=backend == "fused-interpret", **win_kw)
                 else:
                     # curved/general meshes: the full-factor fused kernel
                     # (explicit fused backends only; 'auto' keeps XLA for
                     # the general path until it is measured on hardware)
                     local_dss = pallas_kernels.make_fused_general_laplacian_T(
                         exchange, Gf, Dhat, precision=precision,
-                        interpret=backend == "fused-interpret")
+                        interpret=backend == "fused-interpret", **win_kw)
             except ValueError:
                 if backend != "auto":   # explicit request: surface it
                     raise

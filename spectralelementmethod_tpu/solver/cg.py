@@ -531,6 +531,8 @@ def cg_fused(
     block: int = 64,
     p_dtype=None,
     defer_x: int = 0,
+    A: Callable | None = None,
+    max_restarts: int = 2,
 ) -> CGResult:
     """PCG where each iteration is two fused Pallas kernels.
 
@@ -566,6 +568,20 @@ def cg_fused(
     read+write (2 f32 HBM passes/iter) to an amortized ``(2 + m/2)/m``.
     x is exact at every super-iteration boundary, which is where the
     ladder snapshots state, so no pending term remains at exit.
+
+    ``A`` (optional) is the same masked f32 L-vector operator the plain
+    :func:`cg` path uses.  When given, a ladder block that stalls (rn2
+    shrinking by < 4x over a whole >= 64-iteration block while still
+    above ``stop``) triggers a **true-residual restart**: the driver
+    recomputes ``r = b - A x`` from the accumulated solution and
+    restarts CG on the correction equation (iterative refinement).
+    With bf16-stored directions the *recurrence* residual floors near
+    ``O(eps_bf16)`` relative to the CURRENT right-hand side — restarting
+    re-anchors that floor to the remaining error instead of ``||b||``,
+    so full f32 accuracy stays attainable on hardware (where the bf16x3
+    matmul rounding is real, unlike the f32 interpret mode).  The
+    original ``stop`` threshold carries across restarts; cost is one
+    extra apply + re-init per restart (at most ``max_restarts``).
     """
     ftype = jnp.float32
     tol = jnp.asarray(tol, dtype=ftype)
@@ -589,10 +605,25 @@ def cg_fused(
         RN2, STOP2, RN2MIN = 7, 9, 10
     state = init_k(b, inv, w_free, tol, atol,
                    jnp.asarray(max_iter, dtype=jnp.int32))
+    stop2_v = state[STOP2]          # original target, fixed across restarts
 
-    # same geometric block ladder as cg() (see comment there)
+    def x_of(st):
+        if defer_x:
+            # x caught up at every super-iteration boundary — nothing
+            # pending
+            return st[0]
+        # x lags one direction: apply the pending update (0 when frozen)
+        return st[0] + st[5] * st[2].astype(st[0].dtype)
+
+    # same geometric block ladder as cg() (see comment there), plus the
+    # true-residual restart (see docstring) when A is available
+    block0 = block
     issued = 0
-    best_state, best_rn2 = state, float("inf")
+    iters_done = 0                  # device iterations from finished legs
+    x_off = None                    # accumulated solution of finished legs
+    best = (None, state, float("inf"), 0)   # (x_off, state, rn2, iters)
+    rn2_ckpt = float(state[RN2])
+    restarts = 0
     while issued < max_iter:
         remaining = -(-(max_iter - issued) // 64) * 64
         n = min(block, remaining)
@@ -601,24 +632,44 @@ def cg_fused(
         state = block_k(n, state, inv, w_free)
         issued += n
         rn2_now = float(state[RN2])
-        if rn2_now <= best_rn2:
-            best_state, best_rn2 = state, rn2_now
-        if (bool(state[RN2] <= state[STOP2])
+        if rn2_now <= best[2]:
+            best = (x_off, state, rn2_now, iters_done)
+        if (bool(state[RN2] <= stop2_v)
                 or bool(state[RN2] > 1e6 * state[RN2MIN])
                 or not math.isfinite(rn2_now)):
             break
+        if (A is not None and restarts < max_restarts and n >= 64
+                and rn2_now > 0.25 * rn2_ckpt):
+            # stalled leg: re-residualize from the best state so far and
+            # restart on the correction equation with the original stop
+            restarts += 1
+            bx_off, bstate, _, bits = best
+            x_leg = x_of(bstate)
+            x_acc = x_leg if bx_off is None else bx_off + x_leg
+            r_true = b.astype(jnp.float32) - A(x_acc).astype(jnp.float32)
+            x_off, iters_done = x_acc, bits + int(bstate[5 if defer_x
+                                                         else 6])
+            state = init_k(r_true, inv, w_free,
+                           jnp.asarray(0.0, ftype),
+                           jnp.sqrt(stop2_v),
+                           jnp.asarray(max_iter - issued, jnp.int32))
+            rn2_ckpt = float(state[RN2])
+            if rn2_ckpt <= best[2]:
+                best = (x_off, state, rn2_ckpt, iters_done)
+            block = block0
+            continue
+        rn2_ckpt = rn2_now
         block = min(block * 2, 4096)
 
-    if defer_x:
-        # x caught up at every super-iteration boundary — nothing pending
-        x, r, _P, rz, rz_prev, k_dev, rn2, _, stop2, _ = best_state
-    else:
-        (x, r, p, rz, rz_prev, a_prev, k_dev, rn2, _, stop2,
-         _) = best_state
-        # x lags one direction: apply the pending update (0 when frozen)
-        x = x + a_prev * p.astype(x.dtype)
+    bx_off, bstate, _, bits = best
+    k_dev = bstate[5 if defer_x else 6]
+    rn2 = bstate[RN2]
+    x = x_of(bstate)
+    if bx_off is not None:
+        x = bx_off + x
+        k_dev = k_dev + jnp.asarray(bits, k_dev.dtype)
     rnorm = jnp.sqrt(rn2)
-    return CGResult(x, k_dev, rnorm, rn2 <= stop2)
+    return CGResult(x, k_dev, rnorm, rn2 <= stop2_v)
 
 
 def cg_fused_batched(

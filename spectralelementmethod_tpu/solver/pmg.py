@@ -725,4 +725,5 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
     M._lmax_f = lmax_f
     M._restrict, M._prolong, M._coarse = restrict, prolong, C
     M._A_c = A_c
+    M._S_f = S_f
     return M

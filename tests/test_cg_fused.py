@@ -304,6 +304,102 @@ class TestSolveLocalFused:
         assert abs(int(res_f.iterations) - int(res_p.iterations)) <= 3
 
 
+def _restart_pieces(prob, **kw):
+    """(kA, kB, r, inv, w_free, w, A_free) for cg_fused restart tests."""
+    ex, kA, kB, G, A_xla = _fused_pieces(prob, **kw)
+    free = jnp.asarray(np.ascontiguousarray(
+        (~prob._dirichlet_mask)[ex.gather_hier].T))
+    diagL = jnp.asarray(np.ascontiguousarray(
+        np.asarray(prob.operator_diagonal())[ex.gather_hier]
+        .astype(np.float32).T))
+    inv = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0)
+    w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+    w_free = jnp.where(free, w, 0.0)
+    b = np.asarray(prob._b) + prob._neumann
+    u_d = np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0)
+    bL = jnp.asarray(np.ascontiguousarray(
+        b[ex.gather_hier].astype(np.float32).T))
+    u_dL = jnp.asarray(np.ascontiguousarray(
+        u_d[ex.gather_hier].astype(np.float32).T))
+    A_free = sumfac.make_local_laplacian_operator(
+        ex, prob._G_host.reshape(prob.disc.E, 3, -1).astype(np.float32),
+        sumfac.make_stacked_derivative(np.asarray(prob._D0),
+                                       np.asarray(prob._D1)),
+        free, vector_layout="ne", backend="xla")
+    r = jnp.where(free, bL - A_xla(u_dL), 0.0)
+    return kA, kB, r, inv, w_free, w, A_free
+
+
+class TestTrueResidualRestart:
+    def test_healthy_solve_never_restarts(self):
+        """A reachable tol converges without ever invoking A (no spurious
+        restarts on the normal path), with the identical result."""
+        prob = _setup()
+        kA, kB, r, inv, w_free, _w, A_free = _restart_pieces(prob)
+        calls = []
+
+        def A_counting(v):
+            calls.append(1)
+            return A_free(v)
+
+        res = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=1e-6,
+                       max_iter=400, A=A_counting)
+        res0 = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=1e-6,
+                        max_iter=400)
+        assert bool(res.converged)
+        assert not calls
+        np.testing.assert_array_equal(np.asarray(res.x),
+                                      np.asarray(res0.x))
+
+    def test_forced_restart_keeps_solution_exact(self):
+        """An unreachable tol stalls at the f32 floor and triggers the
+        true-residual restart; the accumulated x must stay as accurate as
+        the restart-free run (accounting across legs is lossless)."""
+        prob = _setup()
+        kA, kB, r, inv, w_free, w, A_free = _restart_pieces(prob)
+        calls = []
+
+        def A_counting(v):
+            calls.append(1)
+            return A_free(v)
+
+        res_A = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=1e-12,
+                         max_iter=640, A=A_counting)
+        res_0 = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=1e-12,
+                         max_iter=640)
+        assert 1 <= len(calls) <= 2           # stalled -> restarted
+        assert not bool(res_A.converged)      # 1e-12 is below the floor
+
+        def true_rn(x):
+            rt = r - A_free(x)
+            return float(jnp.sqrt(jnp.sum(w_free * rt * rt)))
+
+        # the restarted run's true residual is at least as good as (or
+        # within noise of) the plain stalled run, and both are at the
+        # f32 floor far below the initial residual
+        rn_A, rn_0 = true_rn(res_A.x), true_rn(res_0.x)
+        rn_b = float(jnp.sqrt(jnp.sum(w_free * r * r)))
+        assert rn_A < 1e-5 * rn_b
+        assert rn_A <= 3 * rn_0 + 1e-12
+        assert int(res_A.iterations) <= 640
+
+    def test_restart_reaches_below_bf16_recurrence_floor(self):
+        """bf16-stored directions floor the recurrence well above the f32
+        floor; the restart re-anchors and converges a tol the single leg
+        cannot reach (the round-1 deferred-x on-device failure mode)."""
+        prob = _setup(32, 16, 4)
+        kA, kB, r, inv, w_free, w, A_free = _restart_pieces(
+            prob, precision="high", p_dtype=jnp.bfloat16)
+        res_0 = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=2e-7,
+                         max_iter=2000, p_dtype=jnp.bfloat16)
+        res_A = cg_fused(kA, kB, r, inv=inv, w_free=w_free, tol=2e-7,
+                         max_iter=2000, p_dtype=jnp.bfloat16, A=A_free)
+        # the restarted run must reach the target the plain run can only
+        # reach by luck; it must never be worse
+        assert bool(res_A.converged)
+        assert float(res_A.residual_norm) <= float(res_0.residual_norm)
+
+
 def test_panel_order_cg_solves():
     """Fused CG on a panel-ordered mesh: cross-panel classes ride the far
     path (kernel-B add), solution matches the plain path."""
