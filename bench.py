@@ -120,6 +120,7 @@ def main_3d(args, dtype):
     # raw apply on L-vectors (the solve path reuses this via solve_local)
     from spectralelementmethod_tpu.ops import sumfac
     from spectralelementmethod_tpu.ops.exchange import make_exchange
+    from spectralelementmethod_tpu.utils import timing
     from spectralelementmethod_tpu.utils.hoist import hoist_closure
 
     ex = make_exchange(disc)
@@ -141,35 +142,17 @@ def main_3d(args, dtype):
     A_pure, A_consts = hoist_closure(one_apply, vec0)
     A_consts = tuple(A_consts)
 
-    @jax.jit
-    def apply_chain(u, n_reps, A_c):
-        def body(i, x):
-            y = A_pure(x, *A_c)
-            return y * jax.lax.rsqrt(
-                jnp.sum(y * y).astype(y.dtype) + 1e-30)
+    def _norm_step3(x, A_c):
+        y = A_pure(x, *A_c)
+        return y * jax.lax.rsqrt(jnp.sum(y * y).astype(y.dtype) + 1e-30)
 
-        return jax.lax.fori_loop(0, n_reps, body, u)
-
-    def time_chain(n_reps, tries=3):
-        best = float("inf")
-        for _ in range(tries):
-            t0 = time.perf_counter()
-            apply_chain(vec0, n_reps, A_consts).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    reps = args.reps
-    _progress("3D apply_chain warmup")
-    apply_chain(vec0, reps, A_consts).block_until_ready()
-    _progress("3D apply timing")
-    t_n, t_2n = time_chain(reps), time_chain(2 * reps)
-    timing_reliable = True
-    while t_2n - t_n < 0.05 * t_n and reps < 4096:
-        reps *= 4
-        t_n, t_2n = time_chain(reps), time_chain(2 * reps)
-    if t_2n - t_n < 0.05 * t_n:
-        timing_reliable = False
-    t_apply = max(t_2n - t_n, 1e-9) / reps
+    _progress("3D apply timing (salted chain, scalar-pull sync)")
+    ts = timing.time_step(_norm_step3, vec0, reps=args.reps,
+                          consts=(A_consts,))
+    timing_reliable = ts["reliable"]
+    t_apply = ts["t_apply"] if ts["t_apply"] == ts["t_apply"] else 1e-9
+    reps, t_n, t_2n = ts["reps"], ts["t_n"], ts["t_2n"]
+    _progress(f"3D timing: reps={reps} t_n={t_n:.4f}s t_2n={t_2n:.4f}s")
 
     # sum-factorized 3D apply FLOPs: 6 (p1, p1) matmuls over p1^2 lines
     # per element (3 fwd + 3 adjoint) + ~15 pointwise per node
@@ -177,6 +160,12 @@ def main_3d(args, dtype):
     gflops = flops / t_apply / 1e9
     bytes_per_apply = E * p1**3 * np.dtype(dtype).itemsize * (1 + 6 + 1)
     gbps = bytes_per_apply / t_apply / 1e9
+    if gbps > 2000:
+        # faster than ~2.4x HBM peak is physically impossible — the
+        # dispatch differencing collapsed (e.g. the runtime stopped
+        # blocking properly); don't publish nonsense throughput
+        timing_reliable = False
+        gflops, gbps, t_apply = 0.0, 0.0, float("nan")
 
     _progress("3D CG solve")
     cg_tol = 1e-5 if dtype == np.float32 else 1e-10
@@ -500,49 +489,33 @@ def main():
     else:
         apply_timed, vec_timed = one_apply, vec0
 
+    from spectralelementmethod_tpu.utils import timing
     from spectralelementmethod_tpu.utils.hoist import hoist_closure
     A_pure, A_consts = hoist_closure(apply_timed, vec_timed)
     d_pure, d_consts = hoist_closure(_dot, vec_timed, vec_timed)
 
-    @jax.jit
-    def apply_chain(u, n_reps, A_c, d_c):
-        def body(i, x):
-            y = A_pure(x, *A_c)
-            return y * jax.lax.rsqrt(
-                d_pure(y, y, *d_c).real.astype(y.dtype) + 1e-30)
-
-        return jax.lax.fori_loop(0, n_reps, body, u)
-
     A_consts = tuple(A_consts)
     d_consts = tuple(d_consts)
+
     # Difference two rep counts: one dispatch carries a fixed host/link
     # latency (tens of ms through a TPU tunnel) that would otherwise be
     # billed to the kernel; (t_2N - t_N)/N is pure device throughput.
-    def time_chain(n_reps, tries=3):
-        best = float("inf")
-        for _ in range(tries):
-            t0 = time.perf_counter()
-            apply_chain(vec_timed, n_reps, A_consts, d_consts).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # timing.time_step salts each call (defeats remote dispatch dedup)
+    # and synchronizes via a scalar host pull (block_until_ready was
+    # measured returning BEFORE completion on the tunneled backend).
+    def _norm_step(x, A_c, d_c):
+        y = A_pure(x, *A_c)
+        return y * jax.lax.rsqrt(
+            d_pure(y, y, *d_c).real.astype(y.dtype) + 1e-30)
 
-    _progress("apply_chain warmup (compile)")
-    apply_chain(vec_timed, reps, A_consts, d_consts).block_until_ready()
-    _progress("apply_chain timing")
-    t_n = time_chain(reps)
-    t_2n = time_chain(2 * reps)
-    # if the differenced time is within timing noise of zero (a few % of
-    # t_n), the GFLOP/s would be absurdly inflated — grow reps until the
-    # device time dominates the noise floor
-    timing_reliable = True
-    while t_2n - t_n < 0.05 * t_n and reps < 4096:
-        reps *= 4
-        t_n = time_chain(reps)
-        t_2n = time_chain(2 * reps)
-    if t_2n - t_n < 0.05 * t_n:
-        timing_reliable = False
-    t_apply = max(t_2n - t_n, 1e-9) / reps
+    _progress("apply_chain warmup (compile) + timing")
+    ts = timing.time_step(_norm_step, vec_timed, reps=reps,
+                          consts=(A_consts, d_consts))
+    timing_reliable = ts["reliable"]
+    t_apply = ts["t_apply"] if ts["t_apply"] == ts["t_apply"] else 1e-9
+    reps, t_n, t_2n = ts["reps"], ts["t_n"], ts["t_2n"]
     t_dispatch = max(2 * t_n - t_2n, 0.0)
+    _progress(f"apply timing: reps={reps} t_n={t_n:.4f}s t_2n={t_2n:.4f}s")
 
     flops = sumfac.element_apply_flops(E, p1, p1) * args.nrhs
     gflops = flops / t_apply / 1e9
@@ -566,32 +539,17 @@ def main():
                 Ah_pure, Ah_consts = hoist_closure(A_high, vec_timed)
                 Ah_consts = tuple(Ah_consts)
 
-                @jax.jit
-                def apply_chain_h(u, n_reps, A_c, d_c, _Ah=Ah_pure):
-                    def body(i, x):
-                        y = _Ah(x, *A_c)
-                        return y * jax.lax.rsqrt(
-                            d_pure(y, y, *d_c).real.astype(y.dtype)
-                            + 1e-30)
-
-                    return jax.lax.fori_loop(0, n_reps, body, u)
-
-                def time_h(n_reps, tries=3, _chain=apply_chain_h,
-                           _Ah_c=Ah_consts):
-                    best = float("inf")
-                    for _ in range(tries):
-                        t0 = time.perf_counter()
-                        _chain(vec_timed, n_reps, _Ah_c,
-                               d_consts).block_until_ready()
-                        best = min(best, time.perf_counter() - t0)
-                    return best
+                def _norm_step_h(x, A_c, d_c, _Ah=Ah_pure):
+                    y = _Ah(x, *A_c)
+                    return y * jax.lax.rsqrt(
+                        d_pure(y, y, *d_c).real.astype(y.dtype) + 1e-30)
 
                 _progress(f"high-precision apply timing (win={twin})")
-                apply_chain_h(vec_timed, reps, Ah_consts,
-                              d_consts).block_until_ready()
-                th_n, th_2n = time_h(reps), time_h(2 * reps)
-                if th_2n - th_n > 0.05 * th_n:
-                    t_apply_high = (th_2n - th_n) / reps
+                tsh = timing.time_step(_norm_step_h, vec_timed,
+                                       reps=reps,
+                                       consts=(Ah_consts, d_consts))
+                if tsh["reliable"]:
+                    t_apply_high = tsh["t_apply"]
                 break
             except Exception as e:           # noqa: BLE001
                 _progress(f"high-precision arm (win={twin}) failed: {e}")
@@ -604,6 +562,10 @@ def main():
         passes = 1 + 3 + 1
     bytes_per_apply = E * p1 * p1 * np.dtype(dtype).itemsize * passes
     gbps = bytes_per_apply / t_apply / 1e9
+    if gbps > 2000:
+        # faster than ~2.4x HBM peak is physically impossible — the
+        # dispatch differencing collapsed; don't publish nonsense
+        timing_reliable = False
 
     # reference-style numpy baseline on a subsample
     _progress("numpy baseline")
@@ -631,9 +593,17 @@ def main():
                                block=cg_iters, p_dtype=p_dt_f,
                                defer_x=args.defer_x)
     else:
+        # jacobi runs its full known budget in one dispatch; strong
+        # preconditioners (fdm/pmg) converge in O(10-100) iterations, so
+        # a block=cg_iters dispatch would execute hundreds of frozen
+        # (post-convergence) V-cycles — the geometric ladder bounds the
+        # overshoot and CGResult.issued keeps the per-iteration math
+        # honest
+        cg_block = cg_iters if args.precond == "jacobi" else 64
+
         def run_cg():
             return cg(A_cg, r_cg, M=M, tol=cg_tol, max_iter=cg_iters,
-                      dot=dot, dot_weight=dw, block=cg_iters)
+                      dot=dot, dot_weight=dw, block=cg_block)
 
     _progress("cg warmup (compile)")
     res = run_cg()
@@ -715,9 +685,11 @@ def main():
             "effective_GB_s": round(gbps, 1),
             "cg_wallclock_s": round(t_cg, 3),
             "cg_ms_per_iter": round(
-                t_cg * 1e3 / max(int(res.iterations), 1), 3),
+                t_cg * 1e3 / max(int(res.issued) or int(res.iterations),
+                                 1), 3),
             "cg_mode": args.cg_mode,
             "cg_iters": int(res.iterations),
+            "cg_issued": int(res.issued),
             "cg_resnorm": float(res.residual_norm),
             "elements": E,
             "order": args.order,

@@ -48,29 +48,16 @@ def _time_chain(fn, x0, iters=50):
     tunnel dispatch latency; dividing by N leaves ~28/N ms of fake
     per-iteration cost (the first run of this probe did exactly that and
     read 1.25 ms for a 0.29 ms apply).  Time chains of N and 2N
-    iterations and difference them instead.
+    iterations and difference them instead.  Delegates to
+    ``utils.timing.time_step`` (salted inputs + scalar-pull sync:
+    ``block_until_ready`` was measured returning before completion on
+    the tunneled backend, and identical dispatches can be deduped).
     """
-    import jax
+    from spectralelementmethod_tpu.utils import timing
 
-    def make(n):
-        @jax.jit
-        def chain(x):
-            return jax.lax.fori_loop(0, n, lambda i, v: fn(v), x)
-        return chain
-
-    chain_n, chain_2n = make(iters), make(2 * iters)
-
-    def best_of(chain, reps=3):
-        jax.block_until_ready(chain(x0))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(chain(x0))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_n, t_2n = best_of(chain_n), best_of(chain_2n)
-    return max(t_2n - t_n, 1e-9) / iters
+    ts = timing.time_step(lambda v: fn(v), x0, reps=iters)
+    t = ts["t_apply"]
+    return t if t == t and t > 0 else 1e-9
 
 
 def stage_x64():

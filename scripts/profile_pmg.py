@@ -25,24 +25,14 @@ import numpy as np  # noqa: E402
 
 
 def timed(label, fn, x, reps=20):
-    """Dispatch-differenced chained-call timing of y = fn(y)."""
+    """Dispatch-differenced chained-call timing of y = fn(y) (salted
+    inputs + scalar-pull sync via utils.timing — see that module)."""
+    from spectralelementmethod_tpu.utils import timing
 
-    @jax.jit
-    def chain(x, n):
-        def body(i, y):
-            return fn(y)
-        return jax.lax.fori_loop(0, n, body, x)
-
-    r1 = chain(x, reps)
-    r1.block_until_ready()               # compile
-    t0 = time.perf_counter()
-    chain(x, reps).block_until_ready()
-    t_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    chain(x, 2 * reps).block_until_ready()
-    t_2n = time.perf_counter() - t0
-    ms = (t_2n - t_n) * 1e3 / reps
-    print(f"  {label:28s} {ms:9.3f} ms   dtype={r1.dtype}", flush=True)
+    ts = timing.time_step(lambda v: fn(v), x, reps=reps)
+    ms = ts["t_apply"] * 1e3
+    flag = "" if ts["reliable"] else "   [UNRELIABLE]"
+    print(f"  {label:28s} {ms:9.3f} ms{flag}", flush=True)
     return ms
 
 

@@ -865,19 +865,29 @@ def make_exchange(disc, threshold: float = 0.25,
         deltas = ([abs(c[2]) for c in ex.edge_classes]
                   + [abs(c[2]) for c in ex.vert_classes])
         H = max(deltas) if deltas else 1
-        # the fused kernels far-split classes with |delta| > 128 lanes
-        # out of the VMEM window (_AffineFusedPrep._pick_max_halo), so
-        # an admissible tiling at the 128-lane near halo is enough —
-        # only re-pad when even that fails, and with the SAME effective
-        # min_class_fraction that produced this exchange (panel-ordered
-        # meshes need the 0.0 retry's zero tails; rebuilding with the
-        # default threshold would silently reintroduce tails and lock
-        # out the fused kernels)
-        if (fused_affine_tile_shape(ex.E, H) is None
-                and fused_affine_tile_shape(ex.E, min(H, 128)) is None):
-            ex3 = RollExchange(disc,
-                               pad_to=fused_affine_pad(ex.E, min(H, 128)),
-                               layout=layout,
+        Hb_full = -(-H // 128) * 128
+        new_pad = None
+        if (3 * Hb_full <= 6912
+                and fused_affine_tile_shape(ex.E, H) is None):
+            # FULL-halo tiling inadmissible.  The plain affine kernel
+            # could fall back to the far-class split, but the general/
+            # batched/fused-CG kernels cannot (no far split), and the
+            # full-halo window is the measured-fastest plain apply —
+            # pad to a multiple of 12*Hb: divisible by tile sizes near
+            # every window target (affine 4608-lane and the smaller
+            # n_rhs-dependent general windows), costing <= ~1.3% extra
+            # elements.  Rebuild with the SAME effective
+            # min_class_fraction that produced this exchange
+            # (panel-ordered meshes need the 0.0 retry's zero tails).
+            step = 12 * Hb_full
+            new_pad = -(-ex.E // step) * step
+        elif (fused_affine_tile_shape(ex.E, H) is None
+              and fused_affine_tile_shape(ex.E, min(H, 128)) is None):
+            # halo too wide for any full window (H > 2176): near-halo
+            # admissibility (far split) is the only fused option
+            new_pad = fused_affine_pad(ex.E, min(H, 128))
+        if new_pad is not None:
+            ex3 = RollExchange(disc, pad_to=new_pad, layout=layout,
                                min_class_fraction=used_mcf)
             if not (ex3.n_edge_tail or ex3.n_vert_tail):
                 ex = ex3

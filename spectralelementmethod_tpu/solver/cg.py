@@ -59,6 +59,10 @@ class CGResult(NamedTuple):
     iterations: jax.Array
     residual_norm: jax.Array
     converged: jax.Array
+    #: device iterations actually EXECUTED (ladder blocks issued),
+    #: including post-convergence frozen ones — the honest denominator
+    #: for wall-clock-per-iteration accounting.  0 = not tracked.
+    issued: int = 0
 
 
 def cg_host(
@@ -209,7 +213,7 @@ def cg(
     # the plateau iterate without tracking x_best per iteration)
     x, r, z, p, rz, rn2, k_dev, stop2, _, _rn2_min = best_state
     rnorm = jnp.sqrt(rn2)
-    return CGResult(x, k_dev, rnorm, rn2 <= stop2)
+    return CGResult(x, k_dev, rnorm, rn2 <= stop2, issued)
 
 
 @lru_cache(maxsize=64)
@@ -404,7 +408,7 @@ def cg_batched(
 
     x, r, z, p, rz, rn2, k_dev, stop2, _, _rn2_min = best_state
     rnorm = jnp.sqrt(rn2)
-    return CGResult(x, k_dev, rnorm, rn2 <= stop2)
+    return CGResult(x, k_dev, rnorm, rn2 <= stop2, issued)
 
 
 @jax.jit
@@ -669,7 +673,7 @@ def cg_fused(
         x = bx_off + x
         k_dev = k_dev + jnp.asarray(bits, k_dev.dtype)
     rnorm = jnp.sqrt(rn2)
-    return CGResult(x, k_dev, rnorm, rn2 <= stop2_v)
+    return CGResult(x, k_dev, rnorm, rn2 <= stop2_v, issued)
 
 
 def cg_fused_batched(
@@ -750,7 +754,7 @@ def cg_fused_batched(
          + a_prev[:, None, None]
          * p.reshape(k, n_loc, -1).astype(x.dtype))
     rnorm = jnp.sqrt(rn2)
-    return CGResult(x, k_dev, rnorm, rn2 <= stop2)
+    return CGResult(x, k_dev, rnorm, rn2 <= stop2, issued)
 
 
 def _select_best_fused(improved, new, old, n_loc):

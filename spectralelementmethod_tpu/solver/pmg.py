@@ -88,21 +88,29 @@ def estimate_lmax(A, B, shape, dtype=np.float32, iters: int = 30,
     spectral radius; ``safety`` pads the estimate (Chebyshev bounds must
     cover the top eigenvalue).
     """
+    from ..utils.hoist import hoist_closure
+
     rng = np.random.RandomState(0)
     v0 = jnp.asarray(rng.standard_normal(shape).astype(dtype))
 
+    # hoist the operator closures' captured arrays into runtime jit
+    # arguments: baked as inline HLO literals they blow the compile
+    # payload past remote-compile transport limits at 1M elements
+    BA_pure, BA_c = hoist_closure(lambda v: B(A(v)), v0)
+    BA_c = tuple(BA_c)
+
     @jax.jit
-    def run(v):
+    def run(v, consts):
         def body(i, carry):
             v, _ = carry
-            w = B(A(v)).astype(v.dtype)
+            w = BA_pure(v, *consts).astype(v.dtype)
             nrm = jnp.sqrt(jnp.sum(w * w)).astype(v.dtype)
             return w / nrm, nrm
 
         return jax.lax.fori_loop(0, iters, body,
                                  (v, jnp.asarray(1.0, v.dtype)))
 
-    _, lam = run(v0)
+    _, lam = run(v0, BA_c)
     return float(lam) * safety
 
 
