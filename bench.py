@@ -125,14 +125,45 @@ def main_3d(args, dtype):
 
     ex = make_exchange(disc)
     shape = tuple(disc.shape)
-    G_d = jnp.asarray(prob._G_host.reshape((E, 6) + shape), dtype=dtype)
     D_d = [jnp.asarray(disc.basis.subbases[d].D1, dtype=dtype)
            for d in range(3)]
+    W3 = jnp.asarray(disc.basis.weight_grid(), dtype=dtype)
+    a_np, affine = sumfac.affine_factorization(
+        prob._G_host.reshape(E, 6, -1), np.asarray(W3).reshape(-1))
+    no_cross = affine and bool(
+        np.abs(a_np[:, [1, 2, 4]]).max()
+        <= 1e-12 * (np.abs(a_np).max() + 1e-300))
+    if no_cross:
+        # axis-aligned affine: separable diagonal-mass tensor form — 3
+        # assembled-1D-stiffness matmuls, no grad/flux intermediates
+        a_d = jnp.asarray(a_np, dtype=dtype)
+        ws = [np.asarray(disc.basis.subbases[d].quad_wts)
+              for d in range(3)]
+        Ks = [jnp.asarray(sumfac.assembled_1d_stiffness(
+            np.asarray(D_d[d]), ws[d]), dtype=dtype) for d in range(3)]
+        wds = [jnp.asarray(w, dtype=dtype) for w in ws]
 
-    def one_apply(uL):
-        ue = uL.reshape((ex.E,) + shape)
-        ve = sumfac.laplacian_apply_local_3d(ue, G_d, *D_d)
-        return ex.dss(ve.reshape(ex.E, ex.n_loc))
+        def one_apply(uL):
+            ue = uL.reshape((ex.E,) + shape)
+            ve = sumfac.laplacian_apply_local_3d_separable(
+                ue, a_d, *Ks, *wds)
+            return ex.dss(ve.reshape(ex.E, ex.n_loc))
+    elif affine:
+        a_d = jnp.asarray(a_np, dtype=dtype)
+
+        def one_apply(uL):
+            ue = uL.reshape((ex.E,) + shape)
+            ve = sumfac.laplacian_apply_local_3d_affine(
+                ue, a_d, W3, *D_d)
+            return ex.dss(ve.reshape(ex.E, ex.n_loc))
+    else:
+        G_d = jnp.asarray(prob._G_host.reshape((E, 6) + shape),
+                          dtype=dtype)
+
+        def one_apply(uL):
+            ue = uL.reshape((ex.E,) + shape)
+            ve = sumfac.laplacian_apply_local_3d(ue, G_d, *D_d)
+            return ex.dss(ve.reshape(ex.E, ex.n_loc))
 
     rng = np.random.RandomState(1)
     vec0 = jnp.asarray(
@@ -158,7 +189,8 @@ def main_3d(args, dtype):
     # per element (3 fwd + 3 adjoint) + ~15 pointwise per node
     flops = E * (12 * p1**4 + 15 * p1**3)
     gflops = flops / t_apply / 1e9
-    bytes_per_apply = E * p1**3 * np.dtype(dtype).itemsize * (1 + 6 + 1)
+    passes3 = 2 if affine else (1 + 6 + 1)
+    bytes_per_apply = E * p1**3 * np.dtype(dtype).itemsize * passes3
     gbps = bytes_per_apply / t_apply / 1e9
     if gbps > 2000:
         # faster than ~2.4x HBM peak is physically impossible — the
@@ -191,6 +223,8 @@ def main_3d(args, dtype):
             "dtype": str(np.dtype(dtype)),
             "n_nodes": n_nodes,
             "ndim": 3,
+            "structure": ("separable" if no_cross
+                          else "affine" if affine else "general"),
             "device": str(jax.devices()[0]),
             "exchange": type(ex).__name__,
             "setup_s": round(t_setup, 2),

@@ -137,31 +137,20 @@ def _time_apply(label, A, uT, reps=20):
     import jax
     import jax.numpy as jnp
 
+    from spectralelementmethod_tpu.utils import timing
     from spectralelementmethod_tpu.utils.hoist import hoist_closure
 
     A_pure, A_c = hoist_closure(A, uT)
     A_c = tuple(A_c)
 
-    @jax.jit
-    def chain(u, n, c):
-        def body(i, x):
-            y = A_pure(x, *c)
-            return y * jax.lax.rsqrt(jnp.vdot(y, y).real + 1e-30)
-        return jax.lax.fori_loop(0, n, body, u)
+    def step(x, c):
+        y = A_pure(x, *c)
+        return y * jax.lax.rsqrt(jnp.vdot(y, y).real + 1e-30)
 
-    chain(uT, 10, A_c).block_until_ready()
-
-    def run(n):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            chain(uT, n, A_c).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return best
-    t_n, t_2n = run(reps), run(2 * reps)
-    ms = (t_2n - t_n) / reps * 1e3
+    ts = timing.time_step(step, uT, reps=reps, consts=(A_c,))
     print(json.dumps({"metric": f"apply_ms[{label}]",
-                      "value": round(ms, 3)}), flush=True)
+                      "value": round(ts["t_apply"] * 1e3, 3),
+                      "reliable": ts["reliable"]}), flush=True)
 
 
 def stage_100k():

@@ -809,6 +809,29 @@ class BoxRollExchange3D(PairScatterExchange):
             u = u.at[idx + (self.shape[a] - 1,)].add(recv_hi)
         return u.reshape(v.shape)
 
+    def dss_T(self, vT):
+        """Plane-roll DSS on an (n_loc, E) TRANSPOSED L-vector.
+
+        Same six plane exchanges as :meth:`dss` but with elements in the
+        trailing (lane) axis: every slice and roll then runs on fully
+        occupied 128-lane rows instead of the (E, p1, p1, p1) layout's
+        p1-wide trailing dim (p1/128 lane occupancy) — the 3D analogue
+        of the 2D ``RollExchange.dss_T`` transposed fast path.
+        """
+        v = jnp.asarray(vT)
+        u = v.reshape(self.shape + (self.E,))
+        for a in range(3):
+            d = self.deltas[a]
+            ml, mh = self._mask_lo[a], self._mask_hi[a]       # (E,)
+            idx = (slice(None),) * a
+            lo = u[idx + (0,)]
+            hi = u[idx + (self.shape[a] - 1,)]
+            recv_lo = jnp.where(ml, jnp.roll(hi, d, axis=-1), 0.0)
+            recv_hi = jnp.where(mh, jnp.roll(lo, -d, axis=-1), 0.0)
+            u = u.at[idx + (0,)].add(recv_lo)
+            u = u.at[idx + (self.shape[a] - 1,)].add(recv_hi)
+        return u.reshape(v.shape)
+
 
 def make_exchange(disc, threshold: float = 0.25,
                   pad_to: int | None = None,

@@ -128,6 +128,127 @@ def laplacian_apply_local_3d(ue, G, D0, D1, D2):
     return grad_transpose_3d(f0, f1, f2, D0, D1, D2)
 
 
+def grad_3d_T(uT, D0, D1, D2):
+    """Parametric gradient in the TRANSPOSED (p0, p1, p2, E) layout.
+
+    Elements ride the trailing (lane) axis, so every contraction and
+    elementwise op runs on full 128-lane rows — the 3D analogue of the
+    2D (n, E) fast path (the (E, p0, p1, p2) layout leaves the p2-wide
+    trailing dim at p2/128 lane occupancy).
+    """
+    u0 = jnp.einsum("ma,abce->mbce", D0, uT, precision="highest")
+    u1 = jnp.einsum("nb,abce->ance", D1, uT, precision="highest")
+    u2 = jnp.einsum("kc,abce->abke", D2, uT, precision="highest")
+    return u0, u1, u2
+
+
+def grad_transpose_3d_T(f0, f1, f2, D0, D1, D2):
+    """Adjoint of :func:`grad_3d_T`."""
+    v = jnp.einsum("mp,mqre->pqre", D0, f0, precision="highest")
+    v += jnp.einsum("nq,pnre->pqre", D1, f1, precision="highest")
+    v += jnp.einsum("kr,pqke->pqre", D2, f2, precision="highest")
+    return v
+
+
+def laplacian_apply_local_3d_affine_T(uT, aT, W3, D0, D1, D2):
+    """Affine local 3D weak Laplacian, transposed (n_loc, E) storage.
+
+    ``uT``: (n_loc, E) lex-ordered; ``aT``: (6, E) per-element factor
+    scales (:func:`affine_factorization` transposed); ``W3``: (p0, p1,
+    p2) weight grid.  Returns (n_loc, E).
+    """
+    shape = W3.shape
+    n_loc = uT.shape[0]
+    u = uT.reshape(shape + (-1,))
+    u0, u1, u2 = grad_3d_T(u, D0, D1, D2)
+    s = aT.astype(uT.dtype)
+    w = W3.astype(uT.dtype)[..., None]
+    f0 = w * (s[0] * u0 + s[1] * u1 + s[2] * u2)
+    f1 = w * (s[1] * u0 + s[3] * u1 + s[4] * u2)
+    f2 = w * (s[2] * u0 + s[4] * u1 + s[5] * u2)
+    v = grad_transpose_3d_T(f0, f1, f2, D0, D1, D2)
+    return v.reshape(n_loc, -1)
+
+
+def laplacian_apply_local_3d_T(uT, G_T, D0, D1, D2):
+    """General local 3D weak Laplacian, transposed (n_loc, E) storage.
+
+    ``G_T``: (6,) + shape + (E,) packed upper-triangle factors
+    (``laplacian_factors`` transposed to elements-last).
+    """
+    shape = G_T.shape[1:4]
+    n_loc = uT.shape[0]
+    u = uT.reshape(shape + (-1,))
+    u0, u1, u2 = grad_3d_T(u, D0, D1, D2)
+    f0 = G_T[0] * u0 + G_T[1] * u1 + G_T[2] * u2
+    f1 = G_T[1] * u0 + G_T[3] * u1 + G_T[4] * u2
+    f2 = G_T[2] * u0 + G_T[4] * u1 + G_T[5] * u2
+    v = grad_transpose_3d_T(f0, f1, f2, D0, D1, D2)
+    return v.reshape(n_loc, -1)
+
+
+def assembled_1d_stiffness(D, w):
+    """1D assembled GLL stiffness ``K = D^T diag(w) D`` (float64)."""
+    import numpy as np
+
+    D = np.asarray(D, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64).reshape(-1)
+    return D.T @ (w[:, None] * D)
+
+
+def laplacian_apply_local_3d_separable(ue, a, K0, K1, K2, w0, w1, w2):
+    """Separable affine local 3D weak Laplacian (diagonal-mass tensor
+    form).
+
+    For affine cells with ZERO cross factors (axis-aligned boxes:
+    ``a1 = a2 = a4 = 0``) and the GLL-collocated quadrature (diagonal
+    mass), the weak Laplacian factorizes exactly:
+
+        A_e = a0 K0 (x) W1 (x) W2 + a3 W0 (x) K1 (x) W2
+            + a5 W0 (x) W1 (x) K2
+
+    with 1D assembled stiffness matrices ``Kd = Dd^T diag(wd) Dd`` and
+    diagonal 1D masses ``Wd = diag(wd)``.  Three (p1, p1) matmuls and an
+    elementwise combine replace the 6-matmul grad -> flux -> grad^T
+    pipeline — half the FLOPs and none of the six (E, *shape) flux/grad
+    intermediates (the 3D apply is fusion/HBM-bound, measured 4.4 ms vs
+    a ~1 ms traffic floor at p=8/19683 el).
+
+    ``a``: (E, 6) packed scales (only 0, 3, 5 used — caller must verify
+    the cross terms vanish); ``wd``: 1D weights.
+    """
+    w12 = (w1[:, None] * w2[None, :]).astype(ue.dtype)
+    w02 = (w0[:, None] * w2[None, :]).astype(ue.dtype)
+    w01 = (w0[:, None] * w1[None, :]).astype(ue.dtype)
+    t0 = jnp.einsum("mp,epqr->emqr", K0, ue,
+                    precision="highest") * w12[None, None]
+    t1 = jnp.einsum("nq,epqr->epnr", K1, ue,
+                    precision="highest") * w02[None, :, None]
+    t2 = jnp.einsum("kr,epqr->epqk", K2, ue,
+                    precision="highest") * w01[None, :, :, None]
+    s = a.reshape(a.shape[:2] + (1, 1, 1)).astype(ue.dtype)
+    return s[:, 0] * t0 + s[:, 3] * t1 + s[:, 5] * t2
+
+
+def laplacian_apply_local_3d_affine(ue, a, W3, D0, D1, D2):
+    """Affine-mesh local 3D weak Laplacian.
+
+    For affine hexes every factor field is the quadrature weight grid
+    scaled per element (``G_i(e) = a_i(e) * W3``,
+    :func:`affine_factorization` with 6 packed components), so the apply
+    never streams the six (E, *shape) factor slabs from HBM — at p=8
+    they are 6 of the ~8 HBM passes of the general 3D apply.  ``a``:
+    (E, 6) scales; ``W3``: (p0, p1, p2) weight grid.
+    """
+    u0, u1, u2 = grad_3d(ue, D0, D1, D2)
+    s = a.reshape(a.shape[:2] + (1, 1, 1)).astype(ue.dtype)
+    w = W3.astype(ue.dtype)
+    f0 = w * (s[:, 0] * u0 + s[:, 1] * u1 + s[:, 2] * u2)
+    f1 = w * (s[:, 1] * u0 + s[:, 3] * u1 + s[:, 4] * u2)
+    f2 = w * (s[:, 2] * u0 + s[:, 4] * u1 + s[:, 5] * u2)
+    return grad_transpose_3d(f0, f1, f2, D0, D1, D2)
+
+
 def laplacian_apply_3d(u, gather_nodes, G, D0, D1, D2, n_nodes):
     """Global matrix-free 3D weak Laplacian."""
     ue = u[gather_nodes].reshape((-1,) + G.shape[-3:])
