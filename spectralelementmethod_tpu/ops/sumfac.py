@@ -630,8 +630,7 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
         from . import pallas_kernels
 
         fused_ok = (
-            affine_a is not None
-            and compute_dtype is None
+            compute_dtype is None
             and precision in ("highest", "high", "default")
             and dt == jnp.float32
             and exchange.layout == "edges-first"
@@ -664,11 +663,20 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
                         interpret=backend == "fused-interpret", **win_kw)
                 else:
                     # curved/general meshes: the full-factor fused kernel
-                    # (explicit fused backends only; 'auto' keeps XLA for
-                    # the general path until it is measured on hardware)
+                    # — measured 0.453 vs 0.712 ms XLA (1.57x) at
+                    # p=8/100k f32 `highest` on v5e.  Full halo only (no
+                    # far split): on 'auto', fall back to XLA when the
+                    # achievable window is degenerate (halo redundancy
+                    # 2*Hb/TE > 0.75, the empirical loss regime)
                     local_dss = pallas_kernels.make_fused_general_laplacian_T(
                         exchange, Gf, Dhat, precision=precision,
                         interpret=backend == "fused-interpret", **win_kw)
+                    prep_g = local_dss._prep
+                    if (backend == "auto"
+                            and 2 * prep_g.Hb / prep_g.TE > 0.75):
+                        raise ValueError(
+                            f"degenerate general-fused window "
+                            f"(TE={prep_g.TE}, Hb={prep_g.Hb})")
             except ValueError:
                 if backend != "auto":   # explicit request: surface it
                     raise
