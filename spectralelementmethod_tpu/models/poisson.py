@@ -631,9 +631,19 @@ class Poisson(BoundaryConditionMixin):
                 inv, wf = self._fused_cg_operands(ex, free_local, p_dtype)
                 fused = self._op_cache[fkey] = (kA, kB, inv, wf)
             kA, kB, inv, wf = fused
+
+            A1 = ctx["A"]
+
+            def A_flat(xf, _k=k, _n=ex.n_loc):
+                # masked operator on flat (k*n, E) stacks, for the
+                # true-residual restart (see cg_fused_batched docstring)
+                import jax as _jax
+                return _jax.vmap(A1)(
+                    xf.reshape(_k, _n, -1)).reshape(_k * _n, -1)
+
             res = cg_fused_batched(kA, kB, R, inv=inv, w_free=wf,
                                    tol=tol, max_iter=max_iter,
-                                   p_dtype=p_dtype)
+                                   p_dtype=p_dtype, A=A_flat)
             # ONE device->host transfer for the whole batch (per-row
             # np.asarray would pay a tunnel round trip per RHS)
             X = np.asarray(res.x) + np.asarray(u_dL)[None]

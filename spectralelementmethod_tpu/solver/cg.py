@@ -688,6 +688,8 @@ def cg_fused_batched(
     max_iter: int = 1000,
     block: int = 64,
     p_dtype=None,
+    A: Callable | None = None,
+    max_restarts: int = 2,
 ) -> CGResult:
     """Batched-RHS twin of :func:`cg_fused`.
 
@@ -699,6 +701,15 @@ def cg_fused_batched(
     carries its own alpha/beta/convergence scalars and freezes
     independently (zero step length), exactly like :func:`cg_batched`.
     One host ladder serves all k solves.
+
+    ``A`` (optional): the masked f32 operator on FLAT (k*n, E) stacks.
+    When given, each finished leg's solution is VERIFIED against the
+    true residual ``b - A x``; RHS whose true residual misses the
+    original stop trigger a restart on the correction equation (at most
+    ``max_restarts``).  With bf16-stored directions the *recurrence*
+    residual can claim convergence the solution hasn't reached (the
+    bf16x3 rounding is real on hardware, measured 1.5%-off "converged"
+    solutions on v5e) — the true-residual legs close that gap.
 
     Returns a batched :class:`CGResult` with ``x`` shaped (k, n, E).
     """
@@ -721,40 +732,77 @@ def cg_fused_batched(
         raise ValueError(f"B batch size {kk} != kernel n_rhs {k}")
 
     init_k, block_k = _cg_fused_kernels_batched(kA, kB, k, p_bf16)
-    state = init_k(B2, inv, w_free, tol, atol,
-                   jnp.asarray(max_iter, dtype=jnp.int32))
 
-    issued = 0
-    best_state = state
-    best_rn2 = np.full(k, np.inf)
-    while issued < max_iter:
-        remaining = -(-(max_iter - issued) // 64) * 64
-        n = min(block, remaining)
-        state = block_k(n, state, inv, w_free)
-        issued += n
-        rn2, stop2_np, rn2m = jax.device_get(
-            (state[7], state[9], state[10]))
-        improved = rn2 <= best_rn2
-        if improved.all():
-            best_state, best_rn2 = state, rn2
-        elif improved.any():
-            best_state = _select_best_fused(jnp.asarray(improved), state,
-                                            best_state, n_loc)
-            best_rn2 = np.where(improved, rn2, best_rn2)
-        done = ((rn2 <= stop2_np) | (rn2 > 1e6 * rn2m)
-                | ~np.isfinite(rn2))
-        if done.all():
+    def run_leg(b_leg, tol_leg, atol_leg, budget, block0):
+        state = init_k(b_leg, inv, w_free, tol_leg, atol_leg,
+                       jnp.asarray(budget, dtype=jnp.int32))
+        issued = 0
+        blk = block0
+        best_state = state
+        best_rn2 = np.full(k, np.inf)
+        while issued < budget:
+            remaining = -(-(budget - issued) // 64) * 64
+            n = min(blk, remaining)
+            state = block_k(n, state, inv, w_free)
+            issued += n
+            rn2, stop2_np, rn2m = jax.device_get(
+                (state[7], state[9], state[10]))
+            improved = rn2 <= best_rn2
+            if improved.all():
+                best_state, best_rn2 = state, rn2
+            elif improved.any():
+                best_state = _select_best_fused(
+                    jnp.asarray(improved), state, best_state, n_loc)
+                best_rn2 = np.where(improved, rn2, best_rn2)
+            done = ((rn2 <= stop2_np) | (rn2 > 1e6 * rn2m)
+                    | ~np.isfinite(rn2))
+            if done.all():
+                break
+            blk = min(blk * 2, 4096)
+        return best_state, issued
+
+    B2f = B2.astype(ftype)
+    wf32 = jnp.asarray(w_free, ftype)
+
+    def true_rn2(x_flat):
+        r3 = (B2f - A(x_flat).astype(ftype)).reshape(k, n_loc, -1)
+        return jnp.sum(wf32[None] * r3 * r3, axis=(1, 2))
+
+    x_tot = None
+    issued_total = 0
+    iters_total = jnp.zeros(k, jnp.int32)
+    stop2_v = None
+    b_leg, tol_leg, atol_leg = B2f, tol, atol
+    for leg in range(max_restarts + 1):
+        best_state, issued = run_leg(b_leg, tol_leg, atol_leg,
+                                     max_iter - issued_total, block)
+        issued_total += issued
+        (x, r, p, rz, rz_prev, a_prev, k_dev, rn2, _, stop2,
+         _) = best_state
+        # x lags one direction per RHS: apply the pending per-k update
+        x = (x.reshape(k, n_loc, -1)
+             + a_prev[:, None, None]
+             * p.reshape(k, n_loc, -1).astype(x.dtype)
+             ).reshape(k * n_loc, -1)
+        if stop2_v is None:
+            stop2_v = stop2                       # (k,) original target
+        x_tot = x if x_tot is None else x_tot + x
+        iters_total = iters_total + k_dev
+        rn2_final = rn2
+        if A is None or leg == max_restarts or issued_total >= max_iter:
             break
-        block = min(block * 2, 4096)
-
-    (x, r, p, rz, rz_prev, a_prev, k_dev, rn2, _, stop2,
-     _) = best_state
-    # x lags one direction per RHS: apply the pending per-k update
-    x = (x.reshape(k, n_loc, -1)
-         + a_prev[:, None, None]
-         * p.reshape(k, n_loc, -1).astype(x.dtype))
-    rnorm = jnp.sqrt(rn2)
-    return CGResult(x, k_dev, rnorm, rn2 <= stop2, issued)
+        rn2_t = true_rn2(x_tot)
+        rn2_final = rn2_t
+        if bool(jnp.all(rn2_t <= stop2_v)):
+            break
+        # recurrence claimed more progress than the solution has:
+        # restart on the correction equation with the original stop
+        b_leg = B2f - A(x_tot).astype(ftype)
+        tol_leg = jnp.asarray(0.0, ftype)
+        atol_leg = jnp.sqrt(stop2_v)              # (k,) broadcasts
+    rnorm = jnp.sqrt(rn2_final)
+    return CGResult(x_tot.reshape(k, n_loc, -1), iters_total, rnorm,
+                    rn2_final <= stop2_v, issued_total)
 
 
 def _select_best_fused(improved, new, old, n_loc):
