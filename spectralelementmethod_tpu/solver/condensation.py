@@ -209,14 +209,23 @@ def schur_solve(lmat, lrhs, csys: CondensedSystem, free_mask,
 
 
 class SchurFactors(NamedTuple):
-    """Reusable factorization of a batched static-condensation system."""
+    """Reusable factorization of a batched static-condensation system.
+
+    Holds EXPLICIT inverses, not LU factors: a triangular ``lu_solve``
+    with one right-hand side is a length-n sequential dependency chain —
+    on TPU the (n_ext, n_ext) global solve measured ~33 ms per Krylov
+    vector inside the squirmer's GMRES-IR (97% of the warm Newton
+    wall-clock).  Inverting once per factorization (triangular solves
+    against the full identity are blocked and MXU-utilized) turns every
+    apply into plain matvecs.  Both routes carry the same f32
+    ``O(kappa eps)`` error, and the GMRES-IR outer loop verifies against
+    the f64 residual regardless.
+    """
 
     sc_tmp: jax.Array     # (E, n_ext, n_int) = Kei Kii^-1
     Kie: jax.Array        # (E, n_int, n_ext)
-    Kii_lu: jax.Array     # batched LU of Kii
-    Kii_piv: jax.Array
-    A_lu: jax.Array       # LU of the pinned dense condensed system
-    A_piv: jax.Array
+    Kii_inv: jax.Array    # (E, n_int, n_int) explicit inverse of Kii
+    A_inv: jax.Array      # (n_ext_dofs,)^2 inverse of the pinned system
     free_mask: jax.Array  # (n_ext_dofs,) bool
 
 
@@ -229,8 +238,6 @@ def schur_factor(lmat, csys: CondensedSystem, free_mask) -> SchurFactors:
     the squirmer's Newton wall-clock).  Factoring once per Newton step
     leaves only triangular solves + small matmuls in the hot loop.
     """
-    import jax.scipy.linalg as jsla
-
     ne = csys.n_ext_ldof
     ext = slice(None, ne)
     itr = slice(ne, None)
@@ -253,9 +260,9 @@ def schur_factor(lmat, csys: CondensedSystem, free_mask) -> SchurFactors:
     A = A + jnp.diag(jnp.where(free, 0.0, 1.0))
     A = jnp.where(jnp.isfinite(A), A, 0.0)
 
-    A_lu, A_piv = jsla.lu_factor(A)
-    Kii_lu, Kii_piv = jsla.lu_factor(Kii)
-    return SchurFactors(sc_tmp, Kie, Kii_lu, Kii_piv, A_lu, A_piv, free)
+    A_inv = jnp.linalg.inv(A)
+    Kii_inv = jnp.linalg.inv(Kii)
+    return SchurFactors(sc_tmp, Kie, Kii_inv, A_inv, free)
 
 
 def schur_apply(f: SchurFactors, lrhs, csys: CondensedSystem,
@@ -264,8 +271,6 @@ def schur_apply(f: SchurFactors, lrhs, csys: CondensedSystem,
 
     Same result as :func:`schur_solve` on the factored matrix.
     """
-    import jax.scipy.linalg as jsla
-
     ne = csys.n_ext_ldof
     fe = lrhs[:, :ne]
     fi = lrhs[:, ne:]
@@ -276,9 +281,9 @@ def schur_apply(f: SchurFactors, lrhs, csys: CondensedSystem,
     if rhs_extra is not None:
         b = b + rhs_extra
     b = jnp.where(f.free_mask, b, 0.0)
-    x_ext = jsla.lu_solve((f.A_lu, f.A_piv), b)
+    x_ext = f.A_inv @ b
     x_ext_local = x_ext[gi]
     rhs_i = fi - (f.Kie @ x_ext_local[..., None])[..., 0]
-    x_int = jsla.lu_solve((f.Kii_lu, f.Kii_piv), rhs_i[..., None])[..., 0]
+    x_int = (f.Kii_inv @ rhs_i[..., None])[..., 0]
     x_loc = jnp.concatenate([x_ext_local, x_int], axis=1)
     return x_ext, x_loc
