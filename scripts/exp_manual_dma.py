@@ -16,6 +16,26 @@ DMAs per operand; DMA issue latency then caps throughput.  Two tests:
      VMEM scratch ring.
 
 Run ON the TPU host:  python scripts/exp_manual_dma.py
+(--manual-only skips the giant-block grid stages)
+
+Measured (v5e, 2026-08-19, honest timing) — BOTH hypotheses refuted:
+
+  grid pipeline, giant blocks under 100 MB cap:
+      TE 16384 / 32768 / 65536: 296 / 301 / 299 GB/s (flat — a 21 MB
+      block DMA runs no faster than a 0.7 MB one)
+  manual k-deep async-copy ring (80 rows, separate in/out semaphores):
+      d2/d4/d8 @ TE2048: 331 / 328 / 337 GB/s
+      d4 @ TE8192: 335;  d8 @ TE512: 333
+
+Conclusion: ~330 GB/s is a hard ceiling for kernel-issued (custom-call)
+HBM streaming on this chip — independent of pipeline depth, block size,
+issue mechanism, and dimension semantics; concurrent operand streams
+cap it at ~394 (exp_streams3 k4).  XLA fusions stream the same arrays
+at 612-684 GB/s.  Note 2.26 ms for the 678 MB copy ~= read at ~620 +
+write at ~620 run BACK TO BACK: kernel DMAs appear not to overlap the
+read and write directions, while XLA fusions do.  Design rule: Pallas
+kernels win by eliminating passes (fusion), not by out-streaming XLA;
+at HBM scale expect ~330-400 GB/s effective inside kernels.
 """
 
 import functools
@@ -92,7 +112,10 @@ def grid_copy_step(TE, cap=None):
     return step
 
 
-def manual_copy_step(TE, depth, cap=CAP):
+def manual_copy_step(TE, depth, cap=CAP, rows=80):
+    # explicit DMAs require 8-aligned sublane extents ("Slice shape
+    # along dimension 0 must be aligned to tiling (8), but is 81") —
+    # the bandwidth question is shape-independent, so probe at 80 rows
     G = E // TE
     assert G >= depth
 
@@ -135,15 +158,15 @@ def manual_copy_step(TE, depth, cap=CAP):
 
         pl.run_scoped(
             body,
-            sin=pltpu.VMEM((depth, N, TE), jnp.float32),
-            sout=pltpu.VMEM((depth, N, TE), jnp.float32),
+            sin=pltpu.VMEM((depth, rows, TE), jnp.float32),
+            sout=pltpu.VMEM((depth, rows, TE), jnp.float32),
             isem=pltpu.SemaphoreType.DMA((depth,)),
             osem=pltpu.SemaphoreType.DMA((depth,)),
         )
 
     def step(x):
         return pl.pallas_call(
-            kernel, out_shape=jax.ShapeDtypeStruct((N, E), jnp.float32),
+            kernel, out_shape=jax.ShapeDtypeStruct((rows, E), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             compiler_params=pltpu.CompilerParams(
@@ -158,22 +181,26 @@ def main():
     rs = np.random.RandomState(0)
     x0 = jnp.asarray(rs.standard_normal((N, E)).astype(np.float32))
 
-    def stage(label, fn):
+    def stage(label, fn, x=None, rows=N):
+        x = x0 if x is None else x
         t0 = time.time()
         try:
-            dt = time_step(fn, x0)
-            _bw(label, 2 * N * E * 4, dt)
+            dt = time_step(fn, x)
+            _bw(label, 2 * rows * E * 4, dt)
         except Exception as e:  # noqa: BLE001
             print(f"[{label}: FAILED {type(e).__name__}: "
                   f"{str(e)[:300]}]", flush=True)
         else:
             print(f"[{label}: ok in {time.time()-t0:.1f}s]", flush=True)
 
-    for TE in (16384, 32768, 65536):
-        stage(f"grid-TE{TE}-cap", grid_copy_step(TE, cap=CAP))
+    if "--manual-only" not in sys.argv:
+        for TE in (16384, 32768, 65536):
+            stage(f"grid-TE{TE}-cap", grid_copy_step(TE, cap=CAP))
+    x80 = x0[:80]
     for depth, TE in ((2, 2048), (4, 2048), (8, 2048), (4, 8192),
                       (8, 512)):
-        stage(f"manual-d{depth}-TE{TE}", manual_copy_step(TE, depth))
+        stage(f"manual-d{depth}-TE{TE}", manual_copy_step(TE, depth),
+              x=x80, rows=80)
 
 
 if __name__ == "__main__":
