@@ -373,7 +373,7 @@ class Poisson(BoundaryConditionMixin):
                     vector_layout: str = "auto",
                     cg_kernel: str = "auto",
                     p_dtype=None,
-                    defer_x: int = 0) -> PoissonSolution:
+                    defer_x: int | str = 0) -> PoissonSolution:
         """Solve with CG on element-local (L-vector) storage.
 
         The production TPU path: no global gather/scatter in the iteration
@@ -412,7 +412,9 @@ class Poisson(BoundaryConditionMixin):
         ``x += sum alpha_j p_j`` once per m iterations, removing kernel
         A's per-iteration x read+write (see
         :func:`..solver.cg.cg_fused`).  Only meaningful with a fused
-        ``cg_kernel``.
+        ``cg_kernel``.  ``"auto"`` engages m=8 once the (n, E) f32
+        iterate exceeds ~100 MB (measured to win only at HBM scale —
+        1M: 6.24 vs 9.35 ms/iter; 100k: a ~20% loss).
         """
         from ..ops.exchange import RollExchange, make_exchange
 
@@ -458,6 +460,13 @@ class Poisson(BoundaryConditionMixin):
         fused_cg = None
         if cg_kernel not in ("auto", "plain", "fused", "fused-interpret"):
             raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
+        if defer_x == "auto":
+            # measured A/B (BASELINE.md round-2j): defer_x=8 wins at HBM
+            # scale (1M: 6.24 vs 9.35 ms/iter) but LOSES where the f32
+            # iterate still rides VMEM residency (100k: 0.611 vs
+            # 0.498) — engage only once the (n, E) f32 arrays are
+            # decisively larger than v5e's 128 MB VMEM
+            defer_x = 8 if ex.E * disc.n_loc * 4 > 100_000_000 else 0
         # auto engages the fused iteration only in the bf16-storage mode:
         # measured at p=8/100k on v5e, XLA's own fusion of the plain
         # vector ops already runs at ~85% of HBM peak (0.79 ms/iter) and

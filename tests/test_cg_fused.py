@@ -495,6 +495,19 @@ class TestDeferredX:
         assert abs(int(sol_d.cg.iterations)
                    - int(sol_plain.cg.iterations)) <= 3
 
+    def test_defer_x_auto_small_mesh(self):
+        # "auto" resolves by iterate size: far below the ~100 MB HBM
+        # threshold it must pick 0 (kernels built without deferral)
+        prob = _setup()
+        sol = prob.solve_local(tol=1e-6, vector_layout="ne",
+                               cg_kernel="fused-interpret",
+                               defer_x="auto")
+        assert bool(sol.cg.converged)
+        sol_plain = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                     cg_kernel="plain")
+        scale = np.abs(sol_plain.u).max()
+        assert np.abs(sol.u - sol_plain.u).max() / scale < 1e-4
+
     def test_deferred_bf16_direction(self):
         prob = _setup()
         sol_plain = prob.solve_local(tol=1e-5, vector_layout="ne",
