@@ -527,7 +527,7 @@ class Poisson(BoundaryConditionMixin):
                           structure: str = "auto",
                           compute_dtype=None,
                           vector_layout: str = "auto",
-                          cg_kernel: str = "plain",
+                          cg_kernel: str = "auto",
                           p_dtype=None) -> PoissonSolution:
         """Solve ``-div(c grad u_j) = f_j`` for a batch of forcings.
 
@@ -554,7 +554,13 @@ class Poisson(BoundaryConditionMixin):
         (:func:`..ops.pallas_kernels.make_fused_cg_kernels_general`
         with ``n_rhs=k`` + :func:`..solver.cg.cg_fused_batched`):
         requires the 'ne' layout, jacobi, float32; ``p_dtype=bfloat16``
-        stores the k search directions in bf16.
+        stores the k search directions in bf16.  The default ``'auto'``
+        engages the fused kernels only in the measured-winning
+        configuration — bf16 direction storage requested AND a curved
+        (non-affine) mesh (k=4 at p=8/100k on v5e: 1.08 vs 1.65 ms/RHS
+        whole-batch XLA; on affine meshes the batched fused kernels
+        lose and 'auto' keeps the XLA ladder) — and degrades to
+        'plain' when no admissible kernel tiling exists.
 
         Returns a :class:`PoissonSolution` whose ``u`` is (k, n_nodes)
         and whose ``cg`` fields are all batched (k leading axis).
@@ -615,8 +621,32 @@ class Poisson(BoundaryConditionMixin):
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
         k = int(R.shape[0])
 
-        if cg_kernel not in ("plain", "fused", "fused-interpret"):
+        if cg_kernel not in ("auto", "plain", "fused", "fused-interpret"):
             raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
+        from_auto = cg_kernel == "auto"
+        if from_auto:
+            # measured policy (BASELINE.md round-2h, p=8/100k, v5e):
+            # batched bf16p fused CG wins on GENERAL (curved) meshes
+            # (k=4: 1.075 vs 1.649 ms/RHS whole-batch XLA) but loses on
+            # affine ones (0.904 vs 0.488 sequential single-RHS fused)
+            # — engage only when the caller opted into bf16 direction
+            # storage and the mesh is not exactly affine
+            use = (p_dtype is not None
+                   and pallas_kernels_supported()
+                   and transposed and precond == "jacobi"
+                   and np.dtype(self.dtype) == np.float32
+                   and isinstance(ex, RollExchange)
+                   and ex.E == ex.E_real)
+            if use:
+                akey = ("affinity", ctx["vector_layout"])
+                exact_aff = self._op_cache.get(akey)
+                if exact_aff is None:
+                    Wg = disc.basis.weight_grid().reshape(-1)
+                    _, exact_aff = sumfac.affine_factorization(
+                        np.asarray(ctx["Gf"], np.float32), Wg)
+                    self._op_cache[akey] = bool(exact_aff)
+                use = not exact_aff
+            cg_kernel = "fused" if use else "plain"
         if cg_kernel != "plain":
             if not (transposed and precond == "jacobi"
                     and np.dtype(self.dtype) == np.float32):
@@ -628,27 +658,44 @@ class Poisson(BoundaryConditionMixin):
             fkey = ("cg_fused_batch", k, cg_kernel, str(p_dtype))
             fused = self._op_cache.get(fkey)
             if fused is None:
-                Gf_p = sumfac._pad_factors_to_exchange(
-                    np.asarray(ctx["Gf"], np.float32), ex)
-                prec = "high" if p_dtype is not None else "highest"
-                interp = cg_kernel == "fused-interpret"
-                Wgrid = disc.basis.weight_grid().reshape(-1)
-                a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wgrid)
-                if exact_aff:
-                    # affine meshes: the assembled-K kernels (the full
-                    # factor slabs of the general variant would add ~3
-                    # wasted passes per RHS)
-                    Kcat = sumfac.make_affine_element_matrices(
-                        ctx["Dhat"], Wgrid, order=ex.hier)
-                    kA, kB, _ = pallas_kernels.make_fused_cg_kernels_batched(
-                        ex, Kcat, a_f, n_rhs=k, precision=prec,
-                        p_dtype=p_dtype, interpret=interp)
+                try:
+                    Gf_p = sumfac._pad_factors_to_exchange(
+                        np.asarray(ctx["Gf"], np.float32), ex)
+                    prec = "high" if p_dtype is not None else "highest"
+                    interp = cg_kernel == "fused-interpret"
+                    Wgrid = disc.basis.weight_grid().reshape(-1)
+                    a_f, exact_aff = sumfac.affine_factorization(Gf_p,
+                                                                 Wgrid)
+                    if exact_aff:
+                        # affine meshes: the assembled-K kernels (the
+                        # full factor slabs of the general variant would
+                        # add ~3 wasted passes per RHS)
+                        Kcat = sumfac.make_affine_element_matrices(
+                            ctx["Dhat"], Wgrid, order=ex.hier)
+                        kA, kB, _ = (
+                            pallas_kernels.make_fused_cg_kernels_batched(
+                                ex, Kcat, a_f, n_rhs=k, precision=prec,
+                                p_dtype=p_dtype, interpret=interp))
+                    else:
+                        kA, kB, _ = (
+                            pallas_kernels.make_fused_cg_kernels_general(
+                                ex, Gf_p, ctx["Dhat"], n_rhs=k,
+                                precision=prec, p_dtype=p_dtype,
+                                interpret=interp))
+                    inv, wf = self._fused_cg_operands(ex, free_local,
+                                                      p_dtype)
+                except ValueError:
+                    # inadmissible tiling (k-RHS VMEM state shrinks the
+                    # window) — an auto-resolved request degrades to the
+                    # whole-batch XLA ladder, an explicit one surfaces
+                    if not from_auto:
+                        raise
+                    fused = None
                 else:
-                    kA, kB, _ = pallas_kernels.make_fused_cg_kernels_general(
-                        ex, Gf_p, ctx["Dhat"], n_rhs=k, precision=prec,
-                        p_dtype=p_dtype, interpret=interp)
-                inv, wf = self._fused_cg_operands(ex, free_local, p_dtype)
-                fused = self._op_cache[fkey] = (kA, kB, inv, wf)
+                    fused = self._op_cache[fkey] = (kA, kB, inv, wf)
+            if fused is None:
+                cg_kernel = "plain"
+        if cg_kernel != "plain":
             kA, kB, inv, wf = fused
 
             A1 = ctx["A"]

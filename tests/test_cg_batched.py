@@ -238,6 +238,51 @@ class TestPoissonBatch:
                                        atol=2e-4)
 
 
+class TestBatchAutoKernel:
+    """cg_kernel='auto' resolution policy (BASELINE.md round-2h)."""
+
+    def _affine(self):
+        mesh = rectangle_mesh(4, 4, 4)
+        disc = Discretization(mesh, gll_basis_2d(4))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        return prob
+
+    def test_auto_affine_stays_plain(self, monkeypatch):
+        # even with kernels nominally supported, an affine mesh must
+        # resolve to the whole-batch XLA ladder (the batched fused
+        # kernels measured slower there)
+        from spectralelementmethod_tpu.models import poisson as mod
+        monkeypatch.setattr(mod, "pallas_kernels_supported", lambda: True)
+        prob = self._affine()
+        sol = prob.solve_local_batch([1.0, 2.0], tol=1e-5,
+                                     cg_kernel="auto",
+                                     p_dtype=jnp.bfloat16)
+        assert bool(np.asarray(sol.cg.converged).all())
+        assert not any(k[0] == "cg_fused_batch"
+                       for k in prob._op_cache)
+        assert prob._op_cache[("affinity", "ne")] is True
+
+    def test_auto_without_p_dtype_stays_plain(self, monkeypatch):
+        from spectralelementmethod_tpu.models import poisson as mod
+        monkeypatch.setattr(mod, "pallas_kernels_supported", lambda: True)
+        prob = self._affine()
+        sol = prob.solve_local_batch([1.0, 2.0], tol=1e-5,
+                                     cg_kernel="auto")
+        assert bool(np.asarray(sol.cg.converged).all())
+        assert not any(k[0] == "cg_fused_batch"
+                       for k in prob._op_cache)
+
+    def test_auto_matches_explicit_plain(self):
+        prob = self._affine()
+        sol_a = prob.solve_local_batch([1.0, 2.0], tol=1e-6,
+                                       cg_kernel="auto")
+        prob2 = self._affine()
+        sol_p = prob2.solve_local_batch([1.0, 2.0], tol=1e-6,
+                                        cg_kernel="plain")
+        np.testing.assert_array_equal(sol_a.u, sol_p.u)
+
+
 class TestReviewRegressions:
     def test_bc_change_invalidates_cached_operator(self):
         """set_dirichlet after a solve must rebuild the cached masked
