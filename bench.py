@@ -259,13 +259,17 @@ def main():
                          "local kernels)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 matmul inputs (f32 accumulate)")
-    ap.add_argument("--cg-mode", choices=["plain", "fused", "fused-bf16p"],
+    ap.add_argument("--cg-mode", choices=["plain", "fused", "fused-bf16p",
+                                          "fused1", "fused1-bf16p"],
                     default="plain",
                     help="CG loop execution: plain = unfused apply + XLA "
                          "vector ops; fused = two Pallas kernels per "
                          "iteration (ops.pallas_kernels."
-                         "make_fused_cg_kernels); fused-bf16p also stores "
-                         "the search direction in bf16")
+                         "make_fused_cg_kernels); fused1 = ONE kernel per "
+                         "iteration (make_fused_cg_kernel_single: deferred "
+                         "residual update + exact in-kernel dots); the "
+                         "-bf16p variants also store the search direction "
+                         "in bf16")
     ap.add_argument("--precond", choices=["jacobi", "fdm", "pmg"],
                     default="jacobi",
                     help="CG preconditioner for the plain local path: "
@@ -456,13 +460,23 @@ def main():
                 raise SystemExit("--cg-mode fused requires an affine mesh")
             Kcat = sumfac.make_affine_element_matrices(
                 Dhat, Wg, order=ex.hier)
-            p_dt = (jnp.bfloat16 if args.cg_mode == "fused-bf16p"
+            p_dt = (jnp.bfloat16 if args.cg_mode.endswith("-bf16p")
                     else None)
-            kA, kB, _ = pallas_kernels.make_fused_cg_kernels(
-                ex, Kcat, a_f,
-                precision="high" if p_dt is not None else args.precision,
-                p_dtype=p_dt, defer_x=bool(args.defer_x),
-                interpret=not pallas_kernels.supported())
+            if args.cg_mode.startswith("fused1"):
+                kA, _ = pallas_kernels.make_fused_cg_kernel_single(
+                    ex, Kcat, a_f,
+                    precision=("high" if p_dt is not None
+                               else args.precision),
+                    p_dtype=p_dt, defer_x=bool(args.defer_x),
+                    interpret=not pallas_kernels.supported())
+                kB = None
+            else:
+                kA, kB, _ = pallas_kernels.make_fused_cg_kernels(
+                    ex, Kcat, a_f,
+                    precision=("high" if p_dt is not None
+                               else args.precision),
+                    p_dtype=p_dt, defer_x=bool(args.defer_x),
+                    interpret=not pallas_kernels.supported())
             aux_dt = jnp.bfloat16 if p_dt is not None else jnp.float32
             inv_d = jnp.where(
                 free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0

@@ -403,7 +403,11 @@ class Poisson(BoundaryConditionMixin):
         v5e; the f32 fused kernels lose at 1.08+, see BASELINE.md).
         'fused' forces it, 'fused-interpret' runs it in the Pallas
         interpreter (CPU testing), 'plain' keeps the unfused apply + XLA
-        vector ops.
+        vector ops.  'fused1' / 'fused1-interpret' select the
+        SINGLE-kernel iteration (affine meshes only; the residual update
+        is deferred into the next iteration's kernel and the tail dot
+        products are computed exactly in-kernel —
+        :func:`..ops.pallas_kernels.make_fused_cg_kernel_single`).
         ``p_dtype``: optional ``jnp.bfloat16`` storage for the fused-CG
         search direction (halves its HBM traffic; f32 accuracy is
         retained because Ap is computed from the stored direction).
@@ -427,7 +431,8 @@ class Poisson(BoundaryConditionMixin):
         if ex is None:
             ex = self._exchange = make_exchange(disc, fused_pad=True)
             self._op_cache = {}
-        if (cg_kernel in ("fused", "fused-interpret")
+        if (cg_kernel in ("fused", "fused-interpret",
+                          "fused1", "fused1-interpret")
                 and isinstance(ex, RollExchange)
                 and ex.E == ex.E_real):
             # small meshes skip the fused_pad min-size gate; an EXPLICIT
@@ -458,7 +463,8 @@ class Poisson(BoundaryConditionMixin):
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
 
         fused_cg = None
-        if cg_kernel not in ("auto", "plain", "fused", "fused-interpret"):
+        if cg_kernel not in ("auto", "plain", "fused", "fused-interpret",
+                             "fused1", "fused1-interpret"):
             raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
         if defer_x == "auto":
             # measured A/B (BASELINE.md round-2j): defer_x=8 wins at HBM
@@ -473,7 +479,8 @@ class Poisson(BoundaryConditionMixin):
         # the f32 fused kernels do not beat it (1.08-1.09); bf16 storage
         # is the configuration with a real win (0.74) — see BASELINE.md
         want_fused = (
-            cg_kernel in ("fused", "fused-interpret")
+            cg_kernel in ("fused", "fused-interpret",
+                          "fused1", "fused1-interpret")
             or (cg_kernel == "auto" and not host_loop
                 and p_dtype is not None
                 and pallas_kernels_supported()))
@@ -959,11 +966,24 @@ class Poisson(BoundaryConditionMixin):
         from ..ops import pallas_kernels
 
         disc = self.disc
+        single = cg_kernel in ("fused1", "fused1-interpret")
         Gf_p = sumfac._pad_factors_to_exchange(
             np.asarray(Gf, dtype=np.float32), ex)
         Wgrid = disc.basis.weight_grid().reshape(-1)
         a, exact = sumfac.affine_factorization(Gf_p, Wgrid)
-        if exact:
+        if exact and single:
+            Kcat = sumfac.make_affine_element_matrices(Dhat, Wgrid,
+                                                       order=ex.hier)
+            kAB, _ = pallas_kernels.make_fused_cg_kernel_single(
+                ex, Kcat, a,
+                precision="high" if p_dtype is not None else "highest",
+                p_dtype=p_dtype, defer_x=defer_x,
+                interpret=cg_kernel == "fused1-interpret")
+            kA, kB = kAB, None
+        elif single:
+            raise ValueError("cg_kernel='fused1' requires an affine mesh "
+                             "(the general fused CG uses the kernel pair)")
+        elif exact:
             Kcat = sumfac.make_affine_element_matrices(Dhat, Wgrid,
                                                        order=ex.hier)
             kA, kB, _ = pallas_kernels.make_fused_cg_kernels(

@@ -1300,6 +1300,222 @@ def _build_cg_kernel_b(prep, interpret: bool):
     return kB
 
 
+def make_fused_cg_kernel_single(exchange, Kcat, a, *,
+                                precision: str = "high",
+                                p_dtype=None,
+                                target_win: int | None = None,
+                                defer_x: bool = False,
+                                interpret: bool = False):
+    """ONE Pallas kernel per PCG iteration (affine meshes, full halo).
+
+    The two-kernel pair of :func:`make_fused_cg_kernels` is forced by
+    the two global reductions of a textbook PCG iteration: beta needs
+    ``<r', z'>`` of the *updated* residual, which needs alpha, which
+    needs ``<p, Ap>``.  One kernel per iteration suffices when the
+    residual update is deferred into the *next* iteration's kernel
+    (computed on the halo window from the carried pre-update r and Ap,
+    exactly like the lagged x update).  Per iteration::
+
+        kAB(r, Ap, p, x, inv, w_free, alpha_prev, beta) ->
+            (r', p', Ap', x', parts)
+
+        r'   = r - alpha_prev * Ap          (deferred residual update)
+        z'   = inv * r'                     (window, never stored)
+        p'   = z' + beta * p
+        Ap'  = A p'                         (assembled-K + roll DSS)
+        x'   = x + alpha_prev * p           (lagged, as in the pair)
+        parts: (G, 5) per-tile partials [denom, c1, c2, e1, e2]::
+
+            denom = <p', A p'>       (pre-DSS identity, exact)
+            e1    = <r', inv r'>_w   (rz of the iterate just formed)
+            e2    = <r', r'>_w       (rn2 of the same — stopping test)
+            c1    = <r', inv Ap'>_w
+            c2    = <Ap', inv Ap'>_w
+
+    ``alpha = e1/denom`` and the stopping test use the EXACT direct
+    reductions (r' lives in VMEM anyway; the extra dots are free).
+    Only beta needs a value the kernel cannot have — ``<r'', z''>`` of
+    the not-yet-formed next residual — and gets the one-step quadratic
+    prediction ``rz'' = e1 - 2 a c1 + a^2 c2`` (exact algebra; its fp
+    cancellation error is one-step-deep, anchored each iteration by the
+    exact e1, so nothing accumulates — measured ~1e-6 relative beta
+    perturbation, the same order as bf16-direction rounding).
+
+    vs the kernel pair this removes kernel B's r/Ap/inv/w streams and
+    its r write in exchange for reading Ap as a halo window (+1 pass)
+    and w in kernel A (+0.5): ~9.6 -> ~8.2 f32-equivalent HBM passes
+    per iteration at p=8 (bf16 p/inv/w), plus one fewer kernel-launch
+    boundary per iteration.
+
+    Frozen iterations (alpha = beta = 0) pin r, x and the exact dots
+    bit-for-bit (the kernel recomputes them from the pinned r).  The
+    stopping test sees each residual one iteration later than the
+    pair — worst case one extra (frozen-equivalent) iteration.
+
+    ``defer_x=True`` additionally drops x from the kernel
+    (``kAB(r, Ap, p, inv, w_free, alpha_prev, beta) ->
+    (r', p', Ap', parts)``); the driver retains the last m directions
+    and catches x up once per m iterations (see
+    :func:`make_fused_cg_kernels`).
+
+    Full halo only (no far-class split): at 1M elements the padded
+    full-halo tiling is the measured-best CG-kernel config
+    (BASELINE.md round-2h); pad the exchange with ``fused_pad=True``.
+
+    Returns ``(kAB, G)``.
+    """
+    if p_dtype is not None and jnp.dtype(p_dtype) != jnp.bfloat16:
+        raise ValueError(f"p_dtype must be None or bfloat16, got {p_dtype}")
+    p_bf16 = p_dtype is not None
+    if p_bf16 and precision != "high":
+        raise ValueError("p_dtype=bfloat16 requires precision='high'")
+    if target_win is None:
+        # holds the kernel-pair A state plus an Ap f32 window and a w
+        # center row-block; measured-safe defaults one notch below the
+        # pair's (3072/1536)
+        target_win = 2304 if p_bf16 else 1280
+
+    from ..utils.hoist import ensure_recursion_headroom
+
+    ensure_recursion_headroom()
+    prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
+                            max_halo=None)
+    n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
+    KT, M, aT = prep.KT, prep.M, prep.aT
+    p_store = jnp.bfloat16 if p_bf16 else jnp.float32
+
+    smem_pair = pl.BlockSpec((1, 2), _im32(lambda i: (0, 0)),
+                             memory_space=pltpu.SMEM)
+    smem_parts = pl.BlockSpec((G, 5), _im32(lambda i: (0, 0)),
+                              memory_space=pltpu.SMEM)
+
+    def body(refs, x_ref):
+        """Shared iteration core; x_ref is None in defer_x mode."""
+        (rL, rC, rR, apL, apC, apR, pL, pC, pR, iL, iC, iR,
+         aL, aC, aR, w_ref, K_ref, m_ref, sc_ref) = refs
+        alpha_prev = sc_ref[0, 0]
+        beta = sc_ref[0, 1]
+        ap_win = jnp.concatenate([apL[:], apC[:], apR[:]], axis=1)
+        r_win = (jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
+                 - alpha_prev * ap_win)                # deferred r update
+        i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
+        a_win = jnp.concatenate([aL[:], aC[:], aR[:]], axis=1)
+        p32 = jnp.concatenate([pL[:], pC[:], pR[:]],
+                              axis=1).astype(jnp.float32)
+        i32w = i_win.astype(jnp.float32)
+        pn = i32w * r_win + beta * p32
+        # Ap must be computed from the *stored* direction: round first
+        pn_st = pn.astype(p_store)
+        V = prep.dot_window(K_ref, pn_st)
+        S = prep.affine_reduce(a_win, V)
+        Ap_new = prep.roll_dss(S, m_ref)               # (n, TE)
+        r_new = r_win[:, Hb:Hb + TE]
+        x_new = (None if x_ref is None
+                 else x_ref[:] + alpha_prev * p32[:, Hb:Hb + TE])
+        w = w_ref[:].astype(jnp.float32)
+        inv_c = i32w[:, Hb:Hb + TE]
+        invAp = inv_c * Ap_new
+        invr = inv_c * r_new
+        denom = jnp.sum(pn_st[:, Hb:Hb + TE].astype(jnp.float32)
+                        * S[:, Hb:Hb + TE])
+        c1 = jnp.sum(w * r_new * invAp)
+        c2 = jnp.sum(w * Ap_new * invAp)
+        e1 = jnp.sum(w * r_new * invr)
+        e2 = jnp.sum(w * r_new * r_new)
+        return (r_new, pn_st[:, Hb:Hb + TE], Ap_new, x_new,
+                (denom, c1, c2, e1, e2))
+
+    def write_parts(parts_ref, parts):
+        g = pl.program_id(0)
+        for j, v in enumerate(parts):
+            parts_ref[g, j] = v
+
+    base_specs = (prep.halo_triple(n) + prep.halo_triple(n)
+                  + prep.halo_triple(n) + prep.halo_triple(n)
+                  + prep.halo_triple(3) + [prep.center_spec(n)]
+                  + prep.const_specs() + [smem_pair])
+    cs_n = prep.center_spec(n)
+
+    if defer_x:
+        def kernel_d(rL, rC, rR, apL, apC, apR, pL, pC, pR, iL, iC, iR,
+                     aL, aC, aR, w_ref, K_ref, m_ref, sc_ref,
+                     ro_ref, po_ref, apo_ref, parts_ref):
+            refs = (rL, rC, rR, apL, apC, apR, pL, pC, pR, iL, iC, iR,
+                    aL, aC, aR, w_ref, K_ref, m_ref, sc_ref)
+            r_new, p_new, Ap_new, _, parts = body(refs, None)
+            ro_ref[:] = r_new
+            po_ref[:] = p_new
+            apo_ref[:] = Ap_new
+            write_parts(parts_ref, parts)
+
+        out_shapes = (jax.ShapeDtypeStruct((n, E), jnp.float32),
+                      jax.ShapeDtypeStruct((n, E), p_store),
+                      jax.ShapeDtypeStruct((n, E), jnp.float32),
+                      jax.ShapeDtypeStruct((G, 5), jnp.float32))
+        out_specs = (cs_n, cs_n, cs_n, smem_parts)
+
+        def kAB_d(r, Ap, p, inv, w_free, alpha_prev, beta):
+            sc = jnp.stack([jnp.asarray(alpha_prev, jnp.float32),
+                            jnp.asarray(beta, jnp.float32)]).reshape(1, 2)
+            return pl.pallas_call(
+                kernel_d,
+                out_shape=out_shapes,
+                grid=(G,),
+                in_specs=base_specs,
+                out_specs=out_specs,
+                interpret=interpret,
+            )(r, r, r, Ap, Ap, Ap, p, p, p, inv, inv, inv, aT, aT, aT,
+              w_free, KT, M, sc)
+
+        kAB_d._prep = prep
+        kAB_d._single = True
+        kAB_d._defer_x = True
+        kAB_d._no_hoist = True
+        return kAB_d, G
+
+    def kernel(rL, rC, rR, apL, apC, apR, pL, pC, pR, iL, iC, iR,
+               aL, aC, aR, w_ref, x_ref, K_ref, m_ref, sc_ref,
+               ro_ref, po_ref, apo_ref, xo_ref, parts_ref):
+        refs = (rL, rC, rR, apL, apC, apR, pL, pC, pR, iL, iC, iR,
+                aL, aC, aR, w_ref, K_ref, m_ref, sc_ref)
+        r_new, p_new, Ap_new, x_new, parts = body(refs, x_ref)
+        ro_ref[:] = r_new
+        po_ref[:] = p_new
+        apo_ref[:] = Ap_new
+        xo_ref[:] = x_new
+        write_parts(parts_ref, parts)
+
+    specs = (prep.halo_triple(n) + prep.halo_triple(n)
+             + prep.halo_triple(n) + prep.halo_triple(n)
+             + prep.halo_triple(3) + [prep.center_spec(n), cs_n]
+             + prep.const_specs() + [smem_pair])
+    out_shapes = (jax.ShapeDtypeStruct((n, E), jnp.float32),
+                  jax.ShapeDtypeStruct((n, E), p_store),
+                  jax.ShapeDtypeStruct((n, E), jnp.float32),
+                  jax.ShapeDtypeStruct((n, E), jnp.float32),
+                  jax.ShapeDtypeStruct((G, 5), jnp.float32))
+    out_specs = (cs_n, cs_n, cs_n, cs_n, smem_parts)
+
+    def kAB(r, Ap, p, x, inv, w_free, alpha_prev, beta):
+        sc = jnp.stack([jnp.asarray(alpha_prev, jnp.float32),
+                        jnp.asarray(beta, jnp.float32)]).reshape(1, 2)
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            grid=(G,),
+            in_specs=specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(r, r, r, Ap, Ap, Ap, p, p, p, inv, inv, inv, aT, aT, aT,
+          w_free, x, KT, M, sc)
+
+    kAB._prep = prep
+    kAB._single = True
+    kAB._defer_x = False
+    kAB._no_hoist = True
+    return kAB, G
+
+
 def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
                                   n_rhs: int = 1,
                                   precision: str = "high",

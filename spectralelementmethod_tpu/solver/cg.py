@@ -592,29 +592,43 @@ def cg_fused(
     atol = jnp.asarray(atol, dtype=ftype)
 
     p_bf16 = p_dtype is not None and jnp.dtype(p_dtype) == jnp.bfloat16
+    single = getattr(kA, "_single", False)
+    if single and kB is not None:
+        raise ValueError("single-kernel CG (make_fused_cg_kernel_single) "
+                         "takes kB=None")
     if defer_x:
         if not getattr(kA, "_defer_x", False):
             raise ValueError("defer_x > 0 requires kernels built with "
                              "make_fused_cg_kernels(defer_x=True)")
         if defer_x < 2 or 64 % defer_x:
             raise ValueError(f"defer_x must divide 64, got {defer_x}")
-        init_k, block_k = _cg_fused_kernels_deferred(kA, kB, defer_x,
-                                                     p_bf16)
-        RN2, STOP2, RN2MIN = 6, 8, 9
+        if single:
+            init_k, block_k = _cg_fused_kernels_single_deferred(
+                kA, defer_x, p_bf16)
+            RN2, STOP2, RN2MIN, K_I = 8, 10, 11, 7
+        else:
+            init_k, block_k = _cg_fused_kernels_deferred(kA, kB, defer_x,
+                                                         p_bf16)
+            RN2, STOP2, RN2MIN, K_I = 6, 8, 9, 5
     elif getattr(kA, "_defer_x", False):
         raise ValueError("kernels built with defer_x=True need "
                          "cg_fused(..., defer_x=m)")
+    elif single:
+        init_k, block_k = _cg_fused_kernels_single(kA, p_bf16)
+        RN2, STOP2, RN2MIN, K_I = 8, 10, 11, 7
     else:
         init_k, block_k = _cg_fused_kernels(kA, kB, p_bf16)
-        RN2, STOP2, RN2MIN = 7, 9, 10
+        RN2, STOP2, RN2MIN, K_I = 7, 9, 10, 6
     state = init_k(b, inv, w_free, tol, atol,
                    jnp.asarray(max_iter, dtype=jnp.int32))
     stop2_v = state[STOP2]          # original target, fixed across restarts
 
     def x_of(st):
-        if defer_x:
-            # x caught up at every super-iteration boundary — nothing
-            # pending
+        if single or defer_x:
+            # single-kernel modes: the carried x already matches the
+            # carried (exact) rn2; any alpha*p beyond the last measured
+            # residual is speculative and dropped.  Deferred-pair mode:
+            # x caught up at every super-iteration boundary.
             return st[0]
         # x lags one direction: apply the pending update (0 when frozen)
         return st[0] + st[5] * st[2].astype(st[0].dtype)
@@ -651,8 +665,7 @@ def cg_fused(
             x_leg = x_of(bstate)
             x_acc = x_leg if bx_off is None else bx_off + x_leg
             r_true = b.astype(jnp.float32) - A(x_acc).astype(jnp.float32)
-            x_off, iters_done = x_acc, bits + int(bstate[5 if defer_x
-                                                         else 6])
+            x_off, iters_done = x_acc, bits + int(bstate[K_I])
             state = init_k(r_true, inv, w_free,
                            jnp.asarray(0.0, ftype),
                            jnp.sqrt(stop2_v),
@@ -666,7 +679,7 @@ def cg_fused(
         block = min(block * 2, 4096)
 
     bx_off, bstate, _, bits = best
-    k_dev = bstate[5 if defer_x else 6]
+    k_dev = bstate[K_I]
     rn2 = bstate[RN2]
     x = x_of(bstate)
     if bx_off is not None:
@@ -920,6 +933,142 @@ def _cg_fused_kernels(kA, kB, p_bf16: bool = False):
                     stop2, rn2_min)
 
         return jax.lax.fori_loop(0, n, body, state)
+
+    return init, block
+
+
+@lru_cache(maxsize=16)
+def _cg_fused_kernels_single(kAB, p_bf16: bool = False):
+    """Jitted (init, block) for the SINGLE-kernel fused CG iteration
+    (:func:`..ops.pallas_kernels.make_fused_cg_kernel_single`).
+
+    The residual update is deferred into the next iteration's kernel
+    (r lags one alpha, exactly like x).  Scalars per iteration, from the
+    kernel's (G, 5) partials [denom, c1, c2, e1, e2]:
+
+        alpha = e1 / denom                     (both EXACT direct dots)
+        rz_pred = e1 - 2 alpha c1 + alpha^2 c2 (next <r', z'>: one-step
+                                                prediction, used only
+                                                for the next beta)
+        beta_next = rz_pred / e1
+        stopping test: e2 (exact ||r||_w^2 of the iterate the kernel
+        just formed — one iteration later than the kernel pair sees it)
+
+    The carried x stays consistent with the carried rn2 (both belong to
+    the residual the last kernel formed); the pending alpha*p beyond the
+    last measured residual is speculative and dropped at exit.
+    """
+
+    @jax.jit
+    def init(b, inv, w_free, tol, atol, max_iter):
+        r0 = b.astype(jnp.float32)
+        x0 = jnp.zeros_like(r0)
+        p0 = jnp.zeros_like(r0, dtype=jnp.bfloat16 if p_bf16
+                            else r0.dtype)
+        Ap0 = jnp.zeros_like(r0)
+        wf = w_free.astype(jnp.float32)
+        rn0 = jnp.sum(wf * r0 * r0)
+        rz0 = jnp.sum(wf * r0 * (inv.astype(jnp.float32) * r0))
+        stop2 = jnp.maximum(tol * tol * rn0, atol * atol)
+        return (x0, r0, p0, Ap0, rz0, rz0,
+                jnp.asarray(0.0, jnp.float32),
+                jnp.array(0, dtype=jnp.int32), rn0, max_iter, stop2, rn0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(n, state, inv, w_free):
+        def body(i, st):
+            (x, r, p, Ap, rz_pred, rz_exact, alpha_prev, k, rn2, max_it,
+             stop2, rn2_min) = st
+            done = ((rn2 <= stop2) | (k >= max_it)
+                    | (rn2 > 1e6 * rn2_min) | ~jnp.isfinite(rn2))
+            beta = jnp.where(
+                (k == 0) | done, 0.0,
+                rz_pred / jnp.where(rz_exact != 0, rz_exact, 1.0))
+            r, p, Ap, x, parts = kAB(r, Ap, p, x, inv, w_free,
+                                     alpha_prev, beta)
+            d = jnp.sum(parts, axis=0)     # [denom, c1, c2, e1, e2]
+            alpha = jnp.where(
+                done, 0.0, d[3] / jnp.where(d[0] != 0, d[0], 1.0))
+            rz_pred = d[3] - 2.0 * alpha * d[1] + alpha * alpha * d[2]
+            # frozen iterations: alpha_prev = 0 pins r, so the kernel's
+            # direct dots recompute identical e1/e2 — rn2 stays exact
+            k = k + jnp.where(done, 0, 1).astype(k.dtype)
+            rn2_min = jnp.where(done, rn2_min,
+                                jnp.minimum(rn2_min, d[4]))
+            return (x, r, p, Ap, rz_pred, d[3], alpha, k, d[4], max_it,
+                    stop2, rn2_min)
+
+        return jax.lax.fori_loop(0, n, body, state)
+
+    return init, block
+
+
+@lru_cache(maxsize=16)
+def _cg_fused_kernels_single_deferred(kAB, m: int, p_bf16: bool = False):
+    """Deferred-x variant of :func:`_cg_fused_kernels_single`: the
+    kernel never touches x; the last m directions live at static unroll
+    slots and x catches up once per super-iteration (see
+    :func:`_cg_fused_kernels_deferred`).  alpha_prev IS carried across
+    super-iterations here (the residual update lags one kernel), and
+    its x contribution is applied at the START of the next
+    super-iteration — while its direction (slot m-1) is still intact —
+    so the carried x always matches the carried (exact) rn2.
+    """
+
+    @jax.jit
+    def init(b, inv, w_free, tol, atol, max_iter):
+        r0 = b.astype(jnp.float32)
+        x0 = jnp.zeros_like(r0)
+        p_store = jnp.bfloat16 if p_bf16 else r0.dtype
+        P0 = tuple(jnp.zeros_like(r0, dtype=p_store) for _ in range(m))
+        Ap0 = jnp.zeros_like(r0)
+        wf = w_free.astype(jnp.float32)
+        rn0 = jnp.sum(wf * r0 * r0)
+        rz0 = jnp.sum(wf * r0 * (inv.astype(jnp.float32) * r0))
+        stop2 = jnp.maximum(tol * tol * rn0, atol * atol)
+        return (x0, r0, P0, Ap0, rz0, rz0,
+                jnp.asarray(0.0, jnp.float32),
+                jnp.array(0, dtype=jnp.int32), rn0, max_iter, stop2, rn0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(n, state, inv, w_free):
+        def super_body(i, st):
+            (x, r, P, Ap, rz_pred, rz_exact, alpha_prev, k, rn2, max_it,
+             stop2, rn2_min) = st
+            P = list(P)
+            # pending update from the previous super-iteration's last
+            # direction (slot m-1, not yet overwritten); folds into the
+            # catch-up pass below via operand reuse
+            x = x + alpha_prev * P[m - 1].astype(jnp.float32)
+            alphas = []
+            for j in range(m):
+                done = ((rn2 <= stop2) | (k >= max_it)
+                        | (rn2 > 1e6 * rn2_min) | ~jnp.isfinite(rn2))
+                beta = jnp.where(
+                    (k == 0) | done, 0.0,
+                    rz_pred / jnp.where(rz_exact != 0, rz_exact, 1.0))
+                r, p_new, Ap, parts = kAB(r, Ap, P[(j - 1) % m], inv,
+                                          w_free, alpha_prev, beta)
+                d = jnp.sum(parts, axis=0)   # [denom, c1, c2, e1, e2]
+                alpha = jnp.where(
+                    done, 0.0, d[3] / jnp.where(d[0] != 0, d[0], 1.0))
+                rz_pred = (d[3] - 2.0 * alpha * d[1]
+                           + alpha * alpha * d[2])
+                k = k + jnp.where(done, 0, 1).astype(k.dtype)
+                rn2_min = jnp.where(done, rn2_min,
+                                    jnp.minimum(rn2_min, d[4]))
+                rz_exact, rn2, alpha_prev = d[3], d[4], alpha
+                P[j] = p_new
+                alphas.append(alpha)
+            # deferred catch-up through slot m-2: x then matches the
+            # carried r/rn2 exactly; slot m-1's alpha stays pending
+            # (carried as alpha_prev)
+            for j in range(m - 1):
+                x = x + alphas[j] * P[j].astype(jnp.float32)
+            return (x, r, tuple(P), Ap, rz_pred, rz_exact, alpha_prev,
+                    k, rn2, max_it, stop2, rn2_min)
+
+        return jax.lax.fori_loop(0, n // m, super_body, state)
 
     return init, block
 

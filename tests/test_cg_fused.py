@@ -569,3 +569,171 @@ class TestDeferredX:
             cg_fused(kA_0, kB, r, inv=one, w_free=one, defer_x=4)
         with pytest.raises(ValueError, match="divide"):
             cg_fused(kA_d, kB, r, inv=one, w_free=one, defer_x=7)
+
+
+def _single_pieces(prob, target_win=3072, **kw):
+    """(ex, kAB, G, A_xla) for the single-kernel CG iteration."""
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        make_fused_cg_kernel_single)
+
+    disc = prob.disc
+    ex = RollExchange(disc)
+    Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(Gf, W)
+    assert exact
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    kAB, G = make_fused_cg_kernel_single(
+        ex, Kcat, a, interpret=True, target_win=target_win, **kw)
+    A_xla = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, vector_layout="ne", backend="xla")
+    return ex, kAB, G, A_xla
+
+
+class TestSingleKernelCG:
+    """ONE Pallas kernel per PCG iteration: the residual update is
+    deferred into the next kernel and the tail reductions come from
+    quadratic-in-alpha recurrences (make_fused_cg_kernel_single)."""
+
+    def test_kernel_matches_unfused(self):
+        prob = _setup()
+        ex, kAB, G, A_xla = _single_pieces(prob)
+        rng = np.random.RandomState(3)
+        shp = (ex.n_loc, ex.E)
+
+        def consistent(scale=1.0, lo=None):
+            if lo is None:
+                return np.asarray(ex.dss_T(jnp.asarray(
+                    rng.standard_normal(shp).astype(np.float32)))) * scale
+            return np.asarray(ex.dss_T(jnp.asarray(
+                rng.uniform(lo, lo + 1.0, shp).astype(np.float32))))
+
+        r = consistent()
+        Ap = consistent()
+        p = consistent()
+        inv = consistent(lo=0.5)
+        x = rng.standard_normal(shp).astype(np.float32)
+        w = np.asarray(ex.weights.T, dtype=np.float32)
+        alpha_prev, beta = 0.4, 0.7
+
+        r_n, p_n, Ap_n, x_n, parts = kAB(
+            jnp.asarray(r), jnp.asarray(Ap), jnp.asarray(p),
+            jnp.asarray(x), jnp.asarray(inv), jnp.asarray(w),
+            alpha_prev, beta)
+        assert parts.shape == (G, 5)
+
+        exp_r = r - alpha_prev * Ap
+        np.testing.assert_allclose(np.asarray(r_n), exp_r,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x_n), x + alpha_prev * p,
+                                   rtol=1e-5, atol=1e-5)
+        exp_p = inv * exp_r + beta * p
+        np.testing.assert_allclose(np.asarray(p_n), exp_p,
+                                   rtol=1e-4, atol=1e-4)
+        exp_Ap = np.asarray(A_xla(jnp.asarray(exp_p)))
+        scale = np.abs(exp_Ap).max()
+        assert np.abs(np.asarray(Ap_n) - exp_Ap).max() / scale < 1e-4
+
+        d = np.asarray(jnp.sum(parts, axis=0))
+        exp = [
+            float(ex.dot_T(jnp.asarray(exp_p), jnp.asarray(exp_Ap))),
+            float(np.sum(w * exp_r * (inv * exp_Ap))),
+            float(np.sum(w * exp_Ap * (inv * exp_Ap))),
+            float(np.sum(w * exp_r * (inv * exp_r))),
+            float(np.sum(w * exp_r * exp_r)),
+        ]
+        for j, e in enumerate(exp):
+            assert abs(d[j] - e) / max(abs(e), 1e-6) < 1e-3, (j, d[j], e)
+
+    def test_solve_local_matches_plain(self):
+        prob = _setup()
+        sol_plain = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                     cg_kernel="plain")
+        sol_1 = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                 cg_kernel="fused1-interpret")
+        assert bool(sol_1.cg.converged)
+        scale = np.abs(sol_plain.u).max()
+        assert np.abs(sol_1.u - sol_plain.u).max() / scale < 1e-4
+        assert abs(int(sol_1.cg.iterations)
+                   - int(sol_plain.cg.iterations)) <= 3
+
+    def test_bf16_direction_mode(self):
+        prob = _setup()
+        sol_plain = prob.solve_local(tol=1e-5, vector_layout="ne",
+                                     cg_kernel="plain")
+        sol_1 = prob.solve_local(tol=1e-5, vector_layout="ne",
+                                 cg_kernel="fused1-interpret",
+                                 p_dtype=jnp.bfloat16)
+        assert bool(sol_1.cg.converged)
+        scale = np.abs(sol_plain.u).max()
+        assert np.abs(sol_1.u - sol_plain.u).max() / scale < 1e-3
+        assert (int(sol_1.cg.iterations)
+                <= int(sol_plain.cg.iterations) + 15)
+
+    def test_deferred_solve_matches_plain(self):
+        prob = _setup()
+        sol_plain = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                     cg_kernel="plain")
+        sol_d = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                 cg_kernel="fused1-interpret", defer_x=4)
+        assert bool(sol_d.cg.converged)
+        scale = np.abs(sol_plain.u).max()
+        assert np.abs(sol_d.u - sol_plain.u).max() / scale < 1e-4
+        assert abs(int(sol_d.cg.iterations)
+                   - int(sol_plain.cg.iterations)) <= 3
+
+    def test_recurrence_dots_track_direct(self):
+        """rz/rn2 recurrences stay within f32 drift of direct dots."""
+        from spectralelementmethod_tpu.solver.cg import (
+            _cg_fused_kernels_single)
+
+        prob = _setup()
+        ex, kAB, G, A_xla = _single_pieces(prob)
+        free = jnp.asarray(np.ascontiguousarray(
+            (~prob._dirichlet_mask)[ex.gather_hier].T))
+        diagL = jnp.asarray(np.ascontiguousarray(
+            np.asarray(prob.operator_diagonal())[ex.gather_hier]
+            .astype(np.float32).T))
+        inv = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0),
+                        0.0)
+        w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+        w_free = jnp.where(free, w, 0.0)
+        b = np.asarray(prob._b) + prob._neumann
+        bL = jnp.asarray(np.ascontiguousarray(
+            b[ex.gather_hier].astype(np.float32).T))
+        r0 = jnp.where(free, bL, 0.0)
+
+        init_k, block_k = _cg_fused_kernels_single(kAB)
+        state = init_k(r0, inv, w_free, jnp.asarray(0.0, jnp.float32),
+                       jnp.asarray(0.0, jnp.float32),
+                       jnp.asarray(50, jnp.int32))
+        state = block_k(20, state, inv, w_free)
+        # the carried rn2/rz_exact are DIRECT dots of the carried r
+        # (computed in-kernel); only summation order differs
+        r_cur = state[1]
+        rn2_direct = float(jnp.sum(w_free.astype(jnp.float32)
+                                   * r_cur * r_cur))
+        rz_direct = float(jnp.sum(w_free.astype(jnp.float32) * r_cur
+                                  * (inv.astype(jnp.float32) * r_cur)))
+        assert abs(float(state[8]) - rn2_direct) <= 1e-5 * rn2_direct \
+            + 1e-30
+        assert abs(float(state[5]) - rz_direct) <= 1e-5 * abs(rz_direct) \
+            + 1e-30
+        # the one-step rz prediction (state[4], feeds the next beta):
+        # within fp noise of the direct dot on the predicted residual
+        r_nxt = state[1] - state[6] * state[3]
+        rz_nxt = float(jnp.sum(w_free.astype(jnp.float32) * r_nxt
+                               * (inv.astype(jnp.float32) * r_nxt)))
+        assert abs(float(state[4]) - rz_nxt) <= 1e-4 * abs(rz_nxt) \
+            + 1e-3 * float(state[5])
+
+    def test_single_takes_no_kb(self):
+        prob = _setup()
+        ex, kAB, G, _ = _single_pieces(prob)
+        _, _, kB, _, _ = _fused_pieces(prob)
+        r = jnp.zeros((kAB._prep.n, kAB._prep.E), jnp.float32)
+        one = jnp.ones_like(r)
+        with pytest.raises(ValueError, match="kB=None"):
+            cg_fused(kAB, kB, r, inv=one, w_free=one)
