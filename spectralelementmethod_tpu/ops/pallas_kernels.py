@@ -761,9 +761,23 @@ class _AffineFusedPrep:
         ]
 
 
+def affine_tile_window(n: int, n_rhs: int) -> int:
+    """Default VMEM lane-window budget for the batched affine kernel.
+
+    Resident per-lane f32 rows: the stacked u window (k*n), the output
+    center (k*n), per-RHS transients (V 3n + S n, sequential so counted
+    once), the affine window (3) and masks.  Sized to ~11.5 MB of the
+    16 MB scoped-vmem stack, floored to the 128-lane tiler granularity.
+    """
+    rows = (2 * n_rhs + 5) * n
+    win = int(11.5e6 / (4 * rows)) // 128 * 128
+    return max(win, 384)
+
+
 def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
+                                  n_rhs: int = 1,
                                   precision: str = "highest",
-                                  target_win: int = 4608,
+                                  target_win: int | None = None,
                                   max_halo="auto",
                                   interpret: bool = False):
     """Fully-fused transposed-storage apply+DSS kernel (affine meshes).
@@ -788,30 +802,59 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
     ``Kcat``: (n, 3n) assembled symmetric element-stiffness blocks
     (``..ops.sumfac.make_affine_element_matrices`` in the exchange's
     local node order).  ``a``: (E, 3) affine factor scales.
+
+    ``n_rhs > 1``: the batched twin of the general kernel's multi-RHS
+    mode — acts on ``n_rhs`` sublane-stacked (n, E) L-vectors as one
+    (k*n, E) array, amortizing the class-mask stream, the affine window
+    and the kernel-launch boundary across the batch (per-RHS dot/DSS
+    work is unchanged; the affine factors themselves are tiny, so the
+    amortization is smaller than the general kernel's).  Full halo only
+    for k > 1 (no far split); batched RHS arise from
+    :func:`..solver.cg.cg_batched` / ``Poisson.solve_local_batch``.
     """
     from ..utils.hoist import ensure_recursion_headroom
 
     ensure_recursion_headroom()
+    if n_rhs < 1:
+        raise ValueError(f"n_rhs must be >= 1, got {n_rhs}")
+    k_rhs = n_rhs
+    if target_win is None:
+        target_win = (4608 if k_rhs == 1
+                      else affine_tile_window(Kcat.shape[0], k_rhs))
+    if k_rhs > 1:
+        max_halo = None       # far split is single-RHS machinery
     prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
                             max_halo)
     n, E, G = prep.n, prep.E, prep.G
     KT, M, aT = prep.KT, prep.M, prep.aT
+    kn = k_rhs * n
 
     def kernel(uL_ref, uC_ref, uR_ref, aL_ref, aC_ref, aR_ref, K_ref,
                m_ref, out_ref, *aux_ref):
-        u_win = jnp.concatenate([uL_ref[:], uC_ref[:], uR_ref[:]], axis=1)
         a_win = jnp.concatenate([aL_ref[:], aC_ref[:], aR_ref[:]], axis=1)
-        V = prep.dot_window(K_ref, u_win)
-        S = prep.affine_reduce(a_win, V)
-        out_ref[:] = prep.roll_dss(S, m_ref).astype(out_ref.dtype)
-        if aux_ref:
-            aux_ref[0][:] = prep.aux_extract(S)
+        outs = []
+        for j in range(k_rhs):
+            sl = slice(j * n, (j + 1) * n)
+            u_win = jnp.concatenate(
+                [uL_ref[sl], uC_ref[sl], uR_ref[sl]], axis=1)
+            V = prep.dot_window(K_ref, u_win)
+            S = prep.affine_reduce(a_win, V)
+            outs.append(prep.roll_dss(S, m_ref))
+            if aux_ref:
+                aux_ref[0][:] = prep.aux_extract(S)
+        out = outs[0] if k_rhs == 1 else jnp.concatenate(outs, axis=0)
+        out_ref[:] = out.astype(out_ref.dtype)
 
-    specs = (prep.halo_triple(n) + prep.halo_triple(3) + prep.const_specs())
-    out_spec = prep.center_spec(n)
+    specs = (prep.halo_triple(kn) + prep.halo_triple(3)
+             + prep.const_specs())
+    out_spec = prep.center_spec(kn)
 
     def apply_local_dss(uT):
-        shapes = jax.ShapeDtypeStruct((n, E), uT.dtype)
+        if uT.shape != (kn, E):
+            raise ValueError(
+                f"expected ({kn}, {E}) sublane-stacked input "
+                f"(n_rhs={k_rhs}), got {uT.shape}")
+        shapes = jax.ShapeDtypeStruct((kn, E), uT.dtype)
         o_specs = out_spec
         if prep.has_far:
             shapes = (shapes,
@@ -831,6 +874,7 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
         return res
 
     apply_local_dss._prep = prep      # introspection (tests, bench)
+    apply_local_dss._n_rhs = k_rhs
     # hoisting Pallas operands to runtime jit parameters aborts the TPU
     # runtime (see utils/hoist.py) — keep captures as inline literals
     apply_local_dss._no_hoist = True

@@ -792,10 +792,12 @@ def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
     per-element, one RHS: ``sem/discrete.py:502-528``).
 
     ``backend``: 'auto' (fused kernel when admissible on TPU, else XLA
-    vmap), 'fused', 'fused-interpret', or 'xla'.  ``structure`` defaults
-    to 'general' — the batched kernel's reason to exist; 'auto'/'affine'
-    forward to the single-RHS affine machinery under vmap.
-    ``free_local``: optional (n, E) mask applied per RHS.
+    vmap), 'fused', 'fused-interpret', or 'xla'.  ``structure``: 'auto'
+    detects affine meshes and routes them through the batched AFFINE
+    fused kernel (``make_fused_affine_laplacian_T(n_rhs=k)`` — shared
+    mask/affine streams, one launch per tile for the whole batch);
+    'general' forces the full-factor kernel, 'affine' requires an affine
+    mesh.  ``free_local``: optional (n, E) mask applied per RHS.
     """
     import jax
 
@@ -816,28 +818,50 @@ def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
                              f"compute_dtype (got {compute_dtype})")
         backend = "xla"
     if backend in ("auto", "fused", "fused-interpret"):
-        if structure == "auto":
-            # affine meshes are better served by the 3-scalar compressed
-            # factors under vmap (nothing to amortize); the fused general
-            # kernel engages only when the factors are genuinely full
-            import numpy as np
+        import numpy as np
 
+        affine_a = None
+        if structure in ("auto", "affine"):
             Wgrid = exchange.disc.basis.weight_grid().reshape(-1)
-            _a, affine = affine_factorization(np.asarray(Gf), Wgrid)
-        else:
-            affine = structure != "general"
-        want = backend != "auto" or (not affine
-                                     and dt == jnp.float32
+            a, exact = affine_factorization(np.asarray(Gf), Wgrid)
+            if exact:
+                affine_a = a
+            elif structure == "affine":
+                raise ValueError("mesh is not affine but "
+                                 "structure='affine'")
+        affine = affine_a is not None
+        want = backend != "auto" or (dt == jnp.float32
                                      and pallas_kernels.supported())
         if backend != "auto" and dt != jnp.float32:
             raise ValueError(
                 f"fused backend requires float32 factors, got {dt}")
         if want:
             try:
-                fused = pallas_kernels.make_fused_general_laplacian_T(
-                    exchange, Gf, Dhat, n_rhs=n_rhs, precision=precision,
-                    interpret=backend == "fused-interpret")
+                if affine:
+                    Kcat = make_affine_element_matrices(
+                        np.asarray(Dhat), Wgrid, order=exchange.hier)
+                    fused = pallas_kernels.make_fused_affine_laplacian_T(
+                        exchange, Kcat, affine_a, n_rhs=n_rhs,
+                        precision=precision,
+                        interpret=backend == "fused-interpret")
+                else:
+                    fused = pallas_kernels.make_fused_general_laplacian_T(
+                        exchange, Gf, Dhat, n_rhs=n_rhs,
+                        precision=precision,
+                        interpret=backend == "fused-interpret")
+                prep_f = fused._prep
+                if (backend == "auto" and n_rhs > 1
+                        and 2 * prep_f.Hb / prep_f.TE > 0.75):
+                    # batched kernels are full-halo only; when the
+                    # k-fold-shrunk VMEM window leaves the halo
+                    # redundancy in the measured loss regime, the
+                    # vmapped XLA path wins (use panel element order
+                    # to shrink the halo instead)
+                    raise ValueError(
+                        f"degenerate batched-fused window "
+                        f"(TE={prep_f.TE}, Hb={prep_f.Hb})")
             except ValueError:
+                fused = None
                 if backend != "auto":
                     raise
     elif backend != "xla":

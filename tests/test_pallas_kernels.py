@@ -186,6 +186,92 @@ class TestFusedAffineT:
                                vector_layout="ne")
         assert bool(sol.cg.converged)
 
+    def _affine_pieces(self, nx, ny, p):
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        mesh = rectangle_mesh(nx, ny, p)
+        disc = Discretization(mesh, gll_basis_2d(p))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        return ex, Gf, Dhat, Kcat, a
+
+    def test_multi_rhs_slices_match_single(self):
+        """Batched (k*n, E) apply == k independent single-RHS applies."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        ex, _Gf, _Dhat, Kcat, a = self._affine_pieces(16, 16, 3)
+        n, E = ex.n_loc, ex.E
+        one = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=128, interpret=True)
+        batched = make_fused_affine_laplacian_T(
+            ex, Kcat, a, n_rhs=3, target_win=128, interpret=True)
+        rng = np.random.RandomState(17)
+        U = jnp.asarray(rng.standard_normal((3 * n, E)).astype(np.float32))
+        got = np.asarray(batched(U))
+        expected = np.concatenate(
+            [np.asarray(one(U[j * n:(j + 1) * n])) for j in range(3)],
+            axis=0)
+        scale = np.abs(expected).max()
+        assert np.abs(got - expected).max() / scale < 1e-6
+
+    def test_multi_rhs_auto_window(self):
+        """Default target_win (affine_tile_window) admits the tiling."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        ex, _Gf, _Dhat, Kcat, a = self._affine_pieces(32, 16, 3)
+        n, E = ex.n_loc, ex.E
+        batched = make_fused_affine_laplacian_T(
+            ex, Kcat, a, n_rhs=4, interpret=True)
+        one = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=3840, interpret=True)
+        rng = np.random.RandomState(18)
+        U = jnp.asarray(rng.standard_normal((4 * n, E)).astype(np.float32))
+        got = np.asarray(batched(U))
+        for j in range(4):
+            expected = np.asarray(one(U[j * n:(j + 1) * n]))
+            sl = got[j * n:(j + 1) * n]
+            assert (np.abs(sl - expected).max()
+                    / np.abs(expected).max()) < 1e-6
+
+    def test_multi_rhs_bad_shape_raises(self):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        ex, _Gf, _Dhat, Kcat, a = self._affine_pieces(16, 8, 3)
+        fused = make_fused_affine_laplacian_T(ex, Kcat, a, n_rhs=2,
+                                              interpret=True)
+        with pytest.raises(ValueError, match="sublane-stacked"):
+            fused(jnp.zeros((ex.n_loc, ex.E), jnp.float32))
+
+    def test_multi_rhs_dispatcher_routes_affine(self):
+        """make_multi_rhs_laplacian_T(structure='auto') on an affine mesh
+        engages the batched AFFINE fused kernel and matches the vmapped
+        XLA path."""
+        ex, Gf, Dhat, _Kcat, _a = self._affine_pieces(16, 16, 3)
+        n, E = ex.n_loc, ex.E
+        A_b = sumfac.make_multi_rhs_laplacian_T(
+            ex, Gf, Dhat, 2, backend="fused-interpret", structure="auto")
+        assert getattr(A_b, "_fused", None) is not None
+        assert A_b._fused._n_rhs == 2
+        A_1 = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+        rng = np.random.RandomState(19)
+        U = jnp.asarray(rng.standard_normal((2, n, E)).astype(np.float32))
+        got = np.asarray(A_b(U))
+        for j in range(2):
+            expected = np.asarray(A_1(U[j]))
+            scale = np.abs(expected).max()
+            assert np.abs(got[j] - expected).max() / scale < 1e-5
+
     def test_high_precision_bf16x3(self):
         """'high' = in-kernel bf16x3 decomposition: ~1e-6 relative error
         vs the f32 'highest' result."""
