@@ -771,6 +771,32 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
     return apply
 
 
+def _chunked_batched_apply(f_chunk, f_rem, n_rhs, chunk, n, E):
+    """Apply a batched kernel in chunks of ``chunk`` RHS (+ a remainder
+    kernel): sequential launches inside one jit keep each kernel's VMEM
+    lane window large (see the measured policy note at the call site).
+    Acts on the same (n_rhs*n, E) sublane-stacked array as a whole-batch
+    kernel."""
+    n_full = n_rhs // chunk
+
+    def apply(U):
+        if U.shape != (n_rhs * n, E):
+            raise ValueError(
+                f"expected ({n_rhs * n}, {E}) sublane-stacked input "
+                f"(n_rhs={n_rhs}), got {U.shape}")
+        outs = [f_chunk(U[c * chunk * n:(c + 1) * chunk * n])
+                for c in range(n_full)]
+        if f_rem is not None:
+            outs.append(f_rem(U[n_full * chunk * n:]))
+        return jnp.concatenate(outs, axis=0)
+
+    apply._prep = f_chunk._prep
+    apply._n_rhs = n_rhs
+    apply._chunk = chunk
+    apply._no_hoist = True
+    return apply
+
+
 def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
                                free_local=None,
                                backend: str = "auto",
@@ -838,12 +864,31 @@ def make_multi_rhs_laplacian_T(exchange, Gf, Dhat, n_rhs: int,
         if want:
             try:
                 if affine:
+                    # chunk the batch at k=2 for the multi-pass dot
+                    # precisions: the k-fold-shrunk VMEM window inflates
+                    # the halo-window MXU work faster than the shared
+                    # mask/affine streams amortize (measured at p=8/100k
+                    # `highest`: 0.33 ms/RHS at k=2 vs 0.46 at k=4, 0.54
+                    # at k=8, 0.91 vmapped-XLA; at `default` the dots are
+                    # single-pass and whole-batch streaming wins: 0.28 at
+                    # k=8 — scripts/measure_batched_affine.py)
+                    chunk = (2 if precision in ("highest", "high")
+                             and n_rhs > 2 else n_rhs)
                     Kcat = make_affine_element_matrices(
                         np.asarray(Dhat), Wgrid, order=exchange.hier)
-                    fused = pallas_kernels.make_fused_affine_laplacian_T(
-                        exchange, Kcat, affine_a, n_rhs=n_rhs,
-                        precision=precision,
-                        interpret=backend == "fused-interpret")
+                    mk = pallas_kernels.make_fused_affine_laplacian_T
+                    fused = mk(exchange, Kcat, affine_a, n_rhs=chunk,
+                               precision=precision,
+                               interpret=backend == "fused-interpret")
+                    if chunk != n_rhs:
+                        rem = n_rhs % chunk
+                        f_rem = (mk(exchange, Kcat, affine_a, n_rhs=rem,
+                                    precision=precision,
+                                    interpret=backend
+                                    == "fused-interpret")
+                                 if rem else None)
+                        fused = _chunked_batched_apply(
+                            fused, f_rem, n_rhs, chunk, n, E)
                 else:
                     fused = pallas_kernels.make_fused_general_laplacian_T(
                         exchange, Gf, Dhat, n_rhs=n_rhs,
