@@ -764,7 +764,7 @@ class Poisson(BoundaryConditionMixin):
         """3D branch of :meth:`solve_local_batch`: whole-batch CG with
         the vmapped 3D operator (no fused 3D kernels, by design —
         TODO.md design note)."""
-        if cg_kernel not in ("plain",):
+        if cg_kernel not in ("auto", "plain"):
             raise ValueError("3D batched solves support cg_kernel="
                              "'plain' only (no fused 3D kernels)")
         disc = self.disc

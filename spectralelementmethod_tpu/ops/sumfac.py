@@ -230,6 +230,34 @@ def laplacian_apply_local_3d_separable(ue, a, K0, K1, K2, w0, w1, w2):
     return s[:, 0] * t0 + s[:, 3] * t1 + s[:, 5] * t2
 
 
+def laplacian_apply_local_3d_separable_T(uT, aT, K0, K1, K2, w0, w1, w2):
+    """Separable affine local 3D weak Laplacian, TRANSPOSED storage.
+
+    The (n_loc, E) twin of :func:`laplacian_apply_local_3d_separable`:
+    elements ride the trailing (lane) axis so every contraction and
+    elementwise op runs on full 128-lane rows (the (E, p0, p1, p2)
+    layout leaves the p2-wide trailing dim at p2/128 lane occupancy).
+    ``uT``: (n_loc, E) lex-ordered; ``aT``: (6, E) scales (only rows
+    0, 3, 5 used — caller must verify the cross terms vanish).
+    """
+    shape = (len(w0), len(w1), len(w2))
+    n_loc = uT.shape[0]
+    u = uT.reshape(shape + (-1,))
+    w12 = (w1[:, None] * w2[None, :])[None, :, :, None].astype(uT.dtype)
+    w02 = (w0[:, None] * w2[None, :])[:, None, :, None].astype(uT.dtype)
+    w01 = (w0[:, None] * w1[None, :])[:, :, None, None].astype(uT.dtype)
+    t0 = jnp.einsum("ma,abce->mbce", K0, u,
+                    precision="highest") * w12
+    t1 = jnp.einsum("nb,abce->ance", K1, u,
+                    precision="highest") * w02
+    t2 = jnp.einsum("kc,abce->abke", K2, u,
+                    precision="highest") * w01
+    s = aT.astype(uT.dtype)
+    v = s[0] * t0.reshape(n_loc, -1) + s[3] * t1.reshape(n_loc, -1) \
+        + s[5] * t2.reshape(n_loc, -1)
+    return v
+
+
 def laplacian_apply_local_3d_affine(ue, a, W3, D0, D1, D2):
     """Affine-mesh local 3D weak Laplacian.
 

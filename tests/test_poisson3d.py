@@ -440,6 +440,31 @@ class TestSeparableAffineApply:
         np.testing.assert_allclose(np.asarray(v_sep), np.asarray(v_gen),
                                    rtol=1e-10, atol=1e-12)
 
+    def test_separable_transposed_matches(self):
+        """(n, E)-storage twin of the separable apply (priced a 2.2x
+        LOSS on TPU round-2l; kept for the transposed-exchange tests)."""
+        import jax.numpy as jnp
+
+        from spectralelementmethod_tpu.ops import sumfac
+
+        prob, disc, shape, W3, a = self._parts()
+        D = [prob._D0, prob._D1, prob._D2]
+        ws = [np.asarray(disc.basis.subbases[d].quad_wts)
+              for d in range(3)]
+        Ks = [jnp.asarray(sumfac.assembled_1d_stiffness(
+            np.asarray(D[d]), ws[d])) for d in range(3)]
+        wds = [jnp.asarray(w) for w in ws]
+        rng = np.random.RandomState(0)
+        ue = rng.standard_normal((disc.E,) + shape)
+        v_sep = sumfac.laplacian_apply_local_3d_separable(
+            jnp.asarray(ue), jnp.asarray(a), *Ks, *wds)
+        vT = sumfac.laplacian_apply_local_3d_separable_T(
+            jnp.asarray(ue.reshape(disc.E, -1).T.copy()),
+            jnp.asarray(a.T.copy()), *Ks, *wds)
+        np.testing.assert_allclose(
+            np.asarray(vT).T, np.asarray(v_sep).reshape(disc.E, -1),
+            rtol=1e-10, atol=1e-12)
+
     def test_solve_local_engages_separable_and_matches(self):
         """solve_local auto-selects the separable operator on box meshes
         and still reproduces the manufactured solution."""
