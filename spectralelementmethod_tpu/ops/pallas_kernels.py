@@ -210,6 +210,20 @@ def fused_affine_pad(E: int, H: int, target_win: int = 4608) -> int:
     return -(-E // TE) * TE
 
 
+def _scale_win(base: int, n: int) -> int:
+    """Scale a p=8-calibrated (n=81 rows) lane-window default to ``n``.
+
+    The measured sweet-spot windows (4608 lanes for the plain apply,
+    3072/1536 for the CG pair, ...) bound *bytes* of per-lane VMEM
+    state, which grows linearly with the sublane row count n = (p+1)^2;
+    higher orders must shrink the lane window proportionally or the
+    kernel overflows the 16 MB scoped-vmem stack (observed at p=12:
+    a 4608-lane window costs 21 MB).  Floored to the 128-lane tiler
+    granularity, never below 384.
+    """
+    return max(384, int(base * 81 / n) // 128 * 128)
+
+
 def _periodic_mask_params(mb) -> tuple | None:
     """Recognize a roll-class mask as a periodic iota predicate.
 
@@ -419,6 +433,24 @@ class _AffineFusedPrep:
             self.M = (jnp.asarray(np.stack(rows, axis=0)) if rows
                       else jnp.zeros((1, E), jnp.float32))   # (C_row, E)
             self.n_mask_rows = self.M.shape[0]
+        # procedural kinds for the FAR class masks (same detection as the
+        # near masks above) — consumed by the aliased far-row update
+        # kernel (:func:`make_far_update_kernel`); rows that don't fit a
+        # periodic form stream as M_far rows
+        self.far_mask_kinds = []
+        far_rows = []
+        for m in ([m for *_c, m in self._far_edge]
+                  + [m for *_c, m in self._far_vert]):
+            mb = np.asarray(m, bool)
+            kind = (None if mb[Ereal:].any()
+                    else _periodic_mask_params(mb[:Ereal]))
+            if kind is None:
+                kind = ("row", len(far_rows))
+                far_rows.append(mb.astype(np.float32))
+            self.far_mask_kinds.append(kind)
+        self.M_far = (jnp.asarray(np.stack(far_rows, axis=0)) if far_rows
+                      else jnp.zeros((1, E), jnp.float32))
+        self.n_far_mask_rows = self.M_far.shape[0]
         self._far_edge = [(d, s, dl, f, jnp.asarray(np.asarray(m)))
                           for d, s, dl, f, m in self._far_edge]
         self._far_vert = [(d, s, dl, jnp.asarray(np.asarray(m)))
@@ -529,6 +561,59 @@ class _AffineFusedPrep:
             preferred_element_type=jnp.float32, precision=self.prec)
 
     # ---- in-kernel building blocks (traced inside kernel bodies) --------
+
+    def lane_masker(self, TL: int, m_ref):
+        """In-kernel class-mask application for a ``TL``-lane center block.
+
+        Returns ``masked_src(src, kind)``: zero the lanes a roll-class
+        mask excludes — synthesized from the tile's global element iota
+        for procedural kinds, read from the ``m_ref`` operand row
+        otherwise.  ``TL`` is the center-block lane count (``self.TE``
+        for the main kernels; the far-update kernel uses its own tile).
+        Must be called inside a kernel body (uses ``pl.program_id``).
+        """
+        # global element index of each center-block lane; the mod by each
+        # distinct period is shared across classes
+        g_lane = (pl.program_id(0) * TL
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, TL), 1))
+        gmod_cache: dict[int, jnp.ndarray] = {}
+
+        def i32(v):
+            # int32 literals: a bare Python int materializes as an i64[]
+            # scalar under x64 (the squirmer stage enables it process-
+            # wide), and Mosaic's i64->i32 convert lowering recurses
+            # forever (observed RecursionError at 1M elements)
+            return jnp.int32(v)
+
+        def kind_keep(kind):
+            """Lane-keep predicate of a procedural kind (None = all)."""
+            if kind[0] == "all":
+                return None
+            if kind[0] == "run":
+                _, s0, L = kind
+                return (g_lane < i32(s0)) | (g_lane >= i32(s0 + L))
+            if kind[0] == "iota":
+                _, s0, P, L = kind
+                if P not in gmod_cache:
+                    gmod_cache[P] = g_lane % i32(P)
+                gm = gmod_cache[P]
+                return (gm < i32(s0)) | (gm >= i32(s0 + L))
+            _, k1, k2 = kind                    # "and"
+            return kind_keep(k1) & kind_keep(k2)
+
+        def masked_src(src, kind):
+            if kind[0] == "row":
+                i = kind[1]
+                return src * m_ref[i:i + 1, :]
+            keep = kind_keep(kind)
+            if self.pad_cut is not None:
+                cut = g_lane < i32(self.pad_cut)
+                keep = cut if keep is None else keep & cut
+            if keep is None:
+                return src
+            return jnp.where(keep, src, 0.0)
+
+        return masked_src
 
     def aux_extract(self, S):
         """Raw pre-DSS source rows needed by the far-class epilogue:
@@ -665,47 +750,7 @@ class _AffineFusedPrep:
         """
         ne, TE, Hb = self.ne, self.TE, self.Hb
         oe, ov, oi = self.oe, self.ov, self.oi
-        # global element index of each center-block lane; the mod by each
-        # distinct period is shared across classes
-        g_lane = (pl.program_id(0) * TE
-                  + jax.lax.broadcasted_iota(jnp.int32, (1, TE), 1))
-        gmod_cache: dict[int, jnp.ndarray] = {}
-
-        def i32(v):
-            # int32 literals: a bare Python int materializes as an i64[]
-            # scalar under x64 (the squirmer stage enables it process-
-            # wide), and Mosaic's i64->i32 convert lowering recurses
-            # forever (observed RecursionError at 1M elements)
-            return jnp.int32(v)
-
-        def kind_keep(kind):
-            """Lane-keep predicate of a procedural kind (None = all)."""
-            if kind[0] == "all":
-                return None
-            if kind[0] == "run":
-                _, s0, L = kind
-                return (g_lane < i32(s0)) | (g_lane >= i32(s0 + L))
-            if kind[0] == "iota":
-                _, s0, P, L = kind
-                if P not in gmod_cache:
-                    gmod_cache[P] = g_lane % i32(P)
-                gm = gmod_cache[P]
-                return (gm < i32(s0)) | (gm >= i32(s0 + L))
-            _, k1, k2 = kind                    # "and"
-            return kind_keep(k1) & kind_keep(k2)
-
-        def masked_src(src, kind):
-            if kind[0] == "row":
-                i = kind[1]
-                return src * m_ref[i:i + 1, :]
-            keep = kind_keep(kind)
-            if self.pad_cut is not None:
-                cut = g_lane < i32(self.pad_cut)
-                keep = cut if keep is None else keep & cut
-            if keep is None:
-                return src
-            return jnp.where(keep, src, 0.0)
-
+        masked_src = self.lane_masker(TE, m_ref)
         kinds = self.mask_kinds
         edge_out = [S[oe + f * ne: oe + (f + 1) * ne, Hb:Hb + TE]
                     for f in range(4)]
@@ -774,11 +819,121 @@ def affine_tile_window(n: int, n_rhs: int) -> int:
     return max(win, 384)
 
 
+def make_far_update_kernel(prep, *, target_win: int = 16384,
+                           interpret: bool = False):
+    """Aliased far-row update: add far-class DSS contributions in place.
+
+    The far-class epilogue previously ran in XLA (``prep.apply_far``):
+    roll the (n_aux, E) raw source rows, mask, and REBUILD the whole
+    (n, E) output with a row concat — a full extra read+write of the
+    result array (~2 HBM passes, the measured 1.3-2 ms "far tax" at 1M
+    elements).  This kernel eliminates the rebuild:
+
+    - the output buffer is **aliased in place** (``input_output_aliases``)
+      and the grid covers only the leading ``rows_t`` rows (edge blocks +
+      vertices, padded to the 8-row f32 sublane tile) — the interior
+      rows, ~60% of the array at p=8, are never touched (uncovered
+      output blocks of an aliased buffer retain their contents);
+    - the far-class **rolls become shifted window reads**: the aux rows
+      stream through a (n_aux, TU + 2·Hfb) halo window exactly like the
+      main kernel's u window, and each class reads its source block at
+      lane offset ``Hfb + delta`` — no XLA roll, no materialized rolled
+      copies.  Lanes whose true source crosses the array edge are zeroed
+      by the class masks (procedural where periodic, streamed rows
+      otherwise), which also covers the clamped border blocks.
+
+    Traffic: ``rows_t`` read + ``rows_t`` written + ~1.25 aux windows +
+    mask rows ≈ 1.1 passes of the (n, E) array vs ~2-3 for the XLA
+    epilogue, and the near kernel keeps its small (Hb=128) halo window.
+
+    Returns ``update(out, aux) -> (n, E)`` (f32 only), or ``None`` when
+    inapplicable (no far classes, verts-last layout, or no admissible
+    (TU, Hfb) tiling for the aux window).
+    """
+    if not prep.has_far or prep.oe != 0:
+        return None
+    n, E, ne = prep.n, prep.E, prep.ne
+    ov, oi = prep.ov, prep.oi
+    deltas = ([abs(c[2]) for c in prep._far_edge]
+              + [abs(c[2]) for c in prep._far_vert])
+    tile = fused_affine_tile_shape(E, max(deltas), target_win)
+    if tile is None:
+        return None
+    TU, Hfb = tile
+    G2, k2 = E // TU, TU // Hfb
+    rows_t = min(n, -(-oi // 8) * 8)
+    n_aux = prep.n_aux
+    far_edge = [(d, s, int(dl), bool(f))
+                for d, s, dl, f, _m in prep._far_edge]
+    far_vert = [(d, s, int(dl)) for d, s, dl, _m in prep._far_vert]
+    kinds = prep.far_mask_kinds
+    aux_row = prep._aux_row
+
+    def kernel(o_ref, aL, aC, aR, m_ref, out_ref):
+        aux_win = jnp.concatenate([aL[:], aC[:], aR[:]], axis=1)
+        masked_src = prep.lane_masker(TU, m_ref)
+        eblk = [o_ref[f * ne:(f + 1) * ne] for f in range(4)]
+        ci = 0
+        for d_f, s_f, delta, flip in far_edge:
+            r0 = aux_row[("e", s_f)]
+            src = aux_win[r0:r0 + ne, Hfb + delta:Hfb + delta + TU]
+            if flip:
+                src = src[::-1]
+            eblk[d_f] = eblk[d_f] + masked_src(src, kinds[ci])
+            ci += 1
+        vrows = [o_ref[ov + v:ov + v + 1] for v in range(4)]
+        for d_s, s_s, delta in far_vert:
+            r0 = aux_row[("v", s_s)]
+            src = aux_win[r0:r0 + 1, Hfb + delta:Hfb + delta + TU]
+            vrows[d_s] = vrows[d_s] + masked_src(src, kinds[ci])
+            ci += 1
+        parts = eblk + vrows
+        if rows_t > oi:
+            parts.append(o_ref[oi:rows_t])
+        out_ref[:] = jnp.concatenate(parts, axis=0)
+
+    o_spec = pl.BlockSpec((rows_t, TU), _im32(lambda i: (0, i)),
+                          memory_space=pltpu.VMEM)
+    aux_specs = [
+        pl.BlockSpec((n_aux, Hfb),
+                     _im32(lambda i: (0, jnp.maximum(i * k2 - 1, 0))),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_aux, TU), _im32(lambda i: (0, i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (n_aux, Hfb),
+            _im32(lambda i: (0, jnp.minimum((i + 1) * k2, G2 * k2 - 1))),
+            memory_space=pltpu.VMEM),
+    ]
+    m_spec = pl.BlockSpec((prep.n_far_mask_rows, TU),
+                          _im32(lambda i: (0, i)),
+                          memory_space=pltpu.VMEM)
+
+    def update(out, aux):
+        if out.dtype != jnp.float32:
+            raise ValueError("far-update kernel is float32-only")
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, E), out.dtype),
+            grid=(G2,),
+            in_specs=[o_spec] + aux_specs + [m_spec],
+            out_specs=o_spec,
+            input_output_aliases={0: 0},
+            interpret=interpret,
+        )(out, aux, aux, aux, prep.M_far)
+
+    update._tile = (TU, Hfb)
+    update._rows_t = rows_t
+    update._no_hoist = True
+    return update
+
+
 def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
                                   n_rhs: int = 1,
                                   precision: str = "highest",
                                   target_win: int | None = None,
                                   max_halo="auto",
+                                  far_mode: str = "auto",
                                   interpret: bool = False):
     """Fully-fused transposed-storage apply+DSS kernel (affine meshes).
 
@@ -811,6 +966,11 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
     amortization is smaller than the general kernel's).  Full halo only
     for k > 1 (no far split); batched RHS arise from
     :func:`..solver.cg.cg_batched` / ``Poisson.solve_local_batch``.
+
+    ``far_mode``: how far-split classes (when ``max_halo`` engages) are
+    applied — 'kernel' = the aliased in-place far-row update
+    (:func:`make_far_update_kernel`), 'xla' = the concat-rebuild
+    epilogue (``prep.apply_far``), 'auto' = kernel when buildable.
     """
     from ..utils.hoist import ensure_recursion_headroom
 
@@ -819,7 +979,7 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
         raise ValueError(f"n_rhs must be >= 1, got {n_rhs}")
     k_rhs = n_rhs
     if target_win is None:
-        target_win = (4608 if k_rhs == 1
+        target_win = (_scale_win(4608, Kcat.shape[0]) if k_rhs == 1
                       else affine_tile_window(Kcat.shape[0], k_rhs))
     if k_rhs > 1:
         max_halo = None       # far split is single-RHS machinery
@@ -828,6 +988,14 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
     n, E, G = prep.n, prep.E, prep.G
     KT, M, aT = prep.KT, prep.M, prep.aT
     kn = k_rhs * n
+    if far_mode not in ("auto", "kernel", "xla"):
+        raise ValueError(f"unknown far_mode {far_mode!r}")
+    far_update = None
+    if prep.has_far and far_mode != "xla":
+        far_update = make_far_update_kernel(prep, interpret=interpret)
+        if far_update is None and far_mode == "kernel":
+            raise ValueError("far_mode='kernel' requested but no "
+                             "admissible far-update tiling exists")
 
     def kernel(uL_ref, uC_ref, uR_ref, aL_ref, aC_ref, aR_ref, K_ref,
                m_ref, out_ref, *aux_ref):
@@ -870,11 +1038,14 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
         )(uT, uT, uT, aT, aT, aT, KT, M)
         if prep.has_far:
             out, aux = res
+            if far_update is not None and out.dtype == jnp.float32:
+                return far_update(out, aux)
             return prep.apply_far(out, aux).astype(uT.dtype)
         return res
 
     apply_local_dss._prep = prep      # introspection (tests, bench)
     apply_local_dss._n_rhs = k_rhs
+    apply_local_dss._far_update = far_update
     # hoisting Pallas operands to runtime jit parameters aborts the TPU
     # runtime (see utils/hoist.py) — keep captures as inline literals
     apply_local_dss._no_hoist = True
@@ -883,7 +1054,7 @@ def make_fused_affine_laplacian_T(exchange, Kcat, a, *,
 
 def make_fused_affine_block_kernel(exchange, Kcat, *,
                                    precision: str = "highest",
-                                   target_win: int = 4608,
+                                   target_win: int | None = None,
                                    interpret: bool = False):
     """Per-shard variant of :func:`make_fused_affine_laplacian_T`.
 
@@ -902,6 +1073,8 @@ def make_fused_affine_block_kernel(exchange, Kcat, *,
     from ..utils.hoist import ensure_recursion_headroom
 
     ensure_recursion_headroom()
+    if target_win is None:
+        target_win = _scale_win(4608, Kcat.shape[0])
     prep = _AffineFusedPrep(exchange, Kcat, None, precision, target_win,
                             max_halo=None, external_operands=True)
     n, E, G = prep.n, prep.E, prep.G
@@ -1140,8 +1313,8 @@ def make_fused_cg_kernels(exchange, Kcat, a, *,
         # state (r/p/inv windows + x + the stored direction); measured
         # p=8/104k on v5e: bf16 state fits a 3072-lane window (0.46
         # ms/iter, the sweet spot — 4352 overflows the 16 MB scoped
-        # stack), f32 state needs 1536
-        target_win = 3072 if p_bf16 else 1536
+        # stack), f32 state needs 1536; scaled down for higher orders
+        target_win = _scale_win(3072 if p_bf16 else 1536, Kcat.shape[0])
 
     from ..utils.hoist import ensure_recursion_headroom
 
@@ -1416,8 +1589,8 @@ def make_fused_cg_kernel_single(exchange, Kcat, a, *,
     if target_win is None:
         # holds the kernel-pair A state plus an Ap f32 window and a w
         # center row-block; measured-safe defaults one notch below the
-        # pair's (3072/1536)
-        target_win = 2304 if p_bf16 else 1280
+        # pair's (3072/1536); scaled down for higher orders
+        target_win = _scale_win(2304 if p_bf16 else 1280, Kcat.shape[0])
 
     from ..utils.hoist import ensure_recursion_headroom
 

@@ -365,6 +365,59 @@ class TestFarClassSplit:
         scale = np.abs(expected).max()
         assert np.abs(got - expected).max() / scale < 1e-5
 
+    def test_far_update_kernel_matches_xla_epilogue(self):
+        """far_mode='kernel' (aliased in-place far-row update, shifted
+        window reads) == far_mode='xla' (apply_far concat rebuild),
+        bit-for-bit: both consume the same (out, aux) kernel results and
+        apply the same masked class sums, only the transport differs."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        ex, Kcat, a, A_xla = self._pieces(16, 16, 3)
+        fk = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=128, max_halo=8,
+            far_mode="kernel", interpret=True)
+        fx = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=128, max_halo=8,
+            far_mode="xla", interpret=True)
+        assert fk._far_update is not None and fx._far_update is None
+        # p=3: oi = 4*ne + 4 = 12 < rows_t = 16 — the kernel's
+        # interior-row passthrough branch is exercised
+        assert fk._far_update._rows_t == 16
+        rng = np.random.RandomState(23)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        vk, vx = np.asarray(fk(uT)), np.asarray(fx(uT))
+        np.testing.assert_array_equal(vk, vx)
+        expected = np.asarray(A_xla(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(vk - expected).max() / scale < 1e-5
+
+    def test_far_update_preserves_interior_rows(self):
+        """Rows past rows_t are never covered by the update kernel's
+        grid — with the aliased output they must retain the near-kernel
+        values exactly (the trick the kernel relies on)."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T, make_far_update_kernel)
+
+        ex, Kcat, a, _ = self._pieces(16, 16, 3)
+        fused = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=128, max_halo=8,
+            far_mode="kernel", interpret=True)
+        prep, upd = fused._prep, fused._far_update
+        rows_t = upd._rows_t
+        rng = np.random.RandomState(29)
+        out = jnp.asarray(rng.standard_normal(
+            (ex.n_loc, ex.E)).astype(np.float32))
+        aux = jnp.asarray(rng.standard_normal(
+            (prep.n_aux, ex.E)).astype(np.float32))
+        got = np.asarray(upd(out, aux))
+        np.testing.assert_array_equal(got[rows_t:], np.asarray(out)[rows_t:])
+        # and the touched rows match the XLA epilogue on the same inputs
+        ref = np.asarray(prep.apply_far(out, aux))
+        np.testing.assert_allclose(got[:rows_t], ref[:rows_t],
+                                   rtol=1e-6, atol=1e-6)
+
     def test_auto_keeps_small_meshes_unsplit(self):
         from spectralelementmethod_tpu.ops.pallas_kernels import (
             make_fused_affine_laplacian_T)
