@@ -717,6 +717,27 @@ def main():
         except Exception as e:               # noqa: BLE001
             _progress(f"fused-CG arm skipped: {e}")
 
+    # MXU occupancy: executed matmul FLOPs (the assembled-K dot is
+    # (3n, n) @ (n, window) per element tile = 6 n^2 FLOP/element,
+    # repeated per bf16 decomposition pass and inflated by the
+    # halo-window factor) against the device's bf16 MXU peak.  This is
+    # hardware-unit utilization, NOT algorithmic MFU — the useful
+    # sum-factorized FLOP rate is the headline `value`.  At p>=12 the
+    # apply is occupancy-bound (>50% at p=12 'high'); at p=8 it is
+    # HBM-bound and occupancy is low by design (see BASELINE.md).
+    mxu_occupancy = None
+    kern = getattr(one_apply, "_kernel", None) if args.nrhs == 1 else None
+    if (kern is not None and timing_reliable and t_apply > 0
+            and t_apply == t_apply):
+        from spectralelementmethod_tpu.utils.perf import device_peaks
+
+        prep_k = kern._prep
+        passes = {"highest": 6, "high": 3, "default": 1}[args.precision]
+        wf = 1.0 + 2.0 * prep_k.Hb / prep_k.TE
+        executed = passes * 6 * prep_k.n**2 * prep_k.E * wf
+        peak_tflops, _ = device_peaks()
+        mxu_occupancy = executed / t_apply / (peak_tflops * 1e12)
+
     result = {
         "metric": f"element_apply_gflops_p{args.order}_{E}el",
         "value": round(gflops, 2),
@@ -724,6 +745,8 @@ def main():
         "vs_baseline": round(vs_baseline, 1),
         "extras": {
             "apply_ms": round(t_apply * 1e3, 3),
+            "mxu_occupancy_pct": (round(100 * mxu_occupancy, 1)
+                                  if mxu_occupancy is not None else None),
             "apply_ms_high_precision": (
                 round(t_apply_high * 1e3, 3) if t_apply_high else None),
             "gflops_high_precision": (

@@ -500,11 +500,16 @@ class _AffineFusedPrep:
         cost_full = (2 * t_full[1] / t_full[0]) if t_full else float("inf")
         # Empirical rules (p=8 on v5e, measured twice each):
         #
-        # Plain apply kernel (cheap_far=False): the apply_far concat
-        # rebuild costs ~2 full HBM passes, and measured in-loop the
-        # full-halo kernel wins even in the degenerate H ~ sqrt(E) window
-        # regime (1M: full 5.59-5.66 ms vs split 6.88-7.31) — so split
-        # ONLY when no admissible full-halo tiling exists at all.
+        # Plain apply kernels (cheap_far=False): far rows go through the
+        # aliased in-place far-row update kernel
+        # (:func:`make_far_update_kernel` — ~1.1 extra HBM passes vs the
+        # ~2-3 of the old apply_far concat rebuild).  Measured
+        # `scripts/measure_far_update.py` at 1M/p=8 'highest': split
+        # 4.47 ms vs full 5.82 (old XLA split: 7.24); at 100k
+        # (cost_full=0.18) full still wins (0.20 vs 0.25).  Split once
+        # the full-halo window is degenerate (cost_full >= 0.75) AND an
+        # update-kernel tiling exists (without it the XLA epilogue would
+        # re-create the measured-loss regime).
         #
         # Fused-CG kernels (cheap_far=True): the far rows ride into
         # kernel B's existing Ap stream (~1 extra pass over an ~18-row
@@ -513,7 +518,9 @@ class _AffineFusedPrep:
         # while the halo is moderate (100k, cost_full=0.4: split ~9%
         # slower).  0.75 separates the two measured regimes.
         if not self.cheap_far:
-            return self.NEAR_HB if t_full is None else None
+            far_tile_ok = fused_affine_tile_shape(E, H_full, 8192)
+            if far_tile_ok is None:
+                return self.NEAR_HB if t_full is None else None
         return self.NEAR_HB if cost_full >= 0.75 else None
 
     # ---- precision-managed constants/dots (host + in-kernel) ------------
@@ -819,7 +826,7 @@ def affine_tile_window(n: int, n_rhs: int) -> int:
     return max(win, 384)
 
 
-def make_far_update_kernel(prep, *, target_win: int = 16384,
+def make_far_update_kernel(prep, *, target_win: int = 8192,
                            interpret: bool = False):
     """Aliased far-row update: add far-class DSS contributions in place.
 
@@ -1123,6 +1130,8 @@ def make_fused_general_laplacian_T(exchange, Gf, Dhat, *,
                                    n_rhs: int = 1,
                                    precision: str = "highest",
                                    target_win: int | None = None,
+                                   max_halo="auto",
+                                   far_mode: str = "auto",
                                    interpret: bool = False):
     """Fused transposed apply+DSS kernel for GENERAL (curved) meshes,
     with optional multi-RHS sublane stacking.
@@ -1155,9 +1164,12 @@ def make_fused_general_laplacian_T(exchange, Gf, Dhat, *,
     ``n_rhs`` sublane-stacked (n, E) transposed L-vectors (a contiguous
     reshape of (k, n, E)); each slice is fully DSS-exchanged.
 
-    Full halo only (no far-class split): large-offset roll classes at
-    1M-element scale need the panel element order
-    (:func:`..parallel.partition.panel_order`) to stay admissible.
+    ``max_halo``/``far_mode``: as in
+    :func:`make_fused_affine_laplacian_T` — single-RHS kernels can split
+    large-offset roll classes out of the window (1M-element row strides)
+    into the aliased far-row update kernel; multi-RHS kernels stay
+    full-halo (pad or use the panel element order,
+    :func:`..parallel.partition.panel_order`).
     """
     import numpy as np
 
@@ -1170,10 +1182,20 @@ def make_fused_general_laplacian_T(exchange, Gf, Dhat, *,
     n = Dhat_np.shape[1]
     if target_win is None:
         target_win = general_tile_window(n, n_rhs)
+    if n_rhs > 1:
+        max_halo = None       # far split is single-RHS machinery
     prep = _AffineFusedPrep(exchange, None, None, precision, target_win,
-                            max_halo=None)
+                            max_halo=max_halo)
     E, G, TE = prep.E, prep.G, prep.TE
     k = n_rhs
+    if far_mode not in ("auto", "kernel", "xla"):
+        raise ValueError(f"unknown far_mode {far_mode!r}")
+    far_update = None
+    if prep.has_far and far_mode != "xla":
+        far_update = make_far_update_kernel(prep, interpret=interpret)
+        if far_update is None and far_mode == "kernel":
+            raise ValueError("far_mode='kernel' requested but no "
+                             "admissible far-update tiling exists")
 
     Dhat_h = Dhat_np[:, exchange.hier]                       # (2n, n)
     Dh_c = prep.prec_const(Dhat_h)
@@ -1183,7 +1205,8 @@ def make_fused_general_laplacian_T(exchange, Gf, Dhat, *,
         Gf_np.transpose(1, 2, 0).reshape(3 * n, E)))         # (3n, E)
     M = prep.M
 
-    def kernel(uL, uC, uR, gL, gC, gR, dh_ref, dht_ref, m_ref, out_ref):
+    def kernel(uL, uC, uR, gL, gC, gR, dh_ref, dht_ref, m_ref, out_ref,
+               *aux_ref):
         u_win = jnp.concatenate([uL[:], uC[:], uR[:]], axis=1)
         g_win = jnp.concatenate([gL[:], gC[:], gR[:]], axis=1)
         g0, g1, g2 = g_win[:n], g_win[n:2 * n], g_win[2 * n:]
@@ -1196,6 +1219,8 @@ def make_fused_general_laplacian_T(exchange, Gf, Dhat, *,
                 [g0 * ur + g1 * us, g1 * ur + g2 * us], axis=0)
             S = prep.prec_dot(dht_ref, n, flux)              # (n, W)
             outs.append(prep.roll_dss(S, m_ref))
+            if aux_ref:
+                aux_ref[0][:] = prep.aux_extract(S)
         out = outs[0] if k == 1 else jnp.concatenate(outs, axis=0)
         out_ref[:] = out.astype(out_ref.dtype)
 
@@ -1215,17 +1240,30 @@ def make_fused_general_laplacian_T(exchange, Gf, Dhat, *,
             raise ValueError(
                 f"expected ({k * n}, {E}) sublane-stacked input "
                 f"(n_rhs={k}), got {uT.shape}")
-        return pl.pallas_call(
+        shapes = jax.ShapeDtypeStruct((k * n, E), uT.dtype)
+        o_specs = out_spec
+        if prep.has_far:
+            shapes = (shapes,
+                      jax.ShapeDtypeStruct((prep.n_aux, E), jnp.float32))
+            o_specs = (out_spec, prep.center_spec(prep.n_aux))
+        res = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((k * n, E), uT.dtype),
+            out_shape=shapes,
             grid=(G,),
             in_specs=specs,
-            out_specs=out_spec,
+            out_specs=o_specs,
             interpret=interpret,
         )(uT, uT, uT, gT, gT, gT, Dh_c, DhT_c, M)
+        if prep.has_far:
+            out, aux = res
+            if far_update is not None and out.dtype == jnp.float32:
+                return far_update(out, aux)
+            return prep.apply_far(out, aux).astype(uT.dtype)
+        return res
 
     apply_local_dss._prep = prep      # introspection (tests, bench)
     apply_local_dss._n_rhs = k
+    apply_local_dss._far_update = far_update
     # hoisting Pallas operands to runtime jit parameters aborts the TPU
     # runtime (see utils/hoist.py) — keep captures as inline literals
     apply_local_dss._no_hoist = True

@@ -720,6 +720,7 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
                 # keep kernel operands as inline literals when callers
                 # hoist closures (see utils.hoist.hoist_closure)
                 apply_fused._no_hoist = True
+                apply_fused._kernel = local_dss   # introspection (bench)
                 return apply_fused
     elif backend != "xla":
         raise ValueError(f"unknown backend {backend!r}")

@@ -115,6 +115,40 @@ class TestFusedGeneralT:
         with pytest.raises(ValueError, match="sublane-stacked"):
             fused(jnp.zeros((ex.n_loc, ex.E), jnp.float32))
 
+    def test_far_split_matches_full_halo(self):
+        """Forced far split (max_halo below the vertical row stride) on
+        the general kernel == the full-halo kernel == the XLA path, in
+        both far transports (aliased update kernel / XLA epilogue)."""
+        ex, Gf, Dhat = general_problem(16, 16, 3)
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        fk = make_fused_general_laplacian_T(
+            ex, Gf, Dhat, target_win=128, max_halo=8,
+            far_mode="kernel", interpret=True)
+        fx = make_fused_general_laplacian_T(
+            ex, Gf, Dhat, target_win=128, max_halo=8,
+            far_mode="xla", interpret=True)
+        assert fk._prep.has_far and fk._far_update is not None
+        assert fx._far_update is None
+        rng = np.random.RandomState(31)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        vk, vx = np.asarray(fk(uT)), np.asarray(fx(uT))
+        np.testing.assert_array_equal(vk, vx)
+        expected = np.asarray(A_xla(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(vk - expected).max() / scale < 1e-5
+
+    def test_multi_rhs_stays_full_halo(self):
+        """n_rhs > 1 disables the far split (same rule as the affine
+        kernel): the batched kernel carries no aux plumbing."""
+        ex, Gf, Dhat = general_problem(16, 16, 3)
+        fused = make_fused_general_laplacian_T(
+            ex, Gf, Dhat, n_rhs=2, target_win=128, max_halo=8,
+            interpret=True)
+        assert not fused._prep.has_far
+
 
 class TestGeneralFusedCG:
     """Fused CG iteration kernels on general (full-factor) meshes."""

@@ -455,39 +455,40 @@ class TestFarClassSplit:
             expect_denom) < 1e-4
 
     def test_auto_split_rule_scales(self):
-        """Measured auto rules (BASELINE.md round-2d A/B, v5e p=8):
-        the plain apply kernel never wins from a split (full-halo 5.59 ms
-        vs split 6.88 at 1M) — it splits only when no admissible full
-        tiling exists; the CG kernels' far rows ride into kernel B
-        (cheap_far), where the split wins once the full-halo window is
-        degenerate (>= 0.75 redundancy: 1M yes, 100k no)."""
+        """Measured auto rules (BASELINE round-2d/2m A/Bs, v5e p=8):
+        plain apply kernels split once the full-halo window is degenerate
+        (cost_full >= 0.75) now that the far rows go through the aliased
+        far-row update kernel (1M: split 4.47 ms vs full 5.82; 100k
+        cost_full=0.18: full 0.20 vs split 0.25); the CG kernels' far
+        rows ride into kernel B (cheap_far) with the same threshold."""
         from spectralelementmethod_tpu.ops.pallas_kernels import (
             _AffineFusedPrep)
 
         ex, Kcat, a, _ = self._pieces(16, 16, 3)
-        # H=16 fits one 128-lane block: cost_full = 2*128/TE is small
+        # H=16 fits one 128-lane block: no far-splittable classes exist
         prep = _AffineFusedPrep(ex, Kcat, a, "highest", 3840, "auto")
         assert not prep.has_far
-        # plain kernel: degenerate window (TE=128=Hb, cost_full=2) still
-        # keeps the full halo — a tiling exists
+        # degenerate window (TE=128=Hb) but still no class beyond 128
         prep2 = _AffineFusedPrep(ex, Kcat, a, "highest", 256, "auto")
         assert prep2.Hb == 128 and not prep2.has_far
 
         # row stride 160 > NEAR_HB: splittable classes exist (the 1M-like
         # regime, scaled down).  E=1280, Hb_full=256.
         ex2, Kcat2, a2, _ = self._pieces(8, 160, 2)
-        # degenerate full window (TE=256=Hb_full, cost_full=2):
-        # plain kernel still keeps the full halo...
+        # degenerate full window (TE=256=Hb_full, cost_full=2): the
+        # plain kernel now splits too (aliased far-update transport)
         prep3 = _AffineFusedPrep(ex2, Kcat2, a2, "highest", 768, "auto")
-        assert not prep3.has_far and prep3.Hb == 256
-        # ...but the CG kernels (cheap_far) split there
+        assert prep3.has_far and prep3.Hb == 128
+        # ...and the CG kernels (cheap_far) split there as before
         prep4 = _AffineFusedPrep(ex2, Kcat2, a2, "highest", 768, "auto",
                                  cheap_far=True)
         assert prep4.has_far and prep4.Hb == 128
-        # CG kernels, moderate window (cost_full = 0.4 < 0.75) -> full
+        # moderate window (cost_full = 0.4 < 0.75) -> full halo, both
         prep5 = _AffineFusedPrep(ex2, Kcat2, a2, "highest", 3840, "auto",
                                  cheap_far=True)
         assert not prep5.has_far
+        prep6 = _AffineFusedPrep(ex2, Kcat2, a2, "highest", 3840, "auto")
+        assert not prep6.has_far
 
 
 class TestProceduralMasks:
