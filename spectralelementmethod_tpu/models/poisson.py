@@ -535,7 +535,8 @@ class Poisson(BoundaryConditionMixin):
                           compute_dtype=None,
                           vector_layout: str = "auto",
                           cg_kernel: str = "auto",
-                          p_dtype=None) -> PoissonSolution:
+                          p_dtype=None,
+                          defer_x: int | str = 0) -> PoissonSolution:
         """Solve ``-div(c grad u_j) = f_j`` for a batch of forcings.
 
         One operator, one preconditioner, one CG ladder for all k
@@ -561,7 +562,11 @@ class Poisson(BoundaryConditionMixin):
         (:func:`..ops.pallas_kernels.make_fused_cg_kernels_general`
         with ``n_rhs=k`` + :func:`..solver.cg.cg_fused_batched`):
         requires the 'ne' layout, jacobi, float32; ``p_dtype=bfloat16``
-        stores the k search directions in bf16.  The default ``'auto'``
+        stores the k search directions in bf16.  ``defer_x`` (m >= 2
+        dividing 64, or 'auto'): defer every RHS's solution update and
+        catch up once per m iterations (affine meshes only — the
+        measured HBM-scale lever, 1M k=2: 8.74 -> 5.55 ms/iter/RHS;
+        'auto' engages m=8 once the per-RHS iterate exceeds ~100 MB).  The default ``'auto'``
         engages the fused kernels only in the measured-winning
         configuration — bf16 direction storage requested AND a curved
         (non-affine) mesh (k=4 at p=8/100k on v5e: 1.08 vs 1.65 ms/RHS
@@ -630,14 +635,27 @@ class Poisson(BoundaryConditionMixin):
 
         if cg_kernel not in ("auto", "plain", "fused", "fused-interpret"):
             raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
+        defer_auto = defer_x == "auto"
+        if defer_auto:
+            # same HBM-residency threshold as solve_local (BASELINE.md
+            # round-2j): deferral wins once the per-RHS iterate leaves
+            # VMEM residency
+            defer_x = (8 if ex.E * disc.n_loc * 4 > 100_000_000 else 0)
         from_auto = cg_kernel == "auto"
         if from_auto:
-            # measured policy (BASELINE.md round-2h, p=8/100k, v5e):
+            # measured policy (BASELINE.md round-2h/2n, p=8, v5e):
             # batched bf16p fused CG wins on GENERAL (curved) meshes
-            # (k=4: 1.075 vs 1.649 ms/RHS whole-batch XLA) but loses on
-            # affine ones (0.904 vs 0.488 sequential single-RHS fused)
-            # — engage only when the caller opted into bf16 direction
-            # storage and the mesh is not exactly affine
+            # (k=4: 1.075 vs 1.649 ms/RHS whole-batch XLA).  On affine
+            # meshes at 100k, k=4 loses (0.904 vs 0.488 sequential
+            # single-RHS fused) and k=2 wins per-iteration (0.716 vs
+            # 0.765, measure_batched_cg_far.py) but only ~5-7% — not
+            # enough to justify chunk-of-2 ladders (more host syncs) on
+            # auto.  At 1M (HBM-residency regime) the batched affine
+            # kernels WIN per RHS (k=2 split m8: 5.548 vs single-RHS
+            # 6.656 ms/iter; m0: 8.741 vs 9.814) — engage them there
+            # too.  Requires the caller to have opted into bf16
+            # direction storage; explicit cg_kernel='fused' remains
+            # available for small affine batches
             use = (p_dtype is not None
                    and pallas_kernels_supported()
                    and transposed and precond == "jacobi"
@@ -652,7 +670,8 @@ class Poisson(BoundaryConditionMixin):
                     _, exact_aff = sumfac.affine_factorization(
                         np.asarray(ctx["Gf"], np.float32), Wg)
                     self._op_cache[akey] = bool(exact_aff)
-                use = not exact_aff
+                hbm_regime = ex.E * disc.n_loc * 4 > 100_000_000
+                use = (not exact_aff) or hbm_regime
             cg_kernel = "fused" if use else "plain"
         if cg_kernel != "plain":
             if not (transposed and precond == "jacobi"
@@ -662,7 +681,8 @@ class Poisson(BoundaryConditionMixin):
             from ..ops import pallas_kernels
             from ..solver.cg import cg_fused_batched
 
-            fkey = ("cg_fused_batch", k, cg_kernel, str(p_dtype))
+            fkey = ("cg_fused_batch", k, cg_kernel, str(p_dtype),
+                    bool(defer_x))
             fused = self._op_cache.get(fkey)
             if fused is None:
                 try:
@@ -682,8 +702,18 @@ class Poisson(BoundaryConditionMixin):
                         kA, kB, _ = (
                             pallas_kernels.make_fused_cg_kernels_batched(
                                 ex, Kcat, a_f, n_rhs=k, precision=prec,
-                                p_dtype=p_dtype, interpret=interp))
+                                p_dtype=p_dtype, interpret=interp,
+                                defer_x=bool(defer_x)))
                     else:
+                        # the general batched kernels have no deferred-x
+                        # variant: auto-resolved deferral drops, an
+                        # explicit request surfaces
+                        if defer_x and not defer_auto:
+                            raise ValueError(
+                                "defer_x requires an affine mesh (the "
+                                "general batched CG kernels carry no "
+                                "deferred-x mode)") from None
+                        defer_x = 0
                         kA, kB, _ = (
                             pallas_kernels.make_fused_cg_kernels_general(
                                 ex, Gf_p, ctx["Dhat"], n_rhs=k,
@@ -691,11 +721,12 @@ class Poisson(BoundaryConditionMixin):
                                 interpret=interp))
                     inv, wf = self._fused_cg_operands(ex, free_local,
                                                       p_dtype)
-                except ValueError:
+                except ValueError as e:
                     # inadmissible tiling (k-RHS VMEM state shrinks the
                     # window) — an auto-resolved request degrades to the
-                    # whole-batch XLA ladder, an explicit one surfaces
-                    if not from_auto:
+                    # whole-batch XLA ladder; an explicit one surfaces,
+                    # as does an explicit defer_x misuse
+                    if not from_auto or "defer_x" in str(e):
                         raise
                     fused = None
                 else:
@@ -716,7 +747,8 @@ class Poisson(BoundaryConditionMixin):
 
             res = cg_fused_batched(kA, kB, R, inv=inv, w_free=wf,
                                    tol=tol, max_iter=max_iter,
-                                   p_dtype=p_dtype, A=A_flat)
+                                   p_dtype=p_dtype, defer_x=defer_x,
+                                   A=A_flat)
             # ONE device->host transfer for the whole batch (per-row
             # np.asarray would pay a tunnel round trip per RHS)
             X = np.asarray(res.x) + np.asarray(u_dL)[None]

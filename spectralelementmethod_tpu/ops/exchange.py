@@ -40,8 +40,9 @@ class LocalExchange:
     lengths ``[m1-2, m1-2, m0-2, m0-2]`` and face pairs must connect
     equal-length slots (guaranteed on a conforming mesh of one geometry).
     The structured :class:`RollExchange` fast path and the fused Pallas
-    kernels remain square-only; ``make_exchange`` routes anisotropic
-    meshes here.
+    kernels handle anisotropic grids too (per-slot edge lengths; classes
+    only pair equal-length slots); ``make_exchange`` falls back here for
+    anisotropic meshes whose roll classes would carry edge tails.
     """
 
     def __init__(self, disc, pad_to: int | None = None,

@@ -335,18 +335,18 @@ class _AffineFusedPrep:
         ex = exchange
         self.ex = ex
         self.n = n = ex.n_loc
-        self.ne = ex.ne
+        self.ne = ex.ne              # None on anisotropic node grids
         self.oe, self.ov, self.oi = ex.off_edge, ex.off_vert, ex.off_int
+        #: per-edge-slot sublane lengths/offsets (anisotropic-safe: the
+        #: exchange guarantees classes only pair equal-length slots)
+        self.el = tuple(int(v) for v in ex.edge_len)
+        self.eo_rel = tuple(int(v) for v in ex.edge_off)
         self.E = E = ex.E
         if ex.layout != "edges-first":
             raise ValueError("fused-T kernel requires edges-first layout")
         if not hasattr(ex, "edge_classes"):
             raise ValueError("fused-T kernel requires a roll-class "
                              "exchange (RollExchange)")
-        if self.ne is None:
-            raise ValueError("fused-T kernel requires square cell node "
-                             "grids (anisotropic orders use the XLA "
-                             "roll path)")
         if getattr(ex, "n_edge_tail", 1) or getattr(ex, "n_vert_tail", 1):
             raise ValueError("fused-T kernel requires zero exchange tails")
 
@@ -374,22 +374,32 @@ class _AffineFusedPrep:
         self.n_e = len(self.edge_classes)
 
         # aux raw-row layout for the far-class epilogue: the union of far
-        # SOURCE slots, edge slots first then vertex slots
+        # SOURCE slots, edge slots first then vertex slots (per-slot row
+        # lengths — anisotropic grids have two distinct edge lengths)
         e_slots = sorted({s for _d, s, *_r in self._far_edge})
         v_slots = sorted({s for _d, s, *_r in self._far_vert})
         self.aux_e_slots, self.aux_v_slots = e_slots, v_slots
-        self._aux_row = {("e", s): i * self.ne
-                         for i, s in enumerate(e_slots)}
-        self._aux_row.update(
-            {("v", s): len(e_slots) * self.ne + i
-             for i, s in enumerate(v_slots)})
-        self.n_aux = len(e_slots) * self.ne + len(v_slots)
+        self._aux_row, off = {}, 0
+        for s in e_slots:
+            self._aux_row[("e", s)] = off
+            off += self.el[s]
+        for s in v_slots:
+            self._aux_row[("v", s)] = off
+            off += 1
+        self.n_aux = off
         self.has_far = self.n_aux > 0
         # compact far DESTINATION layout (kernel-B far fusion): one row
         # block per far dst edge slot, one row per far dst vertex slot
         self.far_e_dst = sorted({d for d, *_r in self._far_edge})
         self.far_v_dst = sorted({d for d, *_r in self._far_vert})
-        self.n_far = len(self.far_e_dst) * self.ne + len(self.far_v_dst)
+        self._far_dst_row, off = {}, 0
+        for d in self.far_e_dst:
+            self._far_dst_row[("e", d)] = off
+            off += self.el[d]
+        for d in self.far_v_dst:
+            self._far_dst_row[("v", d)] = off
+            off += 1
+        self.n_far = off
 
         tile = fused_affine_tile_shape(E, H, target_win)
         if tile is None:
@@ -513,15 +523,20 @@ class _AffineFusedPrep:
         #
         # Fused-CG kernels (cheap_far=True): the far rows ride into
         # kernel B's existing Ap stream (~1 extra pass over an ~18-row
-        # slice), so the split wins once the full-halo window is
-        # degenerate (1M: split 10.6 vs full 11.2 ms/iter) but loses
-        # while the halo is moderate (100k, cost_full=0.4: split ~9%
-        # slower).  0.75 separates the two measured regimes.
+        # slice).  Measured split-vs-full (ms/iter, v5e p=8):
+        #   single 100k  cost 0.5: full wins (0.746 vs 0.754)
+        #   batched k=2  cost 1.0: full wins (0.716 vs 0.783 per RHS)
+        #   batched k=4  cost 2.0: split wins (0.775 vs 0.816 per RHS)
+        #   single 1M    cost 2.0: split wins (9.81 vs 10.90; with
+        #                defer_x=8: 6.66 vs 7.16 — they compose)
+        # 1.5 separates the measured regimes (round-2n,
+        # scripts/measure_cg_far_defer.py + measure_batched_cg_far.py).
         if not self.cheap_far:
             far_tile_ok = fused_affine_tile_shape(E, H_full, 8192)
             if far_tile_ok is None:
                 return self.NEAR_HB if t_full is None else None
-        return self.NEAR_HB if cost_full >= 0.75 else None
+            return self.NEAR_HB if cost_full >= 0.75 else None
+        return self.NEAR_HB if cost_full >= 1.5 else None
 
     # ---- precision-managed constants/dots (host + in-kernel) ------------
 
@@ -625,8 +640,9 @@ class _AffineFusedPrep:
     def aux_extract(self, S):
         """Raw pre-DSS source rows needed by the far-class epilogue:
         (n_aux, TE) center-column slice of S in aux-row layout."""
-        ne, oe, ov, TE, Hb = self.ne, self.oe, self.ov, self.TE, self.Hb
-        rows = [S[oe + s * ne: oe + (s + 1) * ne, Hb:Hb + TE]
+        oe, ov, TE, Hb = self.oe, self.ov, self.TE, self.Hb
+        eo, el = self.eo_rel, self.el
+        rows = [S[oe + eo[s]: oe + eo[s] + el[s], Hb:Hb + TE]
                 for s in self.aux_e_slots]
         rows += [S[ov + s: ov + s + 1, Hb:Hb + TE]
                  for s in self.aux_v_slots]
@@ -643,11 +659,12 @@ class _AffineFusedPrep:
         ~0.1 ms each at 100k elements), while the adds fuse into the
         concat's single write.
         """
-        ne, oe, ov, oi = self.ne, self.oe, self.ov, self.oi
-        edge_blks = [out[oe + f * ne: oe + (f + 1) * ne] for f in range(4)]
+        oe, ov, oi = self.oe, self.ov, self.oi
+        eo, el = self.eo_rel, self.el
+        edge_blks = [out[oe + eo[f]: oe + eo[f] + el[f]] for f in range(4)]
         for d_f, s_f, delta, flip, mask in self._far_edge:
             r0 = self._aux_row[("e", s_f)]
-            src = jnp.roll(aux[r0:r0 + ne], -delta, axis=1)
+            src = jnp.roll(aux[r0:r0 + el[s_f]], -delta, axis=1)
             if flip:
                 src = src[::-1, :]
             edge_blks[d_f] = edge_blks[d_f] + jnp.where(
@@ -672,13 +689,14 @@ class _AffineFusedPrep:
         consumer kernel (fused-CG kernel B) adds these rows in VMEM while
         it streams Ap anyway, so the corrected Ap is never materialized.
         """
-        ne, E = self.ne, aux.shape[1]
+        E, el = aux.shape[1], self.el
         e_pos = {d: i for i, d in enumerate(self.far_e_dst)}
         v_pos = {d: i for i, d in enumerate(self.far_v_dst)}
-        eblk = [jnp.zeros((ne, E), jnp.float32) for _ in self.far_e_dst]
+        eblk = [jnp.zeros((el[d], E), jnp.float32)
+                for d in self.far_e_dst]
         for d_f, s_f, delta, flip, mask in self._far_edge:
             r0 = self._aux_row[("e", s_f)]
-            src = jnp.roll(aux[r0:r0 + ne], -delta, axis=1)
+            src = jnp.roll(aux[r0:r0 + el[s_f]], -delta, axis=1)
             if flip:
                 src = src[::-1, :]
             i = e_pos[d_f]
@@ -698,15 +716,17 @@ class _AffineFusedPrep:
         requires edges-first layout (enforced in __init__), where the
         local row order is [edge slots | vertices | interior].
         """
-        ne, ov, oi = self.ne, self.ov, self.oi
-        eblk = [ap[self.oe + f * ne: self.oe + (f + 1) * ne]
+        ov, oi = self.ov, self.oi
+        eo, el = self.eo_rel, self.el
+        eblk = [ap[self.oe + eo[f]: self.oe + eo[f] + el[f]]
                 for f in range(4)]
-        for i, d in enumerate(self.far_e_dst):
-            eblk[d] = eblk[d] + far[i * ne:(i + 1) * ne]
+        for d in self.far_e_dst:
+            r0 = self._far_dst_row[("e", d)]
+            eblk[d] = eblk[d] + far[r0:r0 + el[d]]
         vrows = [ap[ov + v: ov + v + 1] for v in range(4)]
-        off_v = len(self.far_e_dst) * ne
-        for j, d in enumerate(self.far_v_dst):
-            vrows[d] = vrows[d] + far[off_v + j: off_v + j + 1]
+        for d in self.far_v_dst:
+            r0 = self._far_dst_row[("v", d)]
+            vrows[d] = vrows[d] + far[r0:r0 + 1]
         return jnp.concatenate(eblk + vrows + [ap[oi:]], axis=0)
 
     def dot_window(self, K_ref, u_win):
@@ -755,15 +775,16 @@ class _AffineFusedPrep:
         tile's global element iota where the mask is periodic, read from
         the ``m_ref`` operand rows otherwise.
         """
-        ne, TE, Hb = self.ne, self.TE, self.Hb
+        TE, Hb = self.TE, self.Hb
         oe, ov, oi = self.oe, self.ov, self.oi
+        eo, el = self.eo_rel, self.el
         masked_src = self.lane_masker(TE, m_ref)
         kinds = self.mask_kinds
-        edge_out = [S[oe + f * ne: oe + (f + 1) * ne, Hb:Hb + TE]
+        edge_out = [S[oe + eo[f]: oe + eo[f] + el[f], Hb:Hb + TE]
                     for f in range(4)]
         for ci, (d_f, s_f, delta, flip) in enumerate(self.edge_classes):
             s0 = Hb + delta
-            src = S[oe + s_f * ne: oe + (s_f + 1) * ne, s0:s0 + TE]
+            src = S[oe + eo[s_f]: oe + eo[s_f] + el[s_f], s0:s0 + TE]
             if flip:
                 src = src[::-1]
             edge_out[d_f] = edge_out[d_f] + masked_src(src, kinds[ci])
@@ -859,8 +880,9 @@ def make_far_update_kernel(prep, *, target_win: int = 8192,
     """
     if not prep.has_far or prep.oe != 0:
         return None
-    n, E, ne = prep.n, prep.E, prep.ne
+    n, E = prep.n, prep.E
     ov, oi = prep.ov, prep.oi
+    eo, el = prep.eo_rel, prep.el
     deltas = ([abs(c[2]) for c in prep._far_edge]
               + [abs(c[2]) for c in prep._far_vert])
     tile = fused_affine_tile_shape(E, max(deltas), target_win)
@@ -879,11 +901,11 @@ def make_far_update_kernel(prep, *, target_win: int = 8192,
     def kernel(o_ref, aL, aC, aR, m_ref, out_ref):
         aux_win = jnp.concatenate([aL[:], aC[:], aR[:]], axis=1)
         masked_src = prep.lane_masker(TU, m_ref)
-        eblk = [o_ref[f * ne:(f + 1) * ne] for f in range(4)]
+        eblk = [o_ref[eo[f]:eo[f] + el[f]] for f in range(4)]
         ci = 0
         for d_f, s_f, delta, flip in far_edge:
             r0 = aux_row[("e", s_f)]
-            src = aux_win[r0:r0 + ne, Hfb + delta:Hfb + delta + TU]
+            src = aux_win[r0:r0 + el[s_f], Hfb + delta:Hfb + delta + TU]
             if flip:
                 src = src[::-1]
             eblk[d_f] = eblk[d_f] + masked_src(src, kinds[ci])
@@ -1776,6 +1798,7 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
                                   precision: str = "high",
                                   p_dtype=None,
                                   target_win: int | None = None,
+                                  max_halo="auto",
                                   interpret: bool = False):
     """Two Pallas kernels fusing one PCG iteration on GENERAL meshes.
 
@@ -1785,8 +1808,11 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
     read on the halo window) instead of the affine assembled-K matmul;
     kernel B is the shared factor-free tail.  The unfused general CG
     iteration costs ~9 apply passes (grads/flux materialization) + ~12
-    vector passes; the fused pair streams ~16.  Full halo only — pair
-    with the panel element order at large E.
+    vector passes; the fused pair streams ~16.  ``max_halo`` enables
+    the far-class split of :func:`make_fused_cg_kernels` (kernel A
+    emits aux raw rows; kernel B adds the compact far rows in VMEM) —
+    the escape hatch for large-offset roll classes at 1M-element scale;
+    the panel element order remains the zero-cost alternative.
 
     Same driver contract as the affine factory (consumed unchanged by
     :func:`..solver.cg.cg_fused`):
@@ -1832,10 +1858,11 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
                          384)
 
     prep = _AffineFusedPrep(exchange, None, None, precision, target_win,
-                            max_halo=None)
+                            max_halo=max_halo, cheap_far=True)
     n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
     M = prep.M
     p_store = jnp.bfloat16 if p_bf16 else jnp.float32
+    n_aux = prep.n_aux
 
     Dhat_np = np.asarray(Dhat, dtype=np.float64)[:, exchange.hier]
     Dh_c = prep.prec_const(Dhat_np)                          # (2n, n)
@@ -1846,17 +1873,22 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
 
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, gL, gC, gR,
                  x_ref, dh_ref, dht_ref, m_ref, sc_ref,
-                 po_ref, apo_ref, xo_ref, d_ref):
+                 po_ref, apo_ref, xo_ref, d_ref, *aux_ref):
         g_win = jnp.concatenate([gL[:], gC[:], gR[:]], axis=1)
         g0, g1, g2 = g_win[:n], g_win[n:2 * n], g_win[2 * n:]
         i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
         i32w = i_win.astype(jnp.float32)
+        # full-window concat once + per-RHS value slices (see the affine
+        # batched kernel: ref row-slices at j*n feed the lane concat
+        # mismatched sublane offsets at some tilings)
+        r_full = jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
+        p_full = jnp.concatenate([pL[:], pC[:], pR[:]], axis=1)
         for j in range(k_rhs):
             sl = slice(j * n, (j + 1) * n)
             beta = sc_ref[j, 0]
             alpha_prev = sc_ref[j, 1]
-            r_win = jnp.concatenate([rL[sl], rC[sl], rR[sl]], axis=1)
-            p_win = jnp.concatenate([pL[sl], pC[sl], pR[sl]], axis=1)
+            r_win = r_full[sl]
+            p_win = p_full[sl]
             p32 = p_win.astype(jnp.float32)
             xo_ref[sl] = x_ref[sl] + alpha_prev * p32[:, Hb:Hb + TE]
             pn = i32w * r_win + beta * p32
@@ -1872,6 +1904,8 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
             d_ref[pl.program_id(0), j] = jnp.sum(
                 pn_st[:, Hb:Hb + TE].astype(jnp.float32)
                 * S[:, Hb:Hb + TE])
+            if aux_ref:
+                aux_ref[0][j * n_aux:(j + 1) * n_aux] = prep.aux_extract(S)
 
     smem_sc = pl.BlockSpec((k_rhs, 2), _im32(lambda i: (0, 0)),
                            memory_space=pltpu.SMEM)
@@ -1890,29 +1924,39 @@ def make_fused_cg_kernels_general(exchange, Gf, Dhat, *,
                                 _im32(lambda i: (0, i)),
                                 memory_space=pltpu.VMEM),
                ] + [smem_sc])
-    a_out_shapes = (
+    a_out_shapes = [
         jax.ShapeDtypeStruct((kn, E), p_store),
         jax.ShapeDtypeStruct((kn, E), jnp.float32),
         jax.ShapeDtypeStruct((kn, E), jnp.float32),
         jax.ShapeDtypeStruct((G, k_rhs), jnp.float32),
-    )
-    a_out_specs = (prep.center_spec(kn), prep.center_spec(kn),
-                   prep.center_spec(kn), smem_out)
+    ]
+    a_out_specs = [prep.center_spec(kn), prep.center_spec(kn),
+                   prep.center_spec(kn), smem_out]
+    if prep.has_far:
+        a_out_shapes.append(
+            jax.ShapeDtypeStruct((k_rhs * n_aux, E), jnp.float32))
+        a_out_specs.append(prep.center_spec(k_rhs * n_aux))
 
     def kA(r, p, inv, x, beta, alpha_prev):
         sc = jnp.stack(
             [jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (k_rhs,)),
              jnp.broadcast_to(jnp.asarray(alpha_prev, jnp.float32),
                               (k_rhs,))], axis=1)            # (k, 2)
-        return pl.pallas_call(
+        res = pl.pallas_call(
             kernel_a,
-            out_shape=a_out_shapes,
+            out_shape=tuple(a_out_shapes),
             grid=(G,),
             in_specs=a_specs,
-            out_specs=a_out_specs,
+            out_specs=tuple(a_out_specs),
             interpret=interpret,
         )(r, r, r, p, p, p, inv, inv, inv, gT, gT, gT, x,
           Dh_c, DhT_c, M, sc)
+        if prep.has_far:
+            p_new, Ap, x_new, dparts, aux = res
+            far = (prep.far_rows(aux) if k_rhs == 1
+                   else _far_rows_batched(prep, aux, k_rhs))
+            return p_new, (Ap, far), x_new, dparts
+        return res
 
     if k_rhs == 1:
         kB = _build_cg_kernel_b(prep, interpret)
@@ -1930,6 +1974,8 @@ def make_fused_cg_kernels_batched(exchange, Kcat, a, *,
                                   precision: str = "high",
                                   p_dtype=None,
                                   target_win: int | None = None,
+                                  max_halo="auto",
+                                  defer_x: bool = False,
                                   interpret: bool = False):
     """Batched-RHS affine fused CG kernels (k solves per invocation).
 
@@ -1937,11 +1983,26 @@ def make_fused_cg_kernels_batched(exchange, Kcat, a, *,
     kernel A loops k sublane-stacked r/p/x blocks over ONE shared
     assembled-K constant, affine-factor window, inverse diagonal and
     class-mask stream, with per-RHS (k,) beta/alpha scalars and (G, k)
-    denominator partials; kernel B is the shared batched tail.  Full
-    halo only, no defer_x/far split.  Driver:
-    :func:`..solver.cg.cg_fused_batched`.  Amortized per RHS: the
-    inv/w/mask streams (~2.5 of ~9.5 passes) and the per-dispatch
+    denominator partials; kernel B is the shared batched tail.
+    Driver: :func:`..solver.cg.cg_fused_batched`.  Amortized per RHS:
+    the inv/w/mask streams (~2.5 of ~9.5 passes) and the per-dispatch
     latency; the affine factors themselves are already tiny.
+
+    ``max_halo`` (lane blocks, 'auto', or None for full halo): the
+    far-class split of :func:`make_fused_cg_kernels` — kernel A emits
+    per-RHS aux raw rows, Ap travels as ``(Ap_near, far_rows)`` with
+    (k*n_far, E) stacked far rows, kernel B adds each RHS's rows in
+    VMEM.  The batched windows shrink ~k-fold, so the split's window
+    relief matters MORE here than in the single-RHS kernels (the
+    measured k>=4 losses were degenerate-window costs — BASELINE.md
+    round-2h).
+
+    ``defer_x=True`` drops the solution update from kernel A entirely
+    (``kA(r, p, inv, beta) -> (p', Ap', denom_parts)`` with beta a (k,)
+    vector) — the driver retains the last m stacked directions and
+    catches each RHS's x up once per m iterations
+    (``cg_fused_batched(defer_x=m)``), exactly like the single-RHS
+    deferred mode (a measured 1M-scale win there: BASELINE round-2h/2n).
     """
     import numpy as np  # noqa: F401  (parallel structure with general)
 
@@ -1962,26 +2023,35 @@ def make_fused_cg_kernels_batched(exchange, Kcat, a, *,
                          384)
 
     prep = _AffineFusedPrep(exchange, Kcat, a, precision, target_win,
-                            max_halo=None)
+                            max_halo=max_halo, cheap_far=True)
     n, E, G, TE, Hb = prep.n, prep.E, prep.G, prep.TE, prep.Hb
     KT, M, aT = prep.KT, prep.M, prep.aT
     p_store = jnp.bfloat16 if p_bf16 else jnp.float32
     kn = k_rhs * n
+    n_aux = prep.n_aux
 
     def kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
                  x_ref, K_ref, m_ref, sc_ref, po_ref, apo_ref, xo_ref,
-                 d_ref):
+                 d_ref, *aux_ref):
         a_win = jnp.concatenate([aL[:], aC[:], aR[:]], axis=1)
         i_win = jnp.concatenate([iL[:], iC[:], iR[:]], axis=1)
         i32w = i_win.astype(jnp.float32)
+        # concat the full stacked windows ONCE, slice per-RHS at value
+        # level: ref row-slices at j*n (not sublane-aligned) feed the
+        # lane concat operands mismatched sublane offsets, which Mosaic
+        # rejects ("result/input offset mismatch on non-concat
+        # dimension") at some tilings
+        r_full = jnp.concatenate([rL[:], rC[:], rR[:]], axis=1)
+        p_full = jnp.concatenate([pL[:], pC[:], pR[:]], axis=1)
         for j in range(k_rhs):
             sl = slice(j * n, (j + 1) * n)
             beta = sc_ref[j, 0]
-            alpha_prev = sc_ref[j, 1]
-            r_win = jnp.concatenate([rL[sl], rC[sl], rR[sl]], axis=1)
-            p_win = jnp.concatenate([pL[sl], pC[sl], pR[sl]], axis=1)
+            r_win = r_full[sl]
+            p_win = p_full[sl]
             p32 = p_win.astype(jnp.float32)
-            xo_ref[sl] = x_ref[sl] + alpha_prev * p32[:, Hb:Hb + TE]
+            if x_ref is not None:
+                alpha_prev = sc_ref[j, 1]
+                xo_ref[sl] = x_ref[sl] + alpha_prev * p32[:, Hb:Hb + TE]
             pn = i32w * r_win + beta * p32
             pn_st = pn.astype(p_store)
             V = prep.dot_window(K_ref, pn_st)
@@ -1991,37 +2061,85 @@ def make_fused_cg_kernels_batched(exchange, Kcat, a, *,
             d_ref[pl.program_id(0), j] = jnp.sum(
                 pn_st[:, Hb:Hb + TE].astype(jnp.float32)
                 * S[:, Hb:Hb + TE])
+            if aux_ref:
+                aux_ref[0][j * n_aux:(j + 1) * n_aux] = prep.aux_extract(S)
 
-    smem_sc = pl.BlockSpec((k_rhs, 2), _im32(lambda i: (0, 0)),
+    def kernel_a_d(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
+                   K_ref, m_ref, sc_ref, po_ref, apo_ref, d_ref,
+                   *aux_ref):
+        kernel_a(rL, rC, rR, pL, pC, pR, iL, iC, iR, aL, aC, aR,
+                 None, K_ref, m_ref, sc_ref, po_ref, apo_ref, None,
+                 d_ref, *aux_ref)
+
+    sc_cols = 1 if defer_x else 2
+    smem_sc = pl.BlockSpec((k_rhs, sc_cols), _im32(lambda i: (0, 0)),
                            memory_space=pltpu.SMEM)
     smem_out = pl.BlockSpec((G, k_rhs), _im32(lambda i: (0, 0)),
                             memory_space=pltpu.SMEM)
     a_specs = (prep.halo_triple(kn) + prep.halo_triple(kn)
                + prep.halo_triple(n) + prep.halo_triple(3)
-               + [prep.center_spec(kn)] + prep.const_specs()
+               + ([] if defer_x else [prep.center_spec(kn)])
+               + prep.const_specs()
                + [smem_sc])
-    a_out_shapes = (
+    a_out_shapes = [
         jax.ShapeDtypeStruct((kn, E), p_store),
         jax.ShapeDtypeStruct((kn, E), jnp.float32),
-        jax.ShapeDtypeStruct((kn, E), jnp.float32),
-        jax.ShapeDtypeStruct((G, k_rhs), jnp.float32),
-    )
-    a_out_specs = (prep.center_spec(kn), prep.center_spec(kn),
-                   prep.center_spec(kn), smem_out)
+    ]
+    a_out_specs = [prep.center_spec(kn), prep.center_spec(kn)]
+    if not defer_x:
+        a_out_shapes.append(jax.ShapeDtypeStruct((kn, E), jnp.float32))
+        a_out_specs.append(prep.center_spec(kn))
+    a_out_shapes.append(jax.ShapeDtypeStruct((G, k_rhs), jnp.float32))
+    a_out_specs.append(smem_out)
+    if prep.has_far:
+        a_out_shapes.append(
+            jax.ShapeDtypeStruct((k_rhs * n_aux, E), jnp.float32))
+        a_out_specs.append(prep.center_spec(k_rhs * n_aux))
+
+    if defer_x:
+        def kA_d(r, p, inv, beta):
+            sc = jnp.broadcast_to(
+                jnp.asarray(beta, jnp.float32), (k_rhs,)).reshape(
+                    k_rhs, 1)
+            res = pl.pallas_call(
+                kernel_a_d,
+                out_shape=tuple(a_out_shapes),
+                grid=(G,),
+                in_specs=a_specs,
+                out_specs=tuple(a_out_specs),
+                interpret=interpret,
+            )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, KT, M, sc)
+            if prep.has_far:
+                p_new, Ap, dparts, aux = res
+                return p_new, (Ap, _far_rows_batched(prep, aux, k_rhs)), \
+                    dparts
+            return res
+
+        kB = _build_cg_kernel_b_batched(prep, k_rhs, interpret)
+        kA_d._prep = kB._prep = prep
+        kA_d._defer_x = True
+        kA_d._n_rhs = k_rhs
+        kA_d._no_hoist = kB._no_hoist = True
+        return kA_d, kB, G
 
     def kA(r, p, inv, x, beta, alpha_prev):
         sc = jnp.stack(
             [jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (k_rhs,)),
              jnp.broadcast_to(jnp.asarray(alpha_prev, jnp.float32),
                               (k_rhs,))], axis=1)
-        return pl.pallas_call(
+        res = pl.pallas_call(
             kernel_a,
-            out_shape=a_out_shapes,
+            out_shape=tuple(a_out_shapes),
             grid=(G,),
             in_specs=a_specs,
-            out_specs=a_out_specs,
+            out_specs=tuple(a_out_specs),
             interpret=interpret,
         )(r, r, r, p, p, p, inv, inv, inv, aT, aT, aT, x, KT, M, sc)
+        if prep.has_far:
+            p_new, Ap, x_new, dparts, aux = res
+            return p_new, (Ap, _far_rows_batched(prep, aux, k_rhs)), \
+                x_new, dparts
+        return res
 
     kB = _build_cg_kernel_b_batched(prep, k_rhs, interpret)
     kA._prep = kB._prep = prep
@@ -2031,27 +2149,47 @@ def make_fused_cg_kernels_batched(exchange, Kcat, a, *,
     return kA, kB, G
 
 
+def _far_rows_batched(prep, aux, k_rhs: int):
+    """Per-RHS :meth:`_AffineFusedPrep.far_rows` over (k*n_aux, E)
+    stacked aux rows -> (k*n_far, E) stacked far destination rows."""
+    n_aux = prep.n_aux
+    return jnp.concatenate(
+        [prep.far_rows(aux[j * n_aux:(j + 1) * n_aux])
+         for j in range(k_rhs)], axis=0)
+
+
 def _build_cg_kernel_b_batched(prep, k_rhs: int, interpret: bool):
     """Batched CG tail kernel: k sublane-stacked residual blocks share
     one inverse-diagonal and one dot-weight stream; alpha is (k,) and
-    the weighted reductions return (G, k) partials."""
+    the weighted reductions return (G, k) partials.  With the far split
+    active, kernel A's per-RHS compact far rows are added into each
+    RHS's Ap block in VMEM (see :func:`_build_cg_kernel_b`)."""
     n, E, G = prep.n, prep.E, prep.G
     kn = k_rhs * n
+    n_far = prep.n_far
 
     smem_al = pl.BlockSpec((k_rhs, 1), _im32(lambda i: (0, 0)),
                            memory_space=pltpu.SMEM)
     smem_out = pl.BlockSpec((G, k_rhs), _im32(lambda i: (0, 0)),
                             memory_space=pltpu.SMEM)
 
-    def kernel_b(r_ref, ap_ref, i_ref, w_ref, al_ref,
-                 ro_ref, rz_ref, rn_ref):
+    def kernel_b(r_ref, ap_ref, i_ref, w_ref, *rest):
+        if prep.has_far:
+            far_ref, al_ref, ro_ref, rz_ref, rn_ref = rest
+        else:
+            far_ref = None
+            al_ref, ro_ref, rz_ref, rn_ref = rest
         w = w_ref[:].astype(jnp.float32)
         iw = i_ref[:].astype(jnp.float32)
         g = pl.program_id(0)
         for j in range(k_rhs):
             sl = slice(j * n, (j + 1) * n)
             alpha = al_ref[j, 0]
-            r_new = r_ref[sl] - alpha * ap_ref[sl]
+            ap = ap_ref[sl]
+            if far_ref is not None:
+                ap = prep.add_far(
+                    ap, far_ref[j * n_far:(j + 1) * n_far])
+            r_new = r_ref[sl] - alpha * ap
             ro_ref[sl] = r_new
             z = iw * r_new
             rz_ref[g, j] = jnp.sum(w * r_new * z)
@@ -2059,7 +2197,10 @@ def _build_cg_kernel_b_batched(prep, k_rhs: int, interpret: bool):
 
     cs_kn = prep.center_spec(kn)
     cs_n = prep.center_spec(n)
-    b_specs = [cs_kn, cs_kn, cs_n, cs_n, smem_al]
+    b_specs = [cs_kn, cs_kn, cs_n, cs_n]
+    if prep.has_far:
+        b_specs.append(prep.center_spec(k_rhs * n_far))
+    b_specs.append(smem_al)
     b_out_shapes = (
         jax.ShapeDtypeStruct((kn, E), jnp.float32),
         jax.ShapeDtypeStruct((G, k_rhs), jnp.float32),
@@ -2069,6 +2210,10 @@ def _build_cg_kernel_b_batched(prep, k_rhs: int, interpret: bool):
 
     def kB(r, Ap, inv, w_free, alpha):
         al = jnp.asarray(alpha, jnp.float32).reshape(k_rhs, 1)
+        args = (r, Ap, inv, w_free, al)
+        if prep.has_far:
+            Ap, far = Ap
+            args = (r, Ap, inv, w_free, far, al)
         return pl.pallas_call(
             kernel_b,
             out_shape=b_out_shapes,
@@ -2076,7 +2221,7 @@ def _build_cg_kernel_b_batched(prep, k_rhs: int, interpret: bool):
             in_specs=b_specs,
             out_specs=b_out_specs,
             interpret=interpret,
-        )(r, Ap, inv, w_free, al)
+        )(*args)
 
     return kB
 

@@ -663,7 +663,6 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
             and dt == jnp.float32
             and exchange.layout == "edges-first"
             and hasattr(exchange, "edge_classes")
-            and getattr(exchange, "ne", None) is not None
             and not (exchange.n_edge_tail or exchange.n_vert_tail)
         )
         if backend == "auto":

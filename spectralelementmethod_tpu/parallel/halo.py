@@ -187,6 +187,7 @@ class _BlockExchangeView:
 
     def __init__(self, ex, E_ext: int):
         self.n_loc, self.ne = ex.n_loc, ex.ne
+        self.edge_len, self.edge_off = ex.edge_len, ex.edge_off
         self.off_edge, self.off_vert = ex.off_edge, ex.off_vert
         self.off_int = ex.off_int
         self.E = self.E_real = int(E_ext)

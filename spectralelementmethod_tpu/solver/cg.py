@@ -701,6 +701,7 @@ def cg_fused_batched(
     max_iter: int = 1000,
     block: int = 64,
     p_dtype=None,
+    defer_x: int = 0,
     A: Callable | None = None,
     max_restarts: int = 2,
 ) -> CGResult:
@@ -714,6 +715,13 @@ def cg_fused_batched(
     carries its own alpha/beta/convergence scalars and freezes
     independently (zero step length), exactly like :func:`cg_batched`.
     One host ladder serves all k solves.
+
+    ``defer_x=m`` (m >= 2, dividing 64) requires kernels built with
+    ``make_fused_cg_kernels_batched(defer_x=True)``: the loop carries
+    the m most recent stacked direction slots and catches every RHS's x
+    up once per m iterations (per-RHS alpha vectors), removing kernel
+    A's x read+write — the measured 1M-scale lever of the single-RHS
+    mode (BASELINE round-2h/2n).
 
     ``A`` (optional): the masked f32 operator on FLAT (k*n, E) stacks.
     When given, each finished leg's solution is VERIFIED against the
@@ -744,7 +752,22 @@ def cg_fused_batched(
     if kk != k or B2.shape[0] != k * n_loc:
         raise ValueError(f"B batch size {kk} != kernel n_rhs {k}")
 
-    init_k, block_k = _cg_fused_kernels_batched(kA, kB, k, p_bf16)
+    if defer_x:
+        if not getattr(kA, "_defer_x", False):
+            raise ValueError("defer_x > 0 requires kernels built with "
+                             "make_fused_cg_kernels_batched("
+                             "defer_x=True)")
+        if defer_x < 2 or 64 % defer_x:
+            raise ValueError(f"defer_x must divide 64, got {defer_x}")
+        init_k, block_k = _cg_fused_kernels_batched_deferred(
+            kA, kB, k, defer_x, p_bf16)
+        RN2, STOP2, RN2MIN, K_I = 6, 8, 9, 5
+    elif getattr(kA, "_defer_x", False):
+        raise ValueError("kernels built with defer_x=True need "
+                         "cg_fused_batched(..., defer_x=m)")
+    else:
+        init_k, block_k = _cg_fused_kernels_batched(kA, kB, k, p_bf16)
+        RN2, STOP2, RN2MIN, K_I = 7, 9, 10, 6
 
     def run_leg(b_leg, tol_leg, atol_leg, budget, block0):
         state = init_k(b_leg, inv, w_free, tol_leg, atol_leg,
@@ -756,10 +779,12 @@ def cg_fused_batched(
         while issued < budget:
             remaining = -(-(budget - issued) // 64) * 64
             n = min(blk, remaining)
+            if defer_x:
+                n = -(-n // defer_x) * defer_x   # whole super-iterations
             state = block_k(n, state, inv, w_free)
             issued += n
             rn2, stop2_np, rn2m = jax.device_get(
-                (state[7], state[9], state[10]))
+                (state[RN2], state[STOP2], state[RN2MIN]))
             improved = rn2 <= best_rn2
             if improved.all():
                 best_state, best_rn2 = state, rn2
@@ -790,13 +815,16 @@ def cg_fused_batched(
         best_state, issued = run_leg(b_leg, tol_leg, atol_leg,
                                      max_iter - issued_total, block)
         issued_total += issued
-        (x, r, p, rz, rz_prev, a_prev, k_dev, rn2, _, stop2,
-         _) = best_state
-        # x lags one direction per RHS: apply the pending per-k update
-        x = (x.reshape(k, n_loc, -1)
-             + a_prev[:, None, None]
-             * p.reshape(k, n_loc, -1).astype(x.dtype)
-             ).reshape(k * n_loc, -1)
+        x, k_dev, rn2, stop2 = (best_state[0], best_state[K_I],
+                                best_state[RN2], best_state[STOP2])
+        if not defer_x:
+            # x lags one direction per RHS: apply the pending update
+            # (deferred mode catches up at super-iteration boundaries)
+            a_prev, p = best_state[5], best_state[2]
+            x = (x.reshape(k, n_loc, -1)
+                 + a_prev[:, None, None]
+                 * p.reshape(k, n_loc, -1).astype(x.dtype)
+                 ).reshape(k * n_loc, -1)
         if stop2_v is None:
             stop2_v = stop2                       # (k,) original target
         x_tot = x if x_tot is None else x_tot + x
@@ -882,6 +910,72 @@ def _cg_fused_kernels_batched(kA, kB, k: int, p_bf16: bool = False):
                     stop2, rn2_min)
 
         return jax.lax.fori_loop(0, n, body, state)
+
+    return init, block
+
+
+@lru_cache(maxsize=16)
+def _cg_fused_kernels_batched_deferred(kA, kB, k: int, m: int,
+                                       p_bf16: bool = False):
+    """Jitted (init, block) for the batched deferred-x fused CG
+    (defer_x=m, n_rhs=k): the single-RHS deferred super-iteration
+    (see :func:`_cg_fused_kernels_deferred`) with (k,) per-RHS scalars
+    and a per-RHS catch-up ``x_j += sum alphas_j P_j`` once per m
+    iterations (one fused XLA pass over the m stacked slots)."""
+
+    @jax.jit
+    def init(B2, inv, w_free, tol, atol, max_iter):
+        r0 = B2.astype(jnp.float32)
+        kn = r0.shape[0]
+        n_loc = kn // k
+        x0 = jnp.zeros_like(r0)
+        p_store = jnp.bfloat16 if p_bf16 else r0.dtype
+        P0 = tuple(jnp.zeros_like(r0, dtype=p_store) for _ in range(m))
+        wf = w_free.astype(jnp.float32)
+        r3 = r0.reshape(k, n_loc, -1)
+        iv3 = inv.astype(jnp.float32)[None]
+        rn0 = jnp.sum(wf[None] * r3 * r3, axis=(1, 2))
+        rz0 = jnp.sum(wf[None] * r3 * (iv3 * r3), axis=(1, 2))
+        stop2 = jnp.maximum(tol * tol * rn0, atol * atol)
+        return (x0, r0, P0, rz0, rz0, jnp.zeros(k, jnp.int32), rn0,
+                jnp.broadcast_to(max_iter, (k,)), stop2, rn0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(n, state, inv, w_free):
+        def super_body(i, st):
+            (x, r, P, rz, rz_prev, it, rn2, max_it, stop2, rn2_min) = st
+            kn = x.shape[0]
+            n_loc = kn // k
+            P = list(P)
+            alphas = []
+            for j in range(m):
+                done = ((rn2 <= stop2) | (it >= max_it)
+                        | (rn2 > 1e6 * rn2_min) | ~jnp.isfinite(rn2))
+                beta = jnp.where(
+                    (it == 0) | done, 0.0,
+                    rz / jnp.where(rz_prev != 0, rz_prev, 1.0))
+                p_new, Ap, dparts = kA(r, P[(j - 1) % m], inv, beta)
+                denom = jnp.sum(dparts, axis=0)              # (k,)
+                alpha = jnp.where(
+                    done, 0.0, rz / jnp.where(denom != 0, denom, 1.0))
+                r, rzp, rn2p = kB(r, Ap, inv, w_free, alpha)
+                rn2_new = jnp.sum(rn2p, axis=0)
+                it = it + jnp.where(done, 0, 1).astype(it.dtype)
+                rn2_min = jnp.where(done, rn2_min,
+                                    jnp.minimum(rn2_min, rn2_new))
+                rz_prev, rz, rn2 = rz, jnp.sum(rzp, axis=0), rn2_new
+                P[j] = p_new
+                alphas.append(alpha)
+            # per-RHS deferred catch-up, one fused pass over the m slots
+            x3 = x.reshape(k, n_loc, -1)
+            for j in range(m):
+                x3 = x3 + (alphas[j][:, None, None]
+                           * P[j].reshape(k, n_loc, -1)
+                           .astype(jnp.float32))
+            return (x3.reshape(kn, -1), r, tuple(P), rz, rz_prev, it,
+                    rn2, max_it, stop2, rn2_min)
+
+        return jax.lax.fori_loop(0, n // m, super_body, state)
 
     return init, block
 

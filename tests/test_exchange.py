@@ -355,9 +355,13 @@ class TestAnisotropicExchange:
         return Discretization(mesh, gll_basis_2d(p0, p1))
 
     def test_make_exchange_routes_to_roll(self):
-        """Anisotropic structured meshes now take the roll fast path
-        (per-slot edge offsets); the fused Pallas kernels stay
-        square-only and reject ne=None exchanges."""
+        """Anisotropic structured meshes take the roll fast path
+        (per-slot edge offsets) AND are admitted to the fused Pallas
+        kernels (round-2n: per-slot edge lengths in the DSS/far
+        bookkeeping); on this deliberately tiny mesh the prep only
+        fails for lack of an admissible tiling, not squareness.
+        Full anisotropic kernel coverage: tests/test_pallas_kernels.py
+        TestAnisotropicFused."""
         from spectralelementmethod_tpu.ops.exchange import (
             RollExchange, make_exchange)
         from spectralelementmethod_tpu.ops.pallas_kernels import (
@@ -370,7 +374,7 @@ class TestAnisotropicExchange:
         assert ex.edge_len == (5, 5, 3, 3)      # (m1-2, m1-2, m0-2, m0-2)
         assert ex.n_edge_tail == 0              # classes cover all faces
         import pytest as _pytest
-        with _pytest.raises(ValueError, match="square"):
+        with _pytest.raises(ValueError, match="no admissible"):
             _AffineFusedPrep(ex, np.zeros((38, 114)), np.zeros((ex.E, 3)),
                              "highest", 4608)
 

@@ -361,7 +361,7 @@ class TestBatchedFusedCG:
                                        cg_kernel="fused-interpret")
         assert bool(np.asarray(sol_f.cg.converged).all())
         kA = prob._op_cache[("cg_fused_batch", 2, "fused-interpret",
-                             "None")][0]
+                             "None", False)][0]
         assert kA._prep.KT is not None      # affine kernels engaged
         scale = max(np.abs(sol_p.u).max(), 1e-30)
         assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-4
@@ -374,6 +374,121 @@ class TestBatchedFusedCG:
         with pytest.raises(ValueError, match="float32"):
             prob.solve_local_batch([1.0, 2.0],
                                    cg_kernel="fused-interpret")
+
+
+class TestBatchedFarSplit:
+    """Far-class halo split in the BATCHED CG kernels: kernel A emits
+    per-RHS aux rows, Ap travels as (Ap_near, (k*n_far, E) far rows),
+    kernel B adds each RHS's rows in VMEM.  The k-fold-shrunk batched
+    windows make the split matter more than in the single-RHS kernels."""
+
+    def _affine_pieces(self, max_halo):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels_batched)
+
+        mesh = rectangle_mesh(32, 16, 2)  # row stride 16 > max_halo=1
+        disc = Discretization(mesh, gll_basis_2d(2))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        kA, kB, _ = make_fused_cg_kernels_batched(
+            ex, Kcat, a, n_rhs=2, precision="highest",
+            max_halo=max_halo, interpret=True)
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+        return ex, kA, kB, A_xla, prob
+
+    def _apply_roundtrip(self, ex, kA, kB, A_xla, k=2):
+        """Per-RHS apply through kA+kB (r=0, inv=1, alpha=1 makes
+        r' = -Ap) against the XLA operator."""
+        n, E = ex.n_loc, ex.E
+        rng = np.random.RandomState(17)
+        Rs = [ex.dss_T(jnp.asarray(
+            rng.standard_normal((n, E)).astype(np.float32)))
+            for _ in range(k)]
+        Rb = jnp.concatenate(Rs, axis=0)
+        zeros = jnp.zeros((k * n, E), jnp.float32)
+        ones = jnp.ones((n, E), jnp.float32)
+        p_new, Ap, x_new, dparts = kA(
+            Rb, zeros, ones, zeros, jnp.zeros(k), jnp.zeros(k))
+        rn, rzp, rn2p = kB(zeros, Ap, ones,
+                           jnp.asarray(np.asarray(ex.weights.T,
+                                                  np.float32)),
+                           jnp.ones(k))
+        for j in range(k):
+            expect = np.asarray(A_xla(Rs[j]))
+            scale = np.abs(expect).max()
+            got = -np.asarray(rn[j * n:(j + 1) * n])
+            assert np.abs(got - expect).max() / scale < 1e-4
+            expect_denom = float(ex.dot_T(Rs[j], jnp.asarray(expect)))
+            assert abs(float(jnp.sum(dparts[:, j])) - expect_denom) \
+                / abs(expect_denom) < 1e-4
+
+    def test_affine_batched_far_split_matches_xla(self):
+        ex, kA, kB, A_xla, _ = self._affine_pieces(max_halo=1)
+        prep = kA._prep
+        assert prep.has_far and prep.n_far > 0
+        self._apply_roundtrip(ex, kA, kB, A_xla)
+
+    def test_affine_batched_full_halo_control(self):
+        ex, kA, kB, A_xla, _ = self._affine_pieces(max_halo=None)
+        assert not kA._prep.has_far
+        self._apply_roundtrip(ex, kA, kB, A_xla)
+
+    def test_general_batched_far_split_matches_xla(self):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels_general)
+
+        ex, Gf, Dhat = general_problem(32, 16, 2)
+        kA, kB, _ = make_fused_cg_kernels_general(
+            ex, Gf, Dhat, n_rhs=2, precision="highest",
+            max_halo=1, interpret=True)
+        prep = kA._prep
+        assert prep.has_far and prep.n_far > 0
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla",
+            structure="general")
+        self._apply_roundtrip(ex, kA, kB, A_xla)
+
+    def test_batched_far_split_cg_solves(self):
+        """End-to-end cg_fused_batched through far-split kernels matches
+        the full-halo batched solve (Dirichlet-masked Poisson system,
+        two forcings)."""
+        from spectralelementmethod_tpu.solver.cg import cg_fused_batched
+
+        ex, kA, kB, A_xla, prob = self._affine_pieces(max_halo=1)
+        kA0, kB0 = self._affine_pieces(max_halo=None)[1:3]
+        assert kA._prep.has_far and not kA0._prep.has_far
+        n, E = ex.n_loc, ex.E
+        free = jnp.asarray(np.ascontiguousarray(
+            (~prob._dirichlet_mask)[ex.gather_hier].T))
+        diagL = jnp.asarray(np.ascontiguousarray(
+            np.asarray(prob.operator_diagonal())[ex.gather_hier]
+            .astype(np.float32).T))
+        inv = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0),
+                        0.0)
+        w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+        w_free = jnp.where(free, w, 0.0)
+        b = np.asarray(prob._b) + prob._neumann
+        bL = jnp.asarray(np.ascontiguousarray(
+            b[ex.gather_hier].astype(np.float32).T))
+        B = jnp.stack([jnp.where(free, bL, 0.0),
+                       jnp.where(free, 2.5 * bL, 0.0)])
+        res_f = cg_fused_batched(kA, kB, B, inv=inv, w_free=w_free,
+                                 tol=1e-5, max_iter=600)
+        res_0 = cg_fused_batched(kA0, kB0, B, inv=inv, w_free=w_free,
+                                 tol=1e-5, max_iter=600)
+        assert bool(np.asarray(res_f.converged).all())
+        assert bool(np.asarray(res_0.converged).all())
+        xf, x0 = np.asarray(res_f.x), np.asarray(res_0.x)
+        assert np.abs(xf - x0).max() / np.abs(x0).max() < 1e-2
 
 
 class TestOperatorWiring:
@@ -448,3 +563,132 @@ def test_panel_order_batched_fused_cg():
     assert bool(np.asarray(sol_f.cg.converged).all())
     scale = max(np.abs(sol_p.u).max(), 1e-30)
     assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
+
+
+class TestBatchedDeferredX:
+    """defer_x on the BATCHED fused CG kernels: kernel A drops the
+    solution update; the driver catches each RHS's x up once per m
+    iterations with per-RHS alpha vectors."""
+
+    def _pieces(self, max_halo=None):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels_batched)
+
+        mesh = rectangle_mesh(32, 16, 2)
+        disc = Discretization(mesh, gll_basis_2d(2))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        kA, kB, _ = make_fused_cg_kernels_batched(
+            ex, Kcat, a, n_rhs=2, precision="highest",
+            max_halo=max_halo, defer_x=True, interpret=True)
+        kA0, kB0, _ = make_fused_cg_kernels_batched(
+            ex, Kcat, a, n_rhs=2, precision="highest",
+            max_halo=max_halo, interpret=True)
+        return prob, ex, kA, kB, kA0, kB0
+
+    def _operands(self, prob, ex):
+        free = jnp.asarray(np.ascontiguousarray(
+            (~prob._dirichlet_mask)[ex.gather_hier].T))
+        diagL = jnp.asarray(np.ascontiguousarray(
+            np.asarray(prob.operator_diagonal())[ex.gather_hier]
+            .astype(np.float32).T))
+        inv = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0),
+                        0.0)
+        w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+        w_free = jnp.where(free, w, 0.0)
+        b = np.asarray(prob._b) + prob._neumann
+        bL = jnp.asarray(np.ascontiguousarray(
+            b[ex.gather_hier].astype(np.float32).T))
+        B = jnp.stack([jnp.where(free, bL, 0.0),
+                       jnp.where(free, 2.5 * bL, 0.0)])
+        return B, inv, w_free
+
+    def test_deferred_solve_matches_plain_batched(self):
+        from spectralelementmethod_tpu.solver.cg import cg_fused_batched
+
+        prob, ex, kA, kB, kA0, kB0 = self._pieces()
+        B, inv, w_free = self._operands(prob, ex)
+        res_d = cg_fused_batched(kA, kB, B, inv=inv, w_free=w_free,
+                                 tol=1e-5, max_iter=600, defer_x=4)
+        res_0 = cg_fused_batched(kA0, kB0, B, inv=inv, w_free=w_free,
+                                 tol=1e-5, max_iter=600)
+        assert bool(np.asarray(res_d.converged).all())
+        assert bool(np.asarray(res_0.converged).all())
+        xd, x0 = np.asarray(res_d.x), np.asarray(res_0.x)
+        assert np.abs(xd - x0).max() / np.abs(x0).max() < 1e-2
+
+    def test_deferred_composes_with_far_split(self):
+        from spectralelementmethod_tpu.solver.cg import cg_fused_batched
+
+        prob, ex, kA, kB, kA0, kB0 = self._pieces(max_halo=1)
+        assert kA._prep.has_far
+        B, inv, w_free = self._operands(prob, ex)
+        res_d = cg_fused_batched(kA, kB, B, inv=inv, w_free=w_free,
+                                 tol=1e-5, max_iter=600, defer_x=2)
+        res_0 = cg_fused_batched(kA0, kB0, B, inv=inv, w_free=w_free,
+                                 tol=1e-5, max_iter=600)
+        assert bool(np.asarray(res_d.converged).all())
+        xd, x0 = np.asarray(res_d.x), np.asarray(res_0.x)
+        assert np.abs(xd - x0).max() / np.abs(x0).max() < 1e-2
+
+    def test_mismatched_kernels_raise(self):
+        from spectralelementmethod_tpu.solver.cg import cg_fused_batched
+
+        prob, ex, kA, kB, kA0, kB0 = self._pieces()
+        B, inv, w_free = self._operands(prob, ex)
+        with pytest.raises(ValueError, match="defer_x"):
+            cg_fused_batched(kA, kB, B, inv=inv, w_free=w_free,
+                             max_iter=64)       # built deferred, m=0
+        with pytest.raises(ValueError, match="defer_x"):
+            cg_fused_batched(kA0, kB0, B, inv=inv, w_free=w_free,
+                             max_iter=64, defer_x=4)
+
+    def test_solve_local_batch_defer_x(self):
+        """Model-level wiring: solve_local_batch(defer_x=m) routes
+        through the deferred batched kernels on an affine mesh."""
+        mesh = rectangle_mesh(16, 16, 2)
+        disc = Discretization(mesh, gll_basis_2d(2))
+        prob = Poisson(disc, dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        fs = [1.0, lambda x, y: x + y]
+        sol_p = prob.solve_local_batch(fs, tol=1e-5)
+        sol_d = prob.solve_local_batch(fs, tol=1e-5,
+                                       cg_kernel="fused-interpret",
+                                       p_dtype=jnp.bfloat16, defer_x=4)
+        assert bool(np.asarray(sol_d.cg.converged).all())
+        scale = max(np.abs(sol_p.u).max(), 1e-30)
+        assert np.abs(sol_d.u - sol_p.u).max() / scale < 1e-3
+        # 'auto' on a small mesh resolves to no deferral and still solves
+        sol_a = prob.solve_local_batch(fs, tol=1e-5,
+                                       cg_kernel="fused-interpret",
+                                       p_dtype=jnp.bfloat16,
+                                       defer_x="auto")
+        assert np.abs(sol_a.u - sol_p.u).max() / scale < 1e-3
+
+    def test_solve_local_batch_defer_x_general_raises(self):
+        """Explicit defer_x on a curved (general) mesh surfaces the
+        no-deferred-mode error instead of silently degrading."""
+        mesh = rectangle_mesh(16, 16, 2)
+        disc = Discretization(mesh, gll_basis_2d(2))
+        prob = Poisson(disc, coefficient=lambda x, y: 1 + 0.2 * x * x,
+                       dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        fs = [1.0, lambda x, y: x + y]
+        with pytest.raises(ValueError, match="defer_x"):
+            prob.solve_local_batch(fs, tol=1e-5,
+                                   cg_kernel="fused-interpret",
+                                   p_dtype=jnp.bfloat16, defer_x=4)
+        # auto-resolved deferral drops silently and still solves
+        sol = prob.solve_local_batch(fs, tol=1e-5,
+                                     cg_kernel="fused-interpret",
+                                     p_dtype=jnp.bfloat16,
+                                     defer_x="auto")
+        assert bool(np.asarray(sol.cg.converged).all())

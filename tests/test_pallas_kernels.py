@@ -593,3 +593,114 @@ class TestProceduralMasks:
         got = np.asarray(fused(uT))
         scale = np.abs(expected).max()
         assert np.abs(got - expected).max() / scale < 1e-5
+
+
+class TestAnisotropicFused:
+    """Anisotropic node grids (p0 != p1 — the reference's tensor bases
+    are anisotropic throughout, ``sem/basis_functions.py:683-697``) on
+    the fused Pallas kernel path: per-slot edge lengths replace the
+    uniform ``ne`` in every DSS/far row-bookkeeping structure."""
+
+    def _pieces(self, nx, ny, p0, p1):
+        from spectralelementmethod_tpu.ops.exchange import RollExchange
+
+        mesh = rectangle_mesh(nx, ny, (p0, p1))
+        disc = Discretization(mesh, gll_basis_2d(p0, p1))
+        prob = Poisson(disc, dtype=np.float32)
+        ex = RollExchange(disc)
+        Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+        W = disc.basis.weight_grid().reshape(-1)
+        a, exact = sumfac.affine_factorization(Gf, W)
+        assert exact
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+        A_xla = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne", backend="xla")
+        return ex, Kcat, a, A_xla
+
+    def test_full_halo_apply_matches_xla(self):
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        ex, Kcat, a, A_xla = self._pieces(16, 8, 3, 4)
+        assert ex.ne is None            # genuinely anisotropic
+        fused = make_fused_affine_laplacian_T(ex, Kcat, a,
+                                              interpret=True)
+        rng = np.random.RandomState(3)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        expected = np.asarray(A_xla(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(np.asarray(fused(uT))
+                      - expected).max() / scale < 1e-5
+
+    def test_far_split_both_transports(self):
+        """Forced far split on an anisotropic mesh: the aliased update
+        kernel and the XLA epilogue agree with each other and the XLA
+        operator (per-slot aux/far row offsets)."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_affine_laplacian_T)
+
+        ex, Kcat, a, A_xla = self._pieces(32, 16, 3, 4)
+        fk = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=256, max_halo=1,
+            far_mode="kernel", interpret=True)
+        fx = make_fused_affine_laplacian_T(
+            ex, Kcat, a, target_win=256, max_halo=1,
+            far_mode="xla", interpret=True)
+        assert fk._prep.has_far and fk._far_update is not None
+        rng = np.random.RandomState(5)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        vk, vx = np.asarray(fk(uT)), np.asarray(fx(uT))
+        np.testing.assert_array_equal(vk, vx)
+        expected = np.asarray(A_xla(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(vk - expected).max() / scale < 1e-5
+
+    def test_fused_cg_kernels(self):
+        """kA/kB CG kernel pair on an anisotropic mesh (auto halo may
+        split): Ap recovered through kB (r=0, alpha=1) == XLA apply."""
+        from spectralelementmethod_tpu.ops.pallas_kernels import (
+            make_fused_cg_kernels)
+
+        ex, Kcat, a, A_xla = self._pieces(32, 16, 3, 4)
+        kA, kB, _ = make_fused_cg_kernels(ex, Kcat, a,
+                                          precision="highest",
+                                          interpret=True)
+        rng = np.random.RandomState(7)
+        r = ex.dss_T(jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32)))
+        z = jnp.zeros_like(r)
+        ones = jnp.ones_like(r)
+        p_new, Ap, x_new, dparts = kA(r, z, ones, z, 0.0, 0.0)
+        w = jnp.asarray(np.asarray(ex.weights.T, np.float32))
+        rn, _, _ = kB(z, Ap, ones, w, 1.0)
+        expected = np.asarray(A_xla(r))
+        scale = np.abs(expected).max()
+        assert np.abs(-np.asarray(rn) - expected).max() / scale < 1e-4
+        expect_denom = float(ex.dot_T(r, jnp.asarray(expected)))
+        assert abs(float(jnp.sum(dparts)) - expect_denom) / abs(
+            expect_denom) < 1e-4
+
+    def test_solve_local_auto_routes_fused(self):
+        """The sumfac fused_ok gate admits anisotropic roll exchanges:
+        an explicit fused-interpret backend build works end-to-end."""
+        ex, Kcat, a, A_xla = self._pieces(16, 8, 3, 4)
+        mesh = rectangle_mesh(16, 8, (3, 4))
+        disc = Discretization(mesh, gll_basis_2d(3, 4))
+        prob = Poisson(disc, dtype=np.float32)
+        Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        A_f = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, vector_layout="ne",
+            backend="fused-interpret")
+        rng = np.random.RandomState(9)
+        uT = jnp.asarray(
+            rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+        expected = np.asarray(A_xla(uT))
+        scale = np.abs(expected).max()
+        assert np.abs(np.asarray(A_f(uT))
+                      - expected).max() / scale < 1e-5

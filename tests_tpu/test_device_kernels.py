@@ -272,3 +272,110 @@ def test_batched_affine_fused_cg_on_device():
     assert bool(np.asarray(sol_f.cg.converged).all())
     scale = max(np.abs(sol_p.u).max(), 1e-30)
     assert np.abs(sol_f.u - sol_p.u).max() / scale < 1e-3
+
+
+def test_anisotropic_fused_apply_on_device():
+    """Anisotropic (p0 != p1) fused apply compiles under real Mosaic:
+    per-slot edge lengths in the roll DSS."""
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        make_fused_affine_laplacian_T)
+
+    mesh = rectangle_mesh(16, 8, (7, 8))
+    disc = Discretization(mesh, gll_basis_2d(7, 8))
+    prob = Poisson(disc, dtype=np.float32)
+    ex = RollExchange(disc)
+    assert ex.ne is None
+    Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(Gf, W)
+    assert exact
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    fused = make_fused_affine_laplacian_T(ex, Kcat, a)
+    A_xla = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, vector_layout="ne", backend="xla")
+    rng = np.random.RandomState(4)
+    uT = jnp.asarray(
+        rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+    got, expect = np.asarray(fused(uT)), np.asarray(A_xla(uT))
+    scale = np.abs(expect).max()
+    assert np.abs(got - expect).max() / scale < 1e-5
+
+
+def test_general_far_split_apply_on_device():
+    """General (curved-mesh) fused apply with the aliased far-row update
+    kernel compiles under real Mosaic and matches XLA."""
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        make_fused_general_laplacian_T)
+
+    p = 8
+    mesh = rectangle_mesh(8, 16, p)          # row stride 8
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, coefficient=lambda x, y: 1 + x * x * y * y,
+                   dtype=np.float32)
+    ex = RollExchange(disc)
+    Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    fused = make_fused_general_laplacian_T(
+        ex, Gf, Dhat, target_win=256, max_halo=4, far_mode="kernel")
+    assert fused._prep.has_far and fused._far_update is not None
+    A_xla = sumfac.make_local_laplacian_operator(
+        ex, Gf, Dhat, vector_layout="ne", backend="xla",
+        structure="general")
+    rng = np.random.RandomState(5)
+    uT = jnp.asarray(
+        rng.standard_normal((ex.n_loc, ex.E)).astype(np.float32))
+    got, expect = np.asarray(fused(uT)), np.asarray(A_xla(uT))
+    scale = np.abs(expect).max()
+    assert np.abs(got - expect).max() / scale < 1e-4
+
+
+def test_batched_far_split_cg_on_device():
+    """Batched fused CG kernels with the far split (per-RHS aux/far
+    rows through kernel B) compile under real Mosaic and solve."""
+    from spectralelementmethod_tpu.ops.pallas_kernels import (
+        make_fused_cg_kernels_batched)
+    from spectralelementmethod_tpu.solver.cg import cg_fused_batched
+
+    p = 8
+    mesh = rectangle_mesh(8, 16, p)          # row stride 8
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    ex = RollExchange(disc)
+    Gf = prob._G_host.reshape(disc.E, 3, -1).astype(np.float32)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(Gf, W)
+    assert exact
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    kA, kB, _ = make_fused_cg_kernels_batched(
+        ex, Kcat, a, n_rhs=2, precision="highest", max_halo=4)
+    assert kA._prep.has_far
+    kA0, kB0, _ = make_fused_cg_kernels_batched(
+        ex, Kcat, a, n_rhs=2, precision="highest", max_halo=None)
+    n, E = ex.n_loc, ex.E
+    free = jnp.asarray(np.ascontiguousarray(
+        (~prob._dirichlet_mask)[ex.gather_hier].T))
+    diagL = jnp.asarray(np.ascontiguousarray(
+        np.asarray(prob.operator_diagonal())[ex.gather_hier]
+        .astype(np.float32).T))
+    inv = jnp.where(free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0)
+    w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+    w_free = jnp.where(free, w, 0.0)
+    b = np.asarray(prob._b) + prob._neumann
+    bL = jnp.asarray(np.ascontiguousarray(
+        b[ex.gather_hier].astype(np.float32).T))
+    B = jnp.stack([jnp.where(free, bL, 0.0),
+                   jnp.where(free, 2.5 * bL, 0.0)])
+    res_f = cg_fused_batched(kA, kB, B, inv=inv, w_free=w_free,
+                             tol=1e-5, max_iter=600)
+    res_0 = cg_fused_batched(kA0, kB0, B, inv=inv, w_free=w_free,
+                             tol=1e-5, max_iter=600)
+    assert bool(np.asarray(res_f.converged).all())
+    assert bool(np.asarray(res_0.converged).all())
+    xf, x0 = np.asarray(res_f.x), np.asarray(res_0.x)
+    assert np.abs(xf - x0).max() / np.abs(x0).max() < 1e-2
