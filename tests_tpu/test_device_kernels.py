@@ -267,7 +267,7 @@ def test_batched_affine_fused_cg_on_device():
     sol_f = prob.solve_local_batch(fs, tol=1e-5, cg_kernel="fused",
                                    p_dtype=jnp.bfloat16)
     kA = prob._op_cache[("cg_fused_batch", 2, "fused",
-                         str(jnp.bfloat16))][0]
+                         str(jnp.bfloat16), False)][0]
     assert kA._prep.KT is not None          # affine kernels engaged
     assert bool(np.asarray(sol_f.cg.converged).all())
     scale = max(np.abs(sol_p.u).max(), 1e-30)
