@@ -234,48 +234,58 @@ def _gmres_cycle_fn(A, M, dot, m: int):
         sn = jnp.zeros(m, ftype)
 
         def body(j, carry):
-            V, H, g, cs, sn, done, k = carry
-            w = M(A(V[j], *A_c), *M_c)
-            # modified Gram-Schmidt
-            def mgs(i, wh):
-                w, h = wh
-                hij = pdot(V[i], w)
-                mask = (i <= j).astype(w.dtype)
-                hij = hij * mask
-                w = w - hij * V[i]
-                h = h.at[i].set(jnp.real(hij))
-                return (w, h)
+            # lax.cond, not masked selects: once the Arnoldi residual
+            # estimate reaches ``stop`` the remaining iterations of the
+            # cycle must cost NOTHING — with a near-exact preconditioner
+            # (the squirmer's f32 condensation solve) convergence lands
+            # within a handful of the m iterations, and executing the
+            # frozen A/M applies + the (m+1)-dot MGS for the tail was
+            # ~80% of each cycle's wall-clock (profile_squirmer).
+            def run(carry):
+                V, H, g, cs, sn, done, k = carry
+                w = M(A(V[j], *A_c), *M_c)
+                # modified Gram-Schmidt
+                def mgs(i, wh):
+                    w, h = wh
+                    hij = pdot(V[i], w)
+                    mask = (i <= j).astype(w.dtype)
+                    hij = hij * mask
+                    w = w - hij * V[i]
+                    h = h.at[i].set(jnp.real(hij))
+                    return (w, h)
 
-            w, h = jax.lax.fori_loop(0, m + 1, mgs,
-                                     (w, jnp.zeros(m + 1, ftype)))
-            hnext = norm(w)
-            h = h.at[j + 1].set(hnext)
-            V2 = V.at[j + 1].set(w / jnp.where(hnext != 0, hnext, 1.0))
+                # dynamic bound: only columns 0..j are populated, so the
+                # remaining m-j dots of the masked full loop are pure
+                # overhead (they dominate early iterations at m=30)
+                w, h = jax.lax.fori_loop(0, j + 1, mgs,
+                                         (w, jnp.zeros(m + 1, ftype)))
+                hnext = norm(w)
+                h = h.at[j + 1].set(hnext)
+                V2 = V.at[j + 1].set(w / jnp.where(hnext != 0, hnext, 1.0))
 
-            # apply previous Givens rotations to the new column
-            def rot(i, h):
-                mask = (i < j).astype(ftype)
-                hi = cs[i] * h[i] + sn[i] * h[i + 1]
-                hi1 = -sn[i] * h[i] + cs[i] * h[i + 1]
-                h = h.at[i].set(jnp.where(mask > 0, hi, h[i]))
-                h = h.at[i + 1].set(jnp.where(mask > 0, hi1, h[i + 1]))
-                return h
+                # apply previous Givens rotations to the new column
+                def rot(i, h):
+                    mask = (i < j).astype(ftype)
+                    hi = cs[i] * h[i] + sn[i] * h[i + 1]
+                    hi1 = -sn[i] * h[i] + cs[i] * h[i + 1]
+                    h = h.at[i].set(jnp.where(mask > 0, hi, h[i]))
+                    h = h.at[i + 1].set(jnp.where(mask > 0, hi1, h[i + 1]))
+                    return h
 
-            h = jax.lax.fori_loop(0, m, rot, h)
-            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
-            denom = jnp.where(denom != 0, denom, 1.0)
-            c, s = h[j] / denom, h[j + 1] / denom
-            h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
-            gj = g[j]
-            g2 = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+                h = jax.lax.fori_loop(0, j, rot, h)
+                denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+                denom = jnp.where(denom != 0, denom, 1.0)
+                c, s = h[j] / denom, h[j + 1] / denom
+                h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
+                gj = g[j]
+                g2 = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
 
-            # freeze once converged (same trick as cg: skip the update)
-            new_done = done | (jnp.abs(g2[j + 1]) <= stop)
-            sel = lambda new, old: jnp.where(done, old, new)  # noqa: E731
-            return (sel(V2, V), sel(H.at[:, j].set(h), H), sel(g2, g),
-                    sel(cs.at[j].set(c), cs), sel(sn.at[j].set(s), sn),
-                    new_done,
-                    k + jnp.where(done, 0, 1).astype(k.dtype))
+                new_done = done | (jnp.abs(g2[j + 1]) <= stop)
+                return (V2, H.at[:, j].set(h), g2,
+                        cs.at[j].set(c), sn.at[j].set(s),
+                        new_done, k + 1)
+
+            return jax.lax.cond(carry[5], lambda c: c, run, carry)
 
         done0 = beta <= stop
         V, H, g, cs, sn, done, k = jax.lax.fori_loop(
