@@ -13,6 +13,17 @@ the small (m+1, m) Hessenberg least-squares problem is solved with
 Givens rotations inside the kernel.  Host code only drives restarts and
 checks convergence (one sync per cycle; the same remote-backend dispatch
 economics as :func:`.cg.cg`).
+
+Restrictions:
+
+* **Not reverse-mode differentiable.** The Arnoldi MGS/Givens loops use
+  ``fori_loop`` with a traced upper bound (``j + 1``), which XLA lowers
+  to ``while_loop``; reverse-mode AD through a cycle therefore fails.
+  Differentiate through solves via the implicit function theorem
+  (``jax.lax.custom_root`` / adjoint solves) instead of unrolling.
+* The ``lax.cond`` convergence freeze short-circuits only on the
+  single-RHS path; under ``vmap`` (``gmres_batched``) it batches to a
+  ``select`` and every lane pays the A/M applies each iteration.
 """
 
 from __future__ import annotations
@@ -241,15 +252,18 @@ def _gmres_cycle_fn(A, M, dot, m: int):
             # within a handful of the m iterations, and executing the
             # frozen A/M applies + the (m+1)-dot MGS for the tail was
             # ~80% of each cycle's wall-clock (profile_squirmer).
+            # NOTE: this short-circuit only holds on the single-RHS path;
+            # under vmap (gmres_batched) the cond batches to a select and
+            # every lane executes run() each iteration regardless of its
+            # own `done` flag.
             def run(carry):
                 V, H, g, cs, sn, done, k = carry
                 w = M(A(V[j], *A_c), *M_c)
-                # modified Gram-Schmidt
+                # modified Gram-Schmidt (the 0..j loop bound does the
+                # masking: only populated columns are visited)
                 def mgs(i, wh):
                     w, h = wh
                     hij = pdot(V[i], w)
-                    mask = (i <= j).astype(w.dtype)
-                    hij = hij * mask
                     w = w - hij * V[i]
                     h = h.at[i].set(jnp.real(hij))
                     return (w, h)
@@ -263,14 +277,12 @@ def _gmres_cycle_fn(A, M, dot, m: int):
                 h = h.at[j + 1].set(hnext)
                 V2 = V.at[j + 1].set(w / jnp.where(hnext != 0, hnext, 1.0))
 
-                # apply previous Givens rotations to the new column
+                # apply previous Givens rotations to the new column (the
+                # 0..j-1 bound visits exactly the rotations set so far)
                 def rot(i, h):
-                    mask = (i < j).astype(ftype)
                     hi = cs[i] * h[i] + sn[i] * h[i + 1]
                     hi1 = -sn[i] * h[i] + cs[i] * h[i + 1]
-                    h = h.at[i].set(jnp.where(mask > 0, hi, h[i]))
-                    h = h.at[i + 1].set(jnp.where(mask > 0, hi1, h[i + 1]))
-                    return h
+                    return h.at[i].set(hi).at[i + 1].set(hi1)
 
                 h = jax.lax.fori_loop(0, j, rot, h)
                 denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
