@@ -179,23 +179,30 @@ class Discretization:
     # -- boundary face geometry -------------------------------------------------
 
     def face_geometry_groups(self, boundary_name: str) -> list:
-        """CCW face-geometry batches for a named boundary (cached).
+        """Oriented face-geometry batches for a named boundary (cached).
 
         One :class:`..core.mapping.FaceGeometry` per face-length group: on
-        anisotropic cells (shape[0] != shape[1]) a boundary can mix faces
-        of both node counts, which cannot share one (k, m) batch.
-        Isotropic boundaries yield a single group.
+        anisotropic cells a boundary can mix faces of different node
+        counts, which cannot share one (k, m) batch.  Isotropic
+        boundaries yield a single group.  Works for 2D (CCW 1D faces)
+        and 3D (outward right-handed quadrilateral faces).
         """
         if boundary_name not in self._face_geoms:
             pairs = self.mesh.boundary_faces(boundary_name)
-            # group faces by their node count (face f along axis a has
-            # shape[1 - a] nodes)
-            lengths = np.asarray(
-                [mp.subface_index_array(f, self.shape).size
-                 for f in range(4)])
+            # group faces by their oriented face-grid shape: on
+            # anisotropic cells different face ids can share a node
+            # COUNT yet carry different in-plane axis lengths (hence
+            # different quadrature-weight vectors), so the shape tuple —
+            # not the count — is the batching key
+            fkeys = [mp.subface_index_array(f, self.shape).shape
+                     for f in range(2 * self.ndim)]
             groups = []
-            for ln in np.unique(lengths[pairs[:, 1]]) if pairs.size else []:
-                sel = lengths[pairs[:, 1]] == ln
+            seen = []
+            for f in (pairs[:, 1] if pairs.size else []):
+                if fkeys[f] not in seen:
+                    seen.append(fkeys[f])
+            for key in seen:
+                sel = np.asarray([fkeys[f] == key for f in pairs[:, 1]])
                 groups.append(mp.face_geometry(
                     self.map_basis, self.x_coeffs, self.J,
                     pairs[sel, 0], pairs[sel, 1],

@@ -195,20 +195,27 @@ def det_inv_2x2(mat: np.ndarray):
 
 
 class FaceGeometry(NamedTuple):
-    """Batched geometry of a set of (cell, face) pairs, in CCW face order.
+    """Batched geometry of a set of (cell, face) pairs, in face order
+    (CCW for 1D faces of 2D cells, outward right-handed for 2D faces of
+    3D cells — :data:`..mesh.geometry.FACE_AXES_3D`).
 
     Parity: the reference's ``SubMapping``/``SubFiniteElement`` quantities
-    (``sem/mapping.py:196-268``, ``sem/discrete.py:733-750``).
+    (``sem/mapping.py:196-268``, ``sem/discrete.py:733-750``); the 3D
+    face quantities are a capability extension (reference is 2D-only).
     """
 
     cells: np.ndarray      # (k,) cell numbers
     faces: np.ndarray      # (k,) face ids
     local_ind: np.ndarray  # (k, m) flat local node index of face nodes
     x: np.ndarray          # (k, ndim_phys, m) physical coords of face nodes
-    tangent: np.ndarray    # (k, ndim_phys, m) CCW tangent (not normalized)
+    tangent: np.ndarray    # (k, ndim_phys, m) face tangent d x/d t0 (CCW in
+    #                        2D; first in-plane axis in 3D; not normalized)
     n_dS: np.ndarray       # (k, ndim_phys, m) outward normal * surface measure
     dS: np.ndarray         # (k, m) surface measure |n_dS|
-    weights: np.ndarray    # (m,) 1D quadrature weights along the face
+    weights: np.ndarray    # (m,) face quadrature weights (tensor-product
+    #                        of the in-plane 1D rules, flattened)
+    tangent2: np.ndarray | None = None  # (k, 3, m) second tangent d x/d t1
+    #                        (3D faces only; None for 1D faces)
 
     @property
     def unit_normal(self) -> np.ndarray:
@@ -238,10 +245,13 @@ def face_geometry(
 ) -> FaceGeometry:
     """Compute batched face geometry for (cell, face) pairs.
 
-    ``x_coeffs``: (E, 2, *shape); ``J``: (E, 2, 2, *shape).
-    Only 2D parents (1D faces) are supported, like the reference
-    (``sem/mapping.py:110-111``).
+    ``x_coeffs``: (E, ndim, *shape); ``J``: (E, ndim, ndim, *shape).
+    2D parents (1D faces) follow the reference's CCW conventions
+    (``sem/mapping.py:110-111``); 3D parents (quadrilateral faces of
+    hexahedra) are a capability extension — see :func:`_face_geometry_3d`.
     """
+    if basis.ndim == 3:
+        return _face_geometry_3d(basis, x_coeffs, J, cells, faces)
     shape = x_coeffs.shape[-basis.ndim:]
     assert basis.ndim == 2
     cells = np.asarray(cells, dtype=np.int64)
@@ -285,3 +295,69 @@ def face_geometry(
     weights = sb.quad_rule.weights if hasattr(sb, "quad_rule") else None
 
     return FaceGeometry(cells, faces, local_ind, x, tangent, n_dS, dS, weights)
+
+
+def _face_geometry_3d(
+    basis: TensorProduct,
+    x_coeffs: np.ndarray,
+    J: np.ndarray,
+    cells: np.ndarray,
+    faces: np.ndarray,
+) -> FaceGeometry:
+    """3D branch of :func:`face_geometry`: quadrilateral faces of hexes.
+
+    Faces are 2D grids over their in-plane parametric axes ``(t0, t1)``
+    in :data:`..mesh.geometry.FACE_AXES_3D` order, chosen so the
+    right-handed surface element ``n dS = (d x/d t0) x (d x/d t1)``
+    points out of the cell; ``dS = |n dS|`` and the face quadrature
+    weights are the tensor product of the two in-plane 1D rules
+    (flattened in the same (t0, t1) order as ``local_ind``).  This
+    generalizes ``sem/mapping.py:196-268`` (2D-only in the reference).
+    """
+    from ..mesh.geometry import FACE_AXES_3D
+
+    shape = x_coeffs.shape[-3:]
+    cells = np.asarray(cells, dtype=np.int64)
+    faces = np.asarray(faces, dtype=np.int64)
+    k = cells.size
+
+    face_local = {f: subface_index_array(f, shape) for f in range(6)}
+    lengths = {f: face_local[f].size for f in range(6)}
+    if k and len(set(lengths[int(f)] for f in faces)) > 1:
+        raise NotImplementedError(
+            "mixed-length faces in one FaceGeometry batch"
+        )
+    m = lengths[int(faces[0])] if k else shape[1] * shape[2]
+
+    local_ind = np.zeros((k, m), dtype=np.int64)
+    x = np.zeros((k, 3, m))
+    tau0 = np.zeros((k, 3, m))
+    tau1 = np.zeros((k, 3, m))
+    for i, (c, f) in enumerate(zip(cells, faces)):
+        f = int(f)
+        li = face_local[f].ravel()
+        local_ind[i] = li
+        x[i] = x_coeffs[c].reshape(3, -1)[:, li]
+        t0, t1 = FACE_AXES_3D[f]
+        # restrict the two in-plane Jacobian columns to the face,
+        # face-oriented: (3, m0, m1) -> (3, m)
+        tau0[i] = subface_slice(f, J[c, :, t0], 3).reshape(3, m)
+        tau1[i] = subface_slice(f, J[c, :, t1], 3).reshape(3, m)
+
+    # outward surface element: right-handed cross product of the tangents
+    n_dS = np.cross(tau0, tau1, axis=1)
+    dS = np.linalg.norm(n_dS, axis=1)
+
+    if k:
+        t0, t1 = FACE_AXES_3D[int(faces[0])]
+    else:
+        t0, t1 = 1, 2
+    sb0, sb1 = basis.subbases[t0], basis.subbases[t1]
+    if hasattr(sb0, "quad_rule") and hasattr(sb1, "quad_rule"):
+        weights = np.outer(sb0.quad_rule.weights,
+                           sb1.quad_rule.weights).ravel()
+    else:
+        weights = None
+
+    return FaceGeometry(cells, faces, local_ind, x, tau0, n_dS, dS,
+                        weights, tangent2=tau1)

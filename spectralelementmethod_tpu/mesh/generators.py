@@ -553,13 +553,18 @@ def box_mesh(
     x1=(1.0, 1.0, 1.0),
     region: str = "interior",
     boundary_name: str = "ebc",
+    boundary_names: dict | None = None,
 ) -> Mesh:
     """Uniform structured hexahedral box mesh (3D capability extension;
     the reference is 2D-only, ``sem/geometry.py:25-29``).
 
-    All six sides join one named boundary (``boundary_name``) — the
-    common all-Dirichlet setup.  Cell numbering: ``(i * ny + j) * nz + k``
-    lexicographic over (x, y, z) cell indices.
+    By default all six sides join one named boundary (``boundary_name``)
+    — the common all-Dirichlet setup.  ``boundary_names`` instead maps
+    sides ``"west"/"east"/"south"/"north"/"bottom"/"top"`` (x-, x+, y-,
+    y+, z-, z+) to boundary names for mixed-BC problems (mirrors
+    :func:`structured_patch_mesh`); sides sharing a name share a
+    boundary, absent sides get none.  Cell numbering:
+    ``(i * ny + j) * nz + k`` lexicographic over (x, y, z) cell indices.
     """
     from .geometry import Hexahedron
 
@@ -588,14 +593,24 @@ def box_mesh(
     mesh.add_cells(node_maps, gid, rid)
     mesh.find_neighbors()
 
-    if boundary_name:
+    cell_idx = np.arange(nx * ny * nz).reshape(nx, ny, nz)
+    side_cells = {
+        "west": (cell_idx[0].ravel(), 0),
+        "east": (cell_idx[-1].ravel(), 1),
+        "south": (cell_idx[:, 0].ravel(), 2),
+        "north": (cell_idx[:, -1].ravel(), 3),
+        "bottom": (cell_idx[:, :, 0].ravel(), 4),
+        "top": (cell_idx[:, :, -1].ravel(), 5),
+    }
+    if boundary_names:
+        ids = {}
+        for side, name in boundary_names.items():
+            if name not in ids:
+                ids[name] = mesh.new_boundary(name)
+            cells, face = side_cells[side]
+            mesh.add_boundary_cells(cells, ids[name], 2, face)
+    elif boundary_name:
         bid = mesh.new_boundary(boundary_name)
-        cell_idx = np.arange(nx * ny * nz).reshape(nx, ny, nz)
-        sides = [
-            (cell_idx[0].ravel(), 0), (cell_idx[-1].ravel(), 1),
-            (cell_idx[:, 0].ravel(), 2), (cell_idx[:, -1].ravel(), 3),
-            (cell_idx[:, :, 0].ravel(), 4), (cell_idx[:, :, -1].ravel(), 5),
-        ]
-        for cells, face in sides:
+        for cells, face in side_cells.values():
             mesh.add_boundary_cells(cells, bid, 2, face)
     return mesh

@@ -28,12 +28,28 @@ from math import comb
 import numpy as np
 
 
+# 3D face -> ordered in-plane parametric axes (t0, t1) such that the
+# right-handed cross product e_t0 x e_t1 points OUT of the reference cube
+# (the 3D analogue of the 2D CCW convention: outward normal = tau0 x tau1,
+# extending sem/mapping.py:49-76 to hexahedral faces).
+FACE_AXES_3D = {
+    0: (2, 1),  # u0 = -1:  e2 x e1 = -e0
+    1: (1, 2),  # u0 = +1:  e1 x e2 = +e0
+    2: (0, 2),  # u1 = -1:  e0 x e2 = -e1
+    3: (2, 0),  # u1 = +1:  e2 x e0 = +e1
+    4: (1, 0),  # u2 = -1:  e1 x e0 = -e2
+    5: (0, 1),  # u2 = +1:  e0 x e1 = +e2
+}
+
+
 def subface_slice(face: int, arr: np.ndarray, ndim: int):
     """Restrict the trailing ``ndim`` axes of ``arr`` to a face.
 
     Returns a view of ``arr`` on the given face with the face's own
-    (counter-clockwise in 2D) orientation.  Parity:
-    ``sem/mapping.py:19-76``.
+    orientation — counter-clockwise in 2D, outward-normal right-handed in
+    3D.  Parity: ``sem/mapping.py:19-76`` (2D); the 3D convention is a
+    capability extension (the reference is 2D-only,
+    ``sem/mapping.py:110-111``).
 
     In 2D the conventions reduce to::
 
@@ -44,24 +60,37 @@ def subface_slice(face: int, arr: np.ndarray, ndim: int):
 
     so that traversing faces in the order south, east, north, west walks the
     cell boundary counter-clockwise without jumps.
+
+    In 3D the face is returned as a 2D grid over its in-plane parametric
+    axes ``(t0, t1)`` in the :data:`FACE_AXES_3D` order, so that
+    ``d x/d t0  x  d x/d t1`` points out of the cell.
     """
     assert ndim > 1
     assert 0 <= face < 2 * ndim
     rank = arr.ndim - ndim
-    ax = face // 2 + rank
+    ax = face // 2
     ax_pos = bool(face % 2)
+
+    if ndim == 3:
+        t0, t1 = FACE_AXES_3D[face]
+        idx = [slice(None)] * arr.ndim
+        idx[rank + ax] = -1 if ax_pos else 0
+        sub = arr[tuple(idx)]
+        # remaining trailing axes are the in-plane axes in ascending order
+        rem = [d for d in range(3) if d != ax]
+        perm = list(range(rank)) + [rank + rem.index(t0),
+                                    rank + rem.index(t1)]
+        return sub.transpose(perm)
+    if ndim != 2:
+        raise NotImplementedError(
+            "only 2D and 3D parent elements are supported")
+
     # roll the face-normal axis to the front of the trailing block
+    axr = ax + rank
     order = (
-        list(range(rank)) + list(range(ax, arr.ndim)) + list(range(rank, ax))
+        list(range(rank)) + list(range(axr, arr.ndim)) + list(range(rank, axr))
     )
     arrT = arr.transpose(order)
-
-    if ndim != 2:
-        # The 2D CCW convention is what the framework exercises; the general
-        # N-D orientation rules of the reference are future work
-        # (the reference itself only supports 2D elements,
-        # sem/mapping.py:110-111).
-        raise NotImplementedError("only 2D parent elements are supported")
 
     if ax_pos:
         if face == 3:

@@ -91,19 +91,62 @@ class BoundaryConditionMixin:
             cache.clear()
 
     def set_neumann(self, boundary_name: str, value) -> None:
-        """Natural BC: adds the contour integral ∫ g v dS to the RHS.
+        """Natural BC: adds the surface integral ∫ g v dS to the RHS.
 
         Homogeneous Neumann needs no call (it is the do-nothing BC, as in
         ``examples/poisson.py:141-143``).  Anisotropic cells split the
-        boundary into per-face-length batches.
+        boundary into per-face-shape batches.  Works in 2D (contour
+        integrals, parity ``sem/quadratures.py:111`` xweight usage) and
+        3D (surface integrals over hex faces — capability extension).
         """
         g = _as_callable(value)
         disc = self.disc
+        ndim = disc.mesh.ndim
         for fg in disc.face_geometry_groups(boundary_name):
-            gvals = g(fg.x[:, 0], fg.x[:, 1])  # (k, m)
+            gvals = g(*(fg.x[:, d] for d in range(ndim)))  # (k, m)
             contrib = gvals * fg.dSxW
             gidx = disc._face_nodes_of(fg)
             np.add.at(self._neumann, gidx.ravel(), contrib.ravel())
+
+    def boundary_flux(self, u: np.ndarray, boundary_name: str) -> float:
+        """Outward boundary flux ∮_Γ (c ∇u)·n dS of a nodal field.
+
+        Host-side post-processing (setup-scale work): the element
+        gradient is computed from the spectral differentiation matrices
+        and the inverse Jacobians, restricted to the boundary faces, and
+        integrated with the face quadrature.  Generalizes the
+        surface-restricted gradient quadrature of the reference's force
+        computation (``examples/squirmer-axisymmetric.py:459-518``) to
+        any named boundary in 2D or 3D.
+        """
+        disc = self.disc
+        ndim = disc.mesh.ndim
+        from ..basis.tensor import apply_matrices
+        from ..mesh.geometry import subface_slice
+
+        ue = np.asarray(disc.gather(np.asarray(u, dtype=np.float64)))
+        # parametric derivatives du/dxi_a: (E, *shape) each
+        Ds = [np.asarray(disc.basis.subbases[d].D1) for d in range(ndim)]
+        dpar = [apply_matrices(
+            [Ds[a] if d == a else None for d in range(ndim)], ue, ndim)
+            for a in range(ndim)]
+        # physical gradient: grad_i = sum_a invJ[a, i] * du/dxi_a
+        grad = np.zeros((disc.E, ndim) + disc.shape)
+        for i in range(ndim):
+            for a in range(ndim):
+                grad[:, i] += disc.invJ[:, a, i] * dpar[a]
+        if getattr(self, "_coeff_vals", None) is not None:
+            grad *= self._coeff_vals[:, None]
+
+        total = 0.0
+        for fg in disc.face_geometry_groups(boundary_name):
+            m = fg.local_ind.shape[1]
+            gf = np.zeros((fg.cells.size, ndim, m))
+            for j, (c, f) in enumerate(zip(fg.cells, fg.faces)):
+                gf[j] = subface_slice(
+                    int(f), grad[c], ndim).reshape(ndim, m)
+            total += float(np.sum(gf * fg.n_dSxW))
+        return total
 
 
 class Poisson(BoundaryConditionMixin):
@@ -138,6 +181,7 @@ class Poisson(BoundaryConditionMixin):
         if coefficient is not None:
             cfun = _as_callable(coefficient)
             coeff = cfun(*coords)
+        self._coeff_vals = coeff  # (E, *shape) or None; boundary_flux
         G = disc.laplacian_factors(coeff)
 
         # host copies only; device copies are LAZY properties (_gix, _G,
@@ -1060,8 +1104,8 @@ class Poisson(BoundaryConditionMixin):
     # -- post-processing -----------------------------------------------------------
 
     def l2_error(self, u: np.ndarray, exact: Callable) -> float:
-        """Quadrature L2 error against an exact solution callable(x, y)."""
+        """Quadrature L2 error against an exact solution callable(x, y[, z])."""
         disc = self.disc
         ue = disc.gather(u)
-        ex = exact(disc.x_coeffs[:, 0], disc.x_coeffs[:, 1])
+        ex = exact(*(disc.x_coeffs[:, d] for d in range(disc.mesh.ndim)))
         return float(np.sqrt(np.sum((ue - ex) ** 2 * disc.detJxW)))
