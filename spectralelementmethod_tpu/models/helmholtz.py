@@ -54,7 +54,13 @@ class Helmholtz(BoundaryConditionMixin):
         self.x_nodes = xg
         rho, zz = disc.x_coeffs[:, 0], disc.x_coeffs[:, 1]
 
-        cvals = _as_callable(coefficient)(rho, zz)
+        self._coeff_fn = _as_callable(coefficient)
+        # None when the reaction is identically zero (Poisson limit) so
+        # the pmg coarse level skips the mass-term machinery
+        self._reaction_fn = (
+            None if (not callable(reaction) and float(reaction) == 0.0)
+            else _as_callable(reaction))
+        cvals = self._coeff_fn(rho, zz)
         kvals = _as_callable(reaction)(rho, zz)
         G = disc.laplacian_factors(np.broadcast_to(cvals, disc.detJxW.shape))
         #: mass-weighted reaction: k * detJxW at the GLL nodes (diagonal
@@ -121,7 +127,8 @@ class Helmholtz(BoundaryConditionMixin):
                     host_loop: bool = False,
                     structure: str = "auto",
                     vector_layout: str = "auto",
-                    backend: str = "auto") -> HelmholtzSolution:
+                    backend: str = "auto",
+                    precond: str = "jacobi") -> HelmholtzSolution:
         """Solve on element-local (L-vector) storage — the production TPU
         path for the curved-mesh Helmholtz config (BASELINE config 3).
 
@@ -133,8 +140,15 @@ class Helmholtz(BoundaryConditionMixin):
         operator as :meth:`solve`'s global-vector form.  ``backend``
         forwards to the Laplacian factory ('fused-interpret' for CPU
         kernel testing).
+
+        ``precond``: "jacobi" (point diagonal) or "pmg" (two-level
+        p-multigrid with a rediscretized coarse level carrying the
+        coefficient and reaction terms — works on curved isoparametric
+        meshes, :func:`..solver.pmg.make_pmg_preconditioner`; pass
+        ``{"pmg": {...}}`` to tune).  pmg requires the 'ne' layout.
         """
-        ctx = self._local_ops(structure, vector_layout, backend)
+        ctx = self._local_ops(structure, vector_layout, backend,
+                              precond=precond)
         disc = self.disc
         ex, transposed = ctx["ex"], ctx["transposed"]
         to_local, free = ctx["to_local"], ctx["free"]
@@ -158,9 +172,10 @@ class Helmholtz(BoundaryConditionMixin):
         back = ex.global_from_local_T if transposed else ex.global_from_local
         return HelmholtzSolution(back(np.asarray(uL)), res)
 
-    def _local_ops(self, structure, vector_layout, backend) -> dict:
+    def _local_ops(self, structure, vector_layout, backend,
+                   precond="jacobi") -> dict:
         """Build (or fetch from ``_op_cache``) the L-vector operator,
-        Jacobi preconditioner, free mask and transfer closure shared by
+        preconditioner, free mask and transfer closure shared by
         :meth:`solve_local` and :meth:`solve_local_batch` — setup only,
         no solve."""
         from ..ops.exchange import RollExchange, make_exchange
@@ -216,11 +231,34 @@ class Helmholtz(BoundaryConditionMixin):
             A._raw = A_raw
             A = self._op_cache.setdefault(key, A)
 
-        Mk = ("M", vector_layout)
-        M = self._op_cache.get(Mk)
-        if M is None:
-            diagL = to_local(np.asarray(self.operator_diagonal()))
-            M = self._op_cache[Mk] = jacobi_preconditioner(diagL, free)
+        if precond == "pmg" or isinstance(precond, dict):
+            from ..solver.pmg import make_pmg_preconditioner
+
+            pmg_kw = dict(precond.get("pmg", {})) if isinstance(
+                precond, dict) else {}
+            if not transposed:
+                raise ValueError("precond='pmg' requires the 'ne' layout")
+            Mk = ("M", "pmg", vector_layout,
+                  tuple(sorted(pmg_kw.items())))
+            M = self._op_cache.get(Mk)
+            if M is None:
+                pmg_kw.setdefault("coeff_fn", self._coeff_fn)
+                pmg_kw.setdefault("reaction_fn", self._reaction_fn)
+                Gf = np.asarray(self._G, dtype=self.dtype).reshape(
+                    disc.E, 3, -1)
+                M = self._op_cache[Mk] = make_pmg_preconditioner(
+                    disc, ex, Gf, A, ~self._dirichlet_mask,
+                    np.asarray(self.operator_diagonal()),
+                    dtype=self.dtype, **pmg_kw)
+        elif precond == "jacobi":
+            Mk = ("M", vector_layout)
+            M = self._op_cache.get(Mk)
+            if M is None:
+                diagL = to_local(np.asarray(self.operator_diagonal()))
+                M = self._op_cache[Mk] = jacobi_preconditioner(diagL, free)
+        else:
+            raise ValueError(f"precond must be 'jacobi' or 'pmg', got "
+                             f"{precond!r}")
 
         return {"ex": ex, "transposed": transposed,
                 "vector_layout": vector_layout, "to_local": to_local,

@@ -178,8 +178,10 @@ class Poisson(BoundaryConditionMixin):
         ndim = disc.mesh.ndim
         coords = [disc.x_coeffs[:, d] for d in range(ndim)]
         coeff = None
+        self._coeff_fn = None
         if coefficient is not None:
             cfun = _as_callable(coefficient)
+            self._coeff_fn = cfun   # pmg coarse rediscretization
             coeff = cfun(*coords)
         self._coeff_vals = coeff  # (E, *shape) or None; boundary_flux
         G = disc.laplacian_factors(coeff)
@@ -393,6 +395,7 @@ class Poisson(BoundaryConditionMixin):
             key = ("M", "pmg", vector_layout, tuple(sorted(pmg_kw.items())))
             M = self._op_cache.get(key)
             if M is None:
+                pmg_kw.setdefault("coeff_fn", self._coeff_fn)
                 M = self._op_cache[key] = make_pmg_preconditioner(
                     disc, ex, Gf, A, ~self._dirichlet_mask,
                     np.asarray(self.operator_diagonal()),

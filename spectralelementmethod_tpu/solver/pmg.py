@@ -579,31 +579,56 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
                             coarse: str = "auto",
                             coarse_degree: int = 24,
                             coarse_interval: float = 100.0,
-                            dtype=np.float32):
+                            dtype=np.float32,
+                            cycle_dtype=None,
+                            coeff_fn=None,
+                            reaction_fn=None):
     """Symmetric two-level p-MG V-cycle preconditioner on 'ne' L-vectors.
 
     Parameters
     ----------
     disc : fine Discretization (2D, single geometry).
     ex_f : fine exchange (provides hier order, weights, dss_T, padding).
-    Gf : (E, 3, n_f) fine geometric factor fields; must factorize
-        affinely (:func:`..ops.sumfac.affine_factorization`) — the
-        coarse operator reuses the per-element scales with order-p_c
-        reference matrices.
-    A_f : masked fine operator on (n_f, E) transposed L-vectors.
+    Gf : (E, 3, n_f) fine geometric factor fields.  Affine meshes get
+        the fast coarse construction (per-element scales reused with
+        order-p_c reference matrices, :func:`..ops.sumfac.
+        affine_factorization`) and the exact :class:`GridFDM` coarse
+        solve where admissible; curved/variable-coefficient meshes get
+        a rediscretized coarse level (the coarse Discretization's own
+        general factors) with the Chebyshev coarse sweep.
+    A_f : masked fine operator on (n_f, E) transposed L-vectors — kept
+        for API compatibility/introspection; the V-cycle builds its own
+        fine apply in ``cycle_dtype`` so an f64 outer solve never pays
+        f64 V-cycle matmuls.
     free_global : (n_nodes,) bool — global non-Dirichlet mask.
     diag_global : (n_nodes,) fine assembled operator diagonal.
     p_coarse : coarse polynomial order (must divide the fine order).
     smoother : "jacobi" (Chebyshev-accelerated point Jacobi) or "fdm"
         (Chebyshev-accelerated FDM additive Schwarz, :mod:`.fdm` —
         stronger on intra-element modes, ~2 extra matmuls per apply).
-    degree : Chebyshev smoothing degree (applies of A_f per half-sweep).
+    degree : Chebyshev smoothing degree (applies of A per half-sweep).
     alpha : smoothing targets ``[lmax/alpha, lmax]``.
     coarse : "fdm" forces the exact tensor-grid solve (ValueError if
         inadmissible), "chebyshev" forces the iterative fallback,
-        "auto" tries fdm first.
+        "auto" tries fdm first (affine meshes only).
     coarse_degree / coarse_interval : Chebyshev fallback parameters
         (degree applies over ``[lmax_c/coarse_interval, lmax_c]``).
+    dtype : dtype of the vectors the returned ``M`` consumes/returns
+        (the outer CG dtype; float64 supported).
+    cycle_dtype : internal V-cycle arithmetic dtype (default float32):
+        with a float64 outer solve the V-cycle still runs in f32 — the
+        preconditioner only steers search directions, and f64 matmuls
+        are ~8x slower on TPU (mirrors the GMRES-IR mixed-precision
+        ladder, :mod:`.gmres`).  Pass ``np.float64`` for an exact-dtype
+        cycle (CPU/reference checks).
+    coeff_fn : optional callable(x, y) — diffusivity for the
+        rediscretized (curved) coarse operator; None = 1.  Ignored on
+        the affine path (the affine scales already carry it).
+    reaction_fn : optional callable(x, y) — reaction/shift k(x) of a
+        Helmholtz-type operator ``-div(c grad u) + k u``; adds the
+        collocated coarse mass term ``k detJxW`` to the coarse operator
+        and its diagonal, and the matching fine term to the V-cycle's
+        internal fine apply.
 
     Returns ``M`` with introspection attributes ``M._coarse_kind``
     (``"fdm"``/``"chebyshev"``) and ``M._levels``.
@@ -617,15 +642,13 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
 
     if disc.mesh.ndim != 2:
         raise NotImplementedError("pmg: 2D only (3D coarse path TODO)")
-    if np.dtype(dtype) != np.float32:
-        raise NotImplementedError("pmg preconditions the f32 CG path")
+    out_dtype = np.dtype(dtype)
+    cyc = np.dtype(cycle_dtype) if cycle_dtype is not None else np.dtype(
+        np.float32)
 
     basis_f = disc.basis
     W_f = basis_f.weight_grid().reshape(-1)
     a, exact = sumfac.affine_factorization(np.asarray(Gf), W_f)
-    if not exact:
-        raise ValueError("pmg requires an affine mesh (the coarse "
-                         "operator reuses the affine factor scales)")
 
     # ---- coarse level ------------------------------------------------------
     mesh_c = mesh_with_order(disc.mesh, p_coarse)
@@ -638,28 +661,68 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
     n_f, n_c = ex_f.n_loc, ex_c.n_loc
 
     W_c = basis_c.weight_grid().reshape(-1)
-    # f32 operand dtype: the operator factory derives its compute dtype
-    # from the factor array (pmg preconditions the f32 CG path)
-    Gf_c = (a[:Er, :, None] * W_c[None, None, :]).astype(np.float32)
     Dhat_c = sumfac.make_stacked_derivative(
         np.asarray(basis_c.get_D1_matrix(0)),
         np.asarray(basis_c.get_D1_matrix(1)))
     free_c_np = np.asarray(free_global, bool)[ex_c.gather_hier]
     free_c = jnp.asarray(np.ascontiguousarray(free_c_np.T))
-    A_c = sumfac.make_local_laplacian_operator(
-        ex_c, Gf_c, Dhat_c, free_c, structure="affine",
-        vector_layout="ne", assume_masked_input=True)
 
-    # coarse Jacobi diagonal: affine element-matrix diagonals, assembled
-    Kcat_c = sumfac.make_affine_element_matrices(Dhat_c, W_c,
-                                                 order=ex_c.hier)
-    dblk = np.stack([np.diag(Kcat_c[:, i * n_c:(i + 1) * n_c])
-                     for i in range(3)])                       # (3, n_c)
-    d_loc = a[:Er] @ dblk                                      # (Er, n_c)
+    # coarse reaction mass (Helmholtz shift), collocated: k * detJxW_c
+    kM_c_T = None
+    if reaction_fn is not None:
+        xc = [disc_c.x_coeffs[:, d] for d in range(2)]
+        kM_c_np = np.zeros((Ec, n_c))
+        kM_c_np[:Er] = (np.broadcast_to(
+            np.asarray(reaction_fn(*xc)), disc_c.detJxW.shape)
+            * disc_c.detJxW).reshape(Er, -1)[:, ex_c.hier]
+        kM_c_T = jnp.asarray(
+            np.ascontiguousarray(kM_c_np.T).astype(cyc))
+
+    if exact:
+        # affine: coarse factors are the per-element scales times the
+        # order-p_c weight grid — no coarse geometry recompute
+        Gc_np = (a[:Er, :, None] * W_c[None, None, :]).astype(cyc)
+        structure_c = "affine"
+        # coarse Jacobi diagonal: affine element-matrix diagonals
+        Kcat_c = sumfac.make_affine_element_matrices(Dhat_c, W_c,
+                                                     order=ex_c.hier)
+        dblk = np.stack([np.diag(Kcat_c[:, i * n_c:(i + 1) * n_c])
+                         for i in range(3)])                   # (3, n_c)
+        d_loc = a[:Er] @ dblk                                  # (Er, n_c)
+    else:
+        # curved / variable-coefficient: rediscretize on the coarse
+        # mesh — the coarse Discretization computes its own exact
+        # isoparametric factors at order p_coarse
+        xc = [disc_c.x_coeffs[:, d] for d in range(2)]
+        coeff_c = None
+        if coeff_fn is not None:
+            coeff_c = np.broadcast_to(
+                np.asarray(coeff_fn(*xc)), disc_c.detJxW.shape)
+        Gc_np = np.asarray(
+            disc_c.laplacian_factors(coeff_c), cyc).reshape(Er, 3, -1)
+        structure_c = "general"
+        d_loc = sumfac.laplacian_diag_local_host(
+            Gc_np.reshape(Er, 3, *disc_c.shape),
+            np.asarray(basis_c.get_D1_matrix(0)),
+            np.asarray(basis_c.get_D1_matrix(1))
+        ).reshape(Er, -1)[:, ex_c.hier]
+
+    lap_c = sumfac.make_local_laplacian_operator(
+        ex_c, Gc_np, Dhat_c, free_c, structure=structure_c,
+        vector_layout="ne", assume_masked_input=True)
+    if kM_c_T is None:
+        A_c = lap_c
+    else:
+        def A_c(u):
+            return jnp.where(free_c,
+                             lap_c(u) + ex_c.dss_T(kM_c_T * u), 0.0)
+
+    if reaction_fn is not None:
+        d_loc = d_loc + np.asarray(kM_c_np[:Er])
     d_glob = np.zeros(disc.mesh.n_nodes)
     np.add.at(d_glob, np.asarray(ex_c.gather_hier[:Er]), d_loc)
     diagL_c = np.ascontiguousarray(
-        d_glob[ex_c.gather_hier].T).astype(np.float32)         # (n_c, Ec)
+        d_glob[ex_c.gather_hier].T).astype(cyc)                # (n_c, Ec)
     B_c = jacobi_preconditioner(jnp.asarray(diagL_c), free_c)
 
     # ---- transfers -----------------------------------------------------------
@@ -669,9 +732,9 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
             basis_f.get_subbasis(d).nodes), np.float64)
         P = np.kron(P, P1)                                    # lex x lex
     P = P[np.ix_(np.asarray(ex_f.hier), np.asarray(ex_c.hier))]
-    P_d = jnp.asarray(P.astype(np.float32))                   # (n_f, n_c)
+    P_d = jnp.asarray(P.astype(cyc))                          # (n_f, n_c)
     w_f = jnp.asarray(np.asarray(
-        ex_f._weights_as(np.float32, transposed=True)))
+        ex_f._weights_as(cyc, transposed=True)))
     free_f_np = np.asarray(free_global, bool)[ex_f.gather_hier]
     free_f = jnp.asarray(np.ascontiguousarray(free_f_np.T))
 
@@ -687,46 +750,76 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
             ef = jnp.pad(ef, ((0, 0), (0, Ef - Er)))
         return jnp.where(free_f, ef, 0.0)
 
+    # ---- internal fine apply (cycle dtype) -----------------------------------
+    # the V-cycle's own fine operator: same math as A_f, arithmetic in
+    # cycle_dtype (an f64 outer ladder never pays f64 V-cycle matmuls)
+    lap_f_cyc = sumfac.make_local_laplacian_operator(
+        ex_f, np.asarray(Gf, dtype=cyc), sumfac.make_stacked_derivative(
+            np.asarray(basis_f.get_D1_matrix(0)),
+            np.asarray(basis_f.get_D1_matrix(1))),
+        free_f, structure="auto", vector_layout="ne",
+        assume_masked_input=True)
+    if reaction_fn is None:
+        A_f_cyc = lap_f_cyc
+    else:
+        xf = [disc.x_coeffs[:, d] for d in range(2)]
+        kM_f_np = np.zeros((Ef, n_f))
+        kM_f_np[:Er] = (np.broadcast_to(
+            np.asarray(reaction_fn(*xf)), disc.detJxW.shape)
+            * disc.detJxW).reshape(Er, -1)[:, ex_f.hier]
+        kM_f_T = jnp.asarray(
+            np.ascontiguousarray(kM_f_np.T).astype(cyc))
+
+        def A_f_cyc(u):
+            return jnp.where(free_f,
+                             lap_f_cyc(u) + ex_f.dss_T(kM_f_T * u), 0.0)
+
     # ---- smoother ------------------------------------------------------------
     if smoother == "fdm":
         from .fdm import make_fdm_preconditioner
 
         B_f = make_fdm_preconditioner(ex_f, np.asarray(Gf), basis_f,
-                                      free_f, dtype=np.float32,
+                                      free_f, dtype=cyc,
                                       vector_layout="ne")
     elif smoother == "jacobi":
         diagL_f = np.ascontiguousarray(
-            np.asarray(diag_global)[ex_f.gather_hier].T).astype(np.float32)
+            np.asarray(diag_global)[ex_f.gather_hier].T).astype(cyc)
         B_f = jacobi_preconditioner(jnp.asarray(diagL_f), free_f)
     else:
         raise ValueError(f"unknown smoother {smoother!r}")
-    lmax_f = estimate_lmax(A_f, B_f, (n_f, Ef))
-    S_f = chebyshev_smoother(A_f, B_f, lmax_f, lmax_f / alpha, degree)
+    lmax_f = estimate_lmax(A_f_cyc, B_f, (n_f, Ef), dtype=cyc)
+    S_f = chebyshev_smoother(A_f_cyc, B_f, lmax_f, lmax_f / alpha, degree)
 
     # ---- coarse solve ----------------------------------------------------------
     grid = None
-    if coarse in ("auto", "fdm"):
+    if coarse in ("auto", "fdm") and exact and reaction_fn is None:
         grid = GridFDM.try_build(ex_c, basis_c, a,
                                  np.asarray(free_c_np), ex_c.hier)
-        if grid is None and coarse == "fdm":
-            raise ValueError(
-                "coarse='fdm' needs a uniform tensor-product mesh with "
-                "per-side-uniform Dirichlet data")
+    if grid is None and coarse == "fdm":
+        raise ValueError(
+            "coarse='fdm' needs a uniform affine tensor-product mesh "
+            "with per-side-uniform Dirichlet data and no reaction term")
     if grid is not None:
         C = grid
         coarse_kind = "fdm"
     else:
-        lmax_c = estimate_lmax(A_c, B_c, (n_c, Ec))
+        lmax_c = estimate_lmax(A_c, B_c, (n_c, Ec), dtype=cyc)
         C = chebyshev_smoother(A_c, B_c, lmax_c,
                                lmax_c / coarse_interval, coarse_degree)
         coarse_kind = "chebyshev"
 
     # ---- symmetric V-cycle -----------------------------------------------------
-    def M(r):
+    def _cycle(r):
         z = S_f(r)
-        ec = C(restrict(r - A_f(z)))
+        ec = C(restrict(r - A_f_cyc(z)))
         z = z + prolong(ec)
-        return z + S_f(r - A_f(z))
+        return z + S_f(r - A_f_cyc(z))
+
+    if out_dtype == cyc:
+        M = _cycle
+    else:
+        def M(r):
+            return _cycle(r.astype(cyc)).astype(out_dtype)
 
     M._coarse_kind = coarse_kind
     M._levels = (int(np.asarray(basis_f.coeff_shape)[0] - 1), p_coarse)
@@ -734,4 +827,5 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
     M._restrict, M._prolong, M._coarse = restrict, prolong, C
     M._A_c = A_c
     M._S_f = S_f
+    M._cycle_dtype = cyc
     return M

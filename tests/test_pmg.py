@@ -224,3 +224,130 @@ class TestSolveLocalPMG:
         sol_j = prob_j.solve_local(tol=1e-6, precond="jacobi",
                                    vector_layout="ne")
         assert (int(sol.cg.iterations) * 4 <= int(sol_j.cg.iterations))
+
+
+class TestPMGGenerality:
+    """Round-3 capabilities: f64 outer ladder, curved (general-factor)
+    coarse levels, Helmholtz reaction terms (VERDICT round-2 item 5)."""
+
+    def test_f64_outer_f32_cycle_reaches_1e10(self):
+        """f64 CG preconditioned by the f32 V-cycle solves to 1e-10 and
+        matches the manufactured solution (the GMRES-IR-style mixed
+        ladder)."""
+        p, nx = 4, 12
+        mesh = rectangle_mesh(nx, nx, p, x0=(0, 0), x1=(1, 1))
+        disc = Discretization(mesh, gll_basis_2d(p))
+        u_ex = lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y)  # noqa
+        f = lambda x, y: 2 * np.pi**2 * u_ex(x, y)  # noqa
+        prob = Poisson(disc, forcing=f, dtype=np.float64)
+        prob.set_dirichlet("ebc", 0.0)
+        prob.set_dirichlet("nbc", 0.0)
+        sol = prob.solve_local(tol=1e-11, precond="pmg",
+                               vector_layout="ne")
+        assert bool(sol.cg.converged)
+        M = prob._op_cache[("M", "pmg", "ne", ())]
+        assert M._cycle_dtype == np.float32
+        assert sol.u.dtype == np.float64
+        # spectral accuracy at p=4 on 12x12: ~1e-7; the f64 ladder must
+        # not floor above it
+        assert prob.l2_error(sol.u, u_ex) < 2e-6
+
+    def test_f64_exact_cycle_dtype(self):
+        prob = _problem(nx=8, ny=8, p=4)
+        prob.dtype = np.float32  # problem built f32; request f64 cycle
+        ex, Gf, A, free, free_np = _pieces(prob)
+        M = make_pmg_preconditioner(
+            prob.disc, ex, Gf, A, ~prob._dirichlet_mask,
+            np.asarray(prob.operator_diagonal()), p_coarse=2,
+            dtype=np.float32, cycle_dtype=np.float64)
+        assert M._cycle_dtype == np.float64
+        r = jnp.asarray(np.random.RandomState(0).standard_normal(
+            (ex.n_loc, ex.E)).astype(np.float32)) * free
+        z = M(r)
+        assert np.asarray(z).dtype == np.float32
+        assert np.isfinite(np.asarray(z)).all()
+
+    def test_curved_annulus_poisson_pmg(self):
+        """Curved isoparametric mesh: the rediscretized (general-factor)
+        coarse level makes pmg admissible where round 2 raised
+        ValueError('affine')."""
+        R = 10.0
+        mesh = annulus_mesh(order=4, n_theta=6, n_r=10, r_outer=R,
+                            progression=1.3)
+        disc = Discretization(mesh, gll_basis_2d(4))
+        prob = Poisson(disc, forcing=0.0, dtype=np.float64)
+        prob.set_dirichlet("sphere", 0.0)
+        prob.set_dirichlet("shell", 1.0)
+        sol = prob.solve_local(tol=1e-10, precond="pmg",
+                               vector_layout="ne")
+        assert bool(sol.cg.converged)
+        M = prob._op_cache[("M", "pmg", "ne", ())]
+        assert M._coarse_kind == "chebyshev"
+        exact = lambda x, y: np.log(np.sqrt(x**2 + y**2)) / np.log(R)  # noqa
+        assert prob.l2_error(sol.u, exact) < 1e-4  # p=4 discretization err
+        # and it must genuinely precondition: fewer its than jacobi
+        prob_j = Poisson(disc, forcing=0.0, dtype=np.float64)
+        prob_j.set_dirichlet("sphere", 0.0)
+        prob_j.set_dirichlet("shell", 1.0)
+        sol_j = prob_j.solve_local(tol=1e-10, precond="jacobi",
+                                   vector_layout="ne")
+        assert int(sol.cg.iterations) * 2 <= int(sol_j.cg.iterations)
+        scale = np.abs(sol_j.u).max()
+        # residual tol 1e-10 -> solution agreement bounded by kappa(A)
+        assert np.abs(sol.u - sol_j.u).max() / scale < 1e-5
+
+    def test_variable_coefficient_pmg(self):
+        """Variable diffusivity breaks affinity -> general coarse path
+        carries c(x) through coeff_fn."""
+        p, nx = 4, 10
+        mesh = rectangle_mesh(nx, nx, p, x0=(0, 0), x1=(1, 1))
+        disc = Discretization(mesh, gll_basis_2d(p))
+        c = lambda x, y: 1.0 + 0.8 * np.sin(2 * x) * np.cos(y)  # noqa
+        prob = Poisson(disc, forcing=1.0, coefficient=c,
+                       dtype=np.float64)
+        prob.set_dirichlet("ebc", 0.0)
+        prob.set_dirichlet("nbc", 0.0)
+        sol = prob.solve_local(tol=1e-10, precond="pmg",
+                               vector_layout="ne")
+        assert bool(sol.cg.converged)
+        prob_j = Poisson(disc, forcing=1.0, coefficient=c,
+                         dtype=np.float64)
+        prob_j.set_dirichlet("ebc", 0.0)
+        prob_j.set_dirichlet("nbc", 0.0)
+        sol_j = prob_j.solve_local(tol=1e-10, precond="jacobi",
+                                   vector_layout="ne")
+        scale = np.abs(sol_j.u).max()
+        assert np.abs(sol.u - sol_j.u).max() / scale < 1e-5
+        assert int(sol.cg.iterations) * 2 <= int(sol_j.cg.iterations)
+
+
+class TestHelmholtzPMG:
+    def test_curved_helmholtz_pmg_matches_jacobi(self):
+        """BASELINE config 3 (curved variable-coefficient Helmholtz) on
+        the pmg path: same solution as Jacobi-CG, fewer iterations."""
+        from spectralelementmethod_tpu.models.helmholtz import Helmholtz
+
+        mesh = annulus_mesh(order=4, n_theta=6, n_r=10, r_outer=6.0,
+                            progression=1.2)
+        disc = Discretization(mesh, gll_basis_2d(4))
+
+        def make():
+            h = Helmholtz(
+                disc, forcing=lambda x, y: np.exp(-(x**2 + y**2)),
+                coefficient=lambda x, y: 1.0 + 0.3 * x * x,
+                reaction=lambda x, y: 2.0 + y * y,
+                dtype=np.float64)
+            h.set_dirichlet("sphere", 0.0)
+            h.set_dirichlet("shell", 0.0)
+            return h
+
+        h_j = make()
+        sol_j = h_j.solve_local(tol=1e-10, precond="jacobi",
+                                vector_layout="ne")
+        h_m = make()
+        sol_m = h_m.solve_local(tol=1e-10, precond="pmg",
+                                vector_layout="ne")
+        assert bool(sol_m.cg.converged)
+        scale = np.abs(sol_j.u).max()
+        assert np.abs(sol_m.u - sol_j.u).max() / scale < 1e-5
+        assert int(sol_m.cg.iterations) < int(sol_j.cg.iterations)
