@@ -514,12 +514,11 @@ class Poisson(BoundaryConditionMixin):
                              "fused1", "fused1-interpret"):
             raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
         if defer_x == "auto":
-            # measured A/B (BASELINE.md round-2j): defer_x=8 wins at HBM
-            # scale (1M: 6.24 vs 9.35 ms/iter) but LOSES where the f32
-            # iterate still rides VMEM residency (100k: 0.611 vs
-            # 0.498) — engage only once the (n, E) f32 arrays are
-            # decisively larger than v5e's 128 MB VMEM
-            defer_x = 8 if ex.E * disc.n_loc * 4 > 100_000_000 else 0
+            # measured policy: engage m=8 only in the HBM-residency
+            # regime (see solver.cg.auto_defer_x)
+            from ..solver.cg import auto_defer_x
+
+            defer_x = auto_defer_x(ex.E, disc.n_loc)
         # auto engages the fused iteration only in the bf16-storage mode:
         # measured at p=8/100k on v5e, XLA's own fusion of the plain
         # vector ops already runs at ~85% of HBM peak (0.79 ms/iter) and
@@ -684,10 +683,11 @@ class Poisson(BoundaryConditionMixin):
             raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
         defer_auto = defer_x == "auto"
         if defer_auto:
-            # same HBM-residency threshold as solve_local (BASELINE.md
-            # round-2j): deferral wins once the per-RHS iterate leaves
-            # VMEM residency
-            defer_x = (8 if ex.E * disc.n_loc * 4 > 100_000_000 else 0)
+            # same HBM-residency threshold as solve_local (per-RHS
+            # iterate; see solver.cg.auto_defer_x)
+            from ..solver.cg import auto_defer_x
+
+            defer_x = auto_defer_x(ex.E, disc.n_loc)
         from_auto = cg_kernel == "auto"
         if from_auto:
             # measured policy (BASELINE.md round-2h/2n, p=8, v5e):
@@ -717,8 +717,10 @@ class Poisson(BoundaryConditionMixin):
                     _, exact_aff = sumfac.affine_factorization(
                         np.asarray(ctx["Gf"], np.float32), Wg)
                     self._op_cache[akey] = bool(exact_aff)
-                hbm_regime = ex.E * disc.n_loc * 4 > 100_000_000
-                use = (not exact_aff) or hbm_regime
+                from ..solver.cg import hbm_residency_regime
+
+                use = (not exact_aff
+                       or hbm_residency_regime(ex.E, disc.n_loc))
             cg_kernel = "fused" if use else "plain"
         if cg_kernel != "plain":
             if not (transposed and precond == "jacobi"
@@ -963,6 +965,10 @@ class Poisson(BoundaryConditionMixin):
                 uL = sumfac.masked(uL, free)
                 return sumfac.masked(A_raw(uL), free)
 
+            # auto-policy introspection (tests/test_auto_policy.py)
+            A_raw._structure = A._structure = (
+                "separable" if (affine and no_cross)
+                else "affine" if affine else "general")
             cached = self._op_cache[("A3d",)] = (A_raw, A)
         A_raw, A = cached
 

@@ -612,6 +612,9 @@ def make_local_laplacian_operator(exchange, Gf, Dhat, free_local=None,
             ve = jnp.where(free_local, ve, 0.0)
         return ve
 
+    # auto-policy introspection (tests/test_auto_policy.py)
+    apply._structure = "affine" if affine_a is not None else "general"
+    apply._backend = backend
     return apply
 
 
@@ -720,6 +723,9 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
                 # hoist closures (see utils.hoist.hoist_closure)
                 apply_fused._no_hoist = True
                 apply_fused._kernel = local_dss   # introspection (bench)
+                apply_fused._structure = (
+                    "affine" if affine_a is not None else "general")
+                apply_fused._backend = "fused"
                 return apply_fused
     elif backend != "xla":
         raise ValueError(f"unknown backend {backend!r}")
@@ -796,6 +802,9 @@ def _make_local_laplacian_operator_T(exchange, Gf, Dhat, free_local=None,
             vT = jnp.where(free_local, vT, 0.0)
         return vT
 
+    # auto-policy introspection (tests/test_auto_policy.py)
+    apply._structure = "affine" if affine_a is not None else "general"
+    apply._backend = "xla"
     return apply
 
 

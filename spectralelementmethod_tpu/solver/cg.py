@@ -1234,6 +1234,27 @@ def _cg_fused_kernels_deferred(kA, kB, m: int, p_bf16: bool = False):
     return init, block
 
 
+def auto_defer_x(E: int, n_loc: int, itemsize: int = 4) -> int:
+    """Auto policy for the fused-CG deferred-x update (m or 0).
+
+    Measured A/B (BASELINE.md round-2j/2n, p=8 on v5e): deferring the x
+    update to an m=8 catch-up wins only once the (n, E) f32 iterate has
+    decisively left VMEM residency — 1M elements: 6.24 vs 9.35 ms/iter
+    (and 5.55 vs 8.74 per RHS batched); 100k: a ~20% LOSS (0.611 vs
+    0.498).  The threshold is the iterate byte size vs ~100 MB (v5e has
+    128 MB VMEM).  Shared by ``Poisson.solve_local`` and
+    ``solve_local_batch``; table-asserted in tests/test_auto_policy.py.
+    """
+    return 8 if hbm_residency_regime(E, n_loc, itemsize) else 0
+
+
+def hbm_residency_regime(E: int, n_loc: int, itemsize: int = 4) -> bool:
+    """True once an (n, E) iterate decisively exceeds VMEM residency
+    (~100 MB vs v5e's 128 MB VMEM).  The shared threshold behind the
+    defer_x and batched-fused-CG auto policies (BASELINE.md round-2j/2n)."""
+    return E * n_loc * itemsize > 100_000_000
+
+
 def jacobi_preconditioner(diag: jax.Array, free_mask: jax.Array | None = None):
     """Inverse-diagonal preconditioner; safe where the diagonal is 0/masked.
 
