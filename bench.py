@@ -397,9 +397,11 @@ def main():
             structure=args.structure)
         vec0 = to_local(u_global)
         if args.nrhs > 1:
-            if not transposed or args.cg_mode != "plain":
-                raise SystemExit("--nrhs > 1 requires the ne layout and "
-                                 "--cg-mode plain")
+            if not transposed:
+                raise SystemExit("--nrhs > 1 requires the ne layout")
+            if args.cg_mode not in ("plain", "fused", "fused-bf16p"):
+                raise SystemExit("--nrhs > 1 supports --cg-mode plain/"
+                                 "fused/fused-bf16p (batched kernels)")
             A_multi = sumfac.make_multi_rhs_laplacian_T(
                 ex, Gf, Dhat, args.nrhs,
                 backend="xla" if args.kernel == "xla-local" else "auto",
@@ -462,7 +464,34 @@ def main():
                 Dhat, Wg, order=ex.hier)
             p_dt = (jnp.bfloat16 if args.cg_mode.endswith("-bf16p")
                     else None)
-            if args.cg_mode.startswith("fused1"):
+            if args.nrhs > 1:
+                # batched fused CG: k RHS per iteration through one
+                # operator read (VERDICT round-2 item 1 — k=8/16 arms)
+                from spectralelementmethod_tpu.solver.cg import (
+                    cg_fused_batched)
+
+                kA, kB, _ = pallas_kernels.make_fused_cg_kernels_batched(
+                    ex, Kcat, a_f, n_rhs=args.nrhs,
+                    precision=("high" if p_dt is not None
+                               else args.precision),
+                    p_dtype=p_dt, defer_x=bool(args.defer_x),
+                    interpret=not pallas_kernels.supported())
+                aux_dt = jnp.bfloat16 if p_dt is not None else jnp.float32
+                inv_d = jnp.where(
+                    free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
+                ).astype(aux_dt)
+                wf_d = jnp.where(
+                    free, ex._weights_as(np.float32, transposed=True), 0.0
+                ).astype(aux_dt)
+                R_rows = [r_cg] + [
+                    jnp.where(free, jnp.asarray(
+                        rng.standard_normal(r_cg.shape).astype(dtype)),
+                        0.0)
+                    for _ in range(args.nrhs - 1)]
+                R_cg = jnp.stack(R_rows)
+                fused_cg = (kA, kB, inv_d, wf_d, p_dt,
+                            ("batched", cg_fused_batched, R_cg))
+            elif args.cg_mode.startswith("fused1"):
                 kA, _ = pallas_kernels.make_fused_cg_kernel_single(
                     ex, Kcat, a_f,
                     precision=("high" if p_dt is not None
@@ -477,14 +506,15 @@ def main():
                                else args.precision),
                     p_dtype=p_dt, defer_x=bool(args.defer_x),
                     interpret=not pallas_kernels.supported())
-            aux_dt = jnp.bfloat16 if p_dt is not None else jnp.float32
-            inv_d = jnp.where(
-                free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
-            ).astype(aux_dt)
-            wf_d = jnp.where(
-                free, ex._weights_as(np.float32, transposed=True), 0.0
-            ).astype(aux_dt)
-            fused_cg = (kA, kB, inv_d, wf_d, p_dt, cg_fused)
+            if args.nrhs <= 1:
+                aux_dt = jnp.bfloat16 if p_dt is not None else jnp.float32
+                inv_d = jnp.where(
+                    free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
+                ).astype(aux_dt)
+                wf_d = jnp.where(
+                    free, ex._weights_as(np.float32, transposed=True), 0.0
+                ).astype(aux_dt)
+                fused_cg = (kA, kB, inv_d, wf_d, p_dt, cg_fused)
     else:
         if args.cg_mode != "plain":
             raise SystemExit("--cg-mode fused requires --kernel local/"
@@ -634,12 +664,20 @@ def main():
 
     if fused_cg is not None:
         kA_f, kB_f, inv_f, wf_f, p_dt_f, cg_fused_fn = fused_cg
+        if isinstance(cg_fused_fn, tuple):
+            _, _batched_fn, R_cg_b = cg_fused_fn
 
-        def run_cg():
-            return cg_fused_fn(kA_f, kB_f, r_cg, inv=inv_f, w_free=wf_f,
-                               tol=cg_tol, max_iter=cg_iters,
-                               block=cg_iters, p_dtype=p_dt_f,
-                               defer_x=args.defer_x)
+            def run_cg():
+                return _batched_fn(
+                    kA_f, kB_f, R_cg_b, inv=inv_f, w_free=wf_f,
+                    tol=cg_tol, max_iter=cg_iters, block=cg_iters,
+                    p_dtype=p_dt_f, defer_x=args.defer_x)
+        else:
+            def run_cg():
+                return cg_fused_fn(kA_f, kB_f, r_cg, inv=inv_f,
+                                   w_free=wf_f, tol=cg_tol,
+                                   max_iter=cg_iters, block=cg_iters,
+                                   p_dtype=p_dt_f, defer_x=args.defer_x)
     else:
         # jacobi runs its full known budget in one dispatch; strong
         # preconditioners (fdm/pmg) converge in O(10-100) iterations, so
@@ -721,11 +759,23 @@ def main():
     # (3n, n) @ (n, window) per element tile = 6 n^2 FLOP/element,
     # repeated per bf16 decomposition pass and inflated by the
     # halo-window factor) against the device's bf16 MXU peak.  This is
-    # hardware-unit utilization, NOT algorithmic MFU — the useful
-    # sum-factorized FLOP rate is the headline `value`.  At p>=12 the
-    # apply is occupancy-bound (>50% at p=12 'high'); at p=8 it is
-    # HBM-bound and occupancy is low by design (see BASELINE.md).
+    # hardware-unit utilization, NOT algorithmic MFU — `useful_mfu_pct`
+    # below reports the honest algorithmic number (useful sum-factorized
+    # FLOPs against the same bf16 peak; VERDICT round-2 weak #1).  At
+    # p=8 the apply is HBM-bound (~32 useful FLOP/byte vs the ~240
+    # machine balance) so useful MFU is single-digit BY DESIGN; raising
+    # it means raising arithmetic intensity (multi-RHS, higher p), not
+    # kernel polish — see the --nrhs / --order arms.
     mxu_occupancy = None
+    useful_mfu = None
+    if timing_reliable and t_apply > 0 and t_apply == t_apply:
+        try:
+            from spectralelementmethod_tpu.utils.perf import device_peaks
+
+            peak_tflops, _ = device_peaks()
+            useful_mfu = flops / t_apply / (peak_tflops * 1e12)
+        except Exception:                    # noqa: BLE001
+            useful_mfu = None
     kern = getattr(one_apply, "_kernel", None) if args.nrhs == 1 else None
     if (kern is not None and timing_reliable and t_apply > 0
             and t_apply == t_apply):
@@ -738,6 +788,53 @@ def main():
         peak_tflops, _ = device_peaks()
         mxu_occupancy = executed / t_apply / (peak_tflops * 1e12)
 
+    # Converged-solve headline arm (VERDICT round-2 weak #5): the CG
+    # throughput metric above runs a fixed 1000-iteration Jacobi budget
+    # (which does NOT converge at bench scale); this arm solves the same
+    # system TO TOLERANCE with the best preconditioner (two-level p-MG,
+    # exact tensor-grid coarse solve) and reports wall-clock.
+    solve_extra = {}
+    if (args.cg_mode == "plain" and args.precond == "jacobi"
+            and args.kernel in ("local", "xla-local") and args.nrhs == 1
+            and not args.smoke and dtype == np.float32 and transposed):
+        try:
+            from spectralelementmethod_tpu.solver.pmg import (
+                make_pmg_preconditioner)
+
+            _progress("pmg preconditioner build")
+            M_pmg = make_pmg_preconditioner(
+                disc, ex, Gf, A_cg, ~prob._dirichlet_mask,
+                np.asarray(prob.operator_diagonal()), p_coarse=2)
+            tol_s = 1e-6
+
+            def run_solve():
+                return cg(A_cg, r_cg, M=M_pmg, tol=tol_s,
+                          max_iter=2000, dot=dot, dot_weight=dw,
+                          block=64)
+
+            _progress("pmg solve warmup (compile)")
+            rs = run_solve()
+            rs.x.block_until_ready()
+            _progress("pmg solve timing")
+            t0 = time.perf_counter()
+            rs = run_solve()
+            rs.x.block_until_ready()
+            t_solve = time.perf_counter() - t0
+            solve_extra = {
+                "cg_solve_to_tol_s": round(t_solve, 3),
+                "cg_solve_to_tol": tol_s,
+                "cg_solve_to_tol_iters": int(rs.iterations),
+                "cg_solve_to_tol_converged": bool(rs.converged),
+                "cg_solve_to_tol_resnorm": float(rs.residual_norm),
+                "cg_solve_to_tol_precond":
+                    f"pmg/{M_pmg._coarse_kind}-coarse",
+            }
+        except Exception as e:               # noqa: BLE001
+            _progress(f"converged-solve arm skipped: {e}")
+
+    _it = int(np.max(np.asarray(res.iterations)))
+    _issued = int(np.max(np.asarray(res.issued)))
+    _ms_it = t_cg * 1e3 / max(_issued or _it, 1)
     result = {
         "metric": f"element_apply_gflops_p{args.order}_{E}el",
         "value": round(gflops, 2),
@@ -745,6 +842,8 @@ def main():
         "vs_baseline": round(vs_baseline, 1),
         "extras": {
             "apply_ms": round(t_apply * 1e3, 3),
+            "useful_mfu_pct": (round(100 * useful_mfu, 2)
+                               if useful_mfu is not None else None),
             "mxu_occupancy_pct": (round(100 * mxu_occupancy, 1)
                                   if mxu_occupancy is not None else None),
             "apply_ms_high_precision": (
@@ -755,13 +854,12 @@ def main():
             "dispatch_overhead_ms": round(t_dispatch * 1e3, 2),
             "effective_GB_s": round(gbps, 1),
             "cg_wallclock_s": round(t_cg, 3),
-            "cg_ms_per_iter": round(
-                t_cg * 1e3 / max(int(res.issued) or int(res.iterations),
-                                 1), 3),
+            "cg_ms_per_iter": round(_ms_it, 3),
+            "cg_ms_per_iter_per_rhs": round(_ms_it / args.nrhs, 3),
             "cg_mode": args.cg_mode,
-            "cg_iters": int(res.iterations),
-            "cg_issued": int(res.issued),
-            "cg_resnorm": float(res.residual_norm),
+            "cg_iters": _it,
+            "cg_issued": _issued,
+            "cg_resnorm": float(np.max(np.asarray(res.residual_norm))),
             "elements": E,
             "order": args.order,
             "dtype": str(np.dtype(dtype)),
@@ -781,6 +879,7 @@ def main():
             "baseline": "serial per-element numpy einsum apply "
                         f"(reference style), {n_sample}-element sample",
             **fused_extra,
+            **solve_extra,
         },
     }
     print(json.dumps(result))
