@@ -43,6 +43,39 @@ def solver_dtype():
     return np.float64 if x64_enabled() else np.float32
 
 
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Cold-start compile time is the dominant first-run cost of the
+    nonlinear solver stack (squirmer cold Newton measured 119-157 s of
+    XLA compiles, BASELINE.md round-2i); the persistent cache replays
+    them from disk on every later process.  ``path`` defaults to
+    ``$SEM_TPU_CACHE_DIR`` or ``~/.cache/spectralelementmethod_tpu/xla``.
+    Thresholds are zeroed so even small executables cache (the squirmer
+    pipeline compiles many medium-size kernels, not one giant one).
+
+    Set ``SEM_TPU_CACHE_DIR=off`` to disable.  Returns the cache dir
+    (None when disabled).
+    """
+    global _CACHE_ENABLED
+    env = os.environ.get("SEM_TPU_CACHE_DIR", "")
+    if env.lower() == "off":
+        return None
+    if _CACHE_ENABLED:
+        return jax.config.jax_compilation_cache_dir
+    path = path or env or os.path.expanduser(
+        "~/.cache/spectralelementmethod_tpu/xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _CACHE_ENABLED = True
+    return path
+
+
 def host_device_count(n: int = 8) -> None:
     """Request ``n`` virtual CPU devices (must run before JAX backends init).
 

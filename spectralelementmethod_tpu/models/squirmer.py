@@ -111,6 +111,12 @@ class SphereWithSlipVel:
 
     def __init__(self, mesh, order: int = 8, dtype=np.float64,
                  linear_solver: str = "auto"):
+        # cold-start compiles dominate first-run UX (119-157 s measured,
+        # BASELINE.md round-2i) — persist them across processes
+        # (SEM_TPU_CACHE_DIR=off opts out; config.enable_compilation_cache)
+        from ..config import enable_compilation_cache
+
+        enable_compilation_cache()
         self.dtype = dtype
         if linear_solver == "auto":
             # TPU XLA implements batched LU decomposition only for f32 —
