@@ -16,6 +16,17 @@ import jax
 import pytest
 
 
+def pytest_configure(config):
+    # the repo-level addopts run the CPU suite under two xdist workers
+    # (memory isolation, see pyproject.toml); this tier talks to ONE
+    # physical TPU, which two processes must not share
+    n = getattr(config.option, "numprocesses", None)
+    if n:
+        raise pytest.UsageError(
+            "tests_tpu shares one TPU device: run with -n 0 "
+            "(python -m pytest tests_tpu/ -n 0 -q)")
+
+
 def pytest_collection_modifyitems(config, items):
     if jax.default_backend() != "tpu":
         skip = pytest.mark.skip(reason="requires a TPU backend")
