@@ -224,16 +224,57 @@ def _scale_win(base: int, n: int) -> int:
     return max(384, int(base * 81 / n) // 128 * 128)
 
 
+def _mask_zeros_of(kind, E):
+    """Zero-element set of a procedural mask kind (host verification)."""
+    import numpy as np
+
+    if kind[0] == "run":
+        out = np.zeros(E, bool)
+        out[kind[1]:kind[1] + kind[2]] = True
+        return out
+    _, s0, P, L = kind
+    return ((np.arange(E) - s0) % P) < L
+
+
+def _fit_single_pattern(z, E):
+    """Fit a zero-index set as ONE run or ONE periodic iota, else None."""
+    import numpy as np
+
+    if z.size == 0:
+        return None
+    run_start = np.concatenate([[True], np.diff(z) > 1])
+    starts = z[run_start]
+    lens = np.diff(np.concatenate([np.nonzero(run_start)[0], [z.size]]))
+    if starts.size == 1:
+        return ("run", int(starts[0]), int(lens[0]))
+    d = np.diff(starts)
+    if np.all(d == d[0]):
+        s0, P, L = int(starts[0]) % int(d[0]), int(d[0]), int(lens.max())
+        if s0 + L <= P:
+            k = ("iota", s0, P, L)
+            zk = np.nonzero(_mask_zeros_of(k, E))[0]
+            if zk.size == z.size and np.array_equal(zk, z):
+                return k
+    return None
+
+
 def _periodic_mask_params(mb) -> tuple | None:
-    """Recognize a roll-class mask as a periodic iota predicate.
+    """Recognize a roll-class mask as a procedural iota predicate.
 
     Returns ``("all",)`` when every element keeps its contribution,
     ``("run", s0, L)`` when the zeroed elements are the single contiguous
     run ``[s0, s0 + L)`` (first/last element rows), ``("iota", s0, P, L)``
     when they are exactly ``{e : (e - s0) mod P < L}`` (periodic column
     masks of structured meshes, P = row stride), ``("and", k1, k2)`` when
-    they are the *union* of a run and a periodic pattern (the diagonal
-    vertex classes: first/last row union first/last column), else None.
+    they are the *union* of two such patterns — run U iota (diagonal
+    vertex classes of lexicographic meshes: first/last row union
+    first/last column) or iota U iota (panel-ordered meshes: panel-
+    boundary columns union slow-axis boundary rows) — else None (the
+    mask streams as an operand row).
+
+    All candidate fits are vectorized and bounded (no recursion): a
+    previous recursive union-peel was O(runs^2) and took ~45 minutes on
+    a single 1M-element panel-order mask.
     """
     import numpy as np
 
@@ -242,59 +283,44 @@ def _periodic_mask_params(mb) -> tuple | None:
     z = np.nonzero(~mb)[0]
     if z.size == 0:
         return ("all",)
+
+    k = _fit_single_pattern(z, E)
+    if k is not None:
+        return k
+
     run_start = np.concatenate([[True], np.diff(z) > 1])
     starts = z[run_start]
     lens = np.diff(np.concatenate([np.nonzero(run_start)[0], [z.size]]))
+    zero_set = ~mb
 
-    def zeros_of(kind):
-        out = np.zeros(E, bool)
-        if kind[0] == "run":
-            out[kind[1]:kind[1] + kind[2]] = True
-        else:
-            _, s0, P, L = kind
-            out = ((np.arange(E) - s0) % P) < L
-        return out
-
-    if starts.size == 1:
-        return ("run", int(starts[0]), int(lens[0]))
+    # two-term union candidates for the FIRST pattern:
+    cands1 = [("run", int(starts[int(np.argmax(lens))]),
+               int(lens[int(np.argmax(lens))]))]
     d = np.diff(starts)
-    if np.all(d == d[0]):
-        s0, P, L = int(starts[0]) % int(d[0]), int(d[0]), int(lens.max())
-        if s0 + L <= P:
-            k = ("iota", s0, P, L)
-            if np.array_equal(zeros_of(k), ~mb):
-                return k
-    # two-term union: peel the longest run, fit the remainder as a
-    # periodic pattern, verify the union exactly
-    j = int(np.argmax(lens))
-    k_run = ("run", int(starts[j]), int(lens[j]))
-    rest = z[(z < starts[j]) | (z >= starts[j] + lens[j])]
-    if rest.size == 0:
-        return None
-    mb2 = np.ones(E, bool)
-    mb2[rest] = False
-    cands = []
-    k2 = _periodic_mask_params(mb2)
-    if k2 is not None and k2[0] in ("run", "iota"):
-        cands.append(k2)
-    # overlap-tolerant periodic fit: the period inferred from the
-    # remainder may reconstruct extra zeros inside the peeled run
-    # (diagonal classes: first-row zeros contain the first-column one)
-    rs = rest[np.concatenate([[True], np.diff(rest) > 1])]
-    if rs.size >= 2:
-        d2 = np.diff(rs)
-        if np.all(d2 == d2[0]):
-            P = int(d2[0])
-            s0 = int(rs[0]) % P
-            rl = np.diff(np.concatenate(
-                [np.nonzero(np.concatenate(
-                    [[True], np.diff(rest) > 1]))[0], [rest.size]]))
-            L = int(rl.max())
-            if s0 + L <= P:
-                cands.append(("iota", s0, P, L))
-    for k2 in cands:
-        if np.array_equal(zeros_of(k_run) | zeros_of(k2), ~mb):
-            return ("and", k_run, k2)
+    vals, counts = np.unique(d, return_counts=True)
+    if vals.size <= 6:
+        # dominant run spacing -> periodic hypothesis with the modal
+        # start residue and modal run length
+        P = int(vals[int(np.argmax(counts))])
+        if P > 1:
+            res = starts % P
+            rvals, rcounts = np.unique(res, return_counts=True)
+            s0 = int(rvals[int(np.argmax(rcounts))])
+            sel = res == s0
+            if sel.any():
+                lvals, lcounts = np.unique(lens[sel], return_counts=True)
+                L = int(lvals[int(np.argmax(lcounts))])
+                if s0 + L <= P:
+                    cands1.append(("iota", s0, P, L))
+
+    for k1 in cands1:
+        zeros1 = _mask_zeros_of(k1, E)
+        rest = z[~zeros1[z]]
+        k2 = _fit_single_pattern(rest, E)
+        if k2 is None:
+            continue
+        if np.array_equal(zeros1 | _mask_zeros_of(k2, E), zero_set):
+            return ("and", k1, k2)
     return None
 
 

@@ -249,3 +249,62 @@ class TestAffineDetection:
         W = disc.basis.weight_grid().reshape(-1)
         _, exact = sumfac.affine_factorization(np.asarray(G), W)
         assert not exact
+
+
+class TestProceduralMaskFit:
+    """_periodic_mask_params: procedural roll-class mask recognition.
+
+    The round-3 rewrite replaced a recursive union-peel that was
+    O(runs^2) (one 1M-element panel-order mask took ~45 minutes of
+    kernel BUILD time) with bounded vectorized candidate fits."""
+
+    def test_single_patterns(self):
+        E = 4096
+        e = np.arange(E)
+        assert pk._periodic_mask_params(np.ones(E, bool)) == ("all",)
+        mb = np.ones(E, bool)
+        mb[100:150] = False
+        assert pk._periodic_mask_params(mb) == ("run", 100, 50)
+        mb = ~(((e - 3) % 64) < 2)
+        assert pk._periodic_mask_params(mb) == ("iota", 3, 64, 2)
+
+    def test_run_union_iota(self):
+        # lexicographic diagonal class: last row U last column
+        E, P = 4096, 64
+        e = np.arange(E)
+        zeros = (e >= E - P) | ((e % P) == P - 1)
+        k = pk._periodic_mask_params(~zeros)
+        assert k is not None and k[0] == "and"
+        assert np.array_equal(
+            pk._mask_zeros_of(k[1], E) | pk._mask_zeros_of(k[2], E),
+            zeros)
+
+    def test_iota_union_iota_panel_shape(self):
+        # panel-order diagonal class: panel-boundary columns U
+        # slow-boundary rows (iota U iota — the shape that blew up the
+        # old recursive fit)
+        E, Pf, Ps = 1 << 15, 128, 128 * 16
+        e = np.arange(E)
+        zeros = ((e % Pf) == Pf - 1) | ((e % Ps) < Pf)
+        k = pk._periodic_mask_params(~zeros)
+        assert k is not None and k[0] == "and"
+        assert np.array_equal(
+            pk._mask_zeros_of(k[1], E) | pk._mask_zeros_of(k[2], E),
+            zeros)
+
+    def test_large_mask_fits_fast(self):
+        import time
+
+        E = 1 << 20
+        e = np.arange(E)
+        zeros = ((e % 128) == 127) | ((e % (128 * 1024)) < 128)
+        t0 = time.perf_counter()
+        k = pk._periodic_mask_params(~zeros)
+        dt = time.perf_counter() - t0
+        assert k is not None and k[0] == "and"
+        assert dt < 10.0, f"mask fit took {dt:.1f}s (quadratic again?)"
+
+    def test_unrecognizable_mask_streams_as_row(self):
+        rng = np.random.RandomState(0)
+        mb = rng.random_sample(4096) > 0.3
+        assert pk._periodic_mask_params(mb) is None
