@@ -89,7 +89,12 @@ def _arm_batched(label, ex, Kcat, a, b0, inv_d, wf_d, *, k, max_halo,
         res.x.block_until_ready()
         return res
 
-    run()
+    try:
+        run()
+    except Exception as e:  # noqa: BLE001 — e.g. scoped-VMEM compile OOM
+        print(f"[{label}: FAILED at compile/run — "
+              f"{str(e).splitlines()[0][:200]}]", flush=True)
+        return
     t0 = time.perf_counter()
     res = run()
     dt = time.perf_counter() - t0

@@ -23,15 +23,48 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("BENCH_VERBOSE", "1")
 
-from measure_round2d import banner, stage, _build, _cg_operands  # noqa: E402
+from measure_round2d import banner, stage, _build as _build_r2d, \
+    _cg_operands  # noqa: E402
 from measure_batched_cg_far import _arm_batched, _arm_single  # noqa: E402
 from exp_pallas_scale import _time_chain  # noqa: E402
 
 V5E_BF16_PEAK = 197e12
 
 
+def _build(nx, p=8):
+    """measure_round2d._build, but with the fused pad forced at ANY
+    element count (the high-p arms run ~14-26k elements, below the
+    default 20k fused_pad_min_e gate — p=16 was inadmissible without
+    it)."""
+    import numpy as np
+
+    from spectralelementmethod_tpu.basis import gll_basis_2d
+    from spectralelementmethod_tpu.core.discretization import Discretization
+    from spectralelementmethod_tpu.mesh import rectangle_mesh
+    from spectralelementmethod_tpu.models.poisson import Poisson
+    from spectralelementmethod_tpu.ops import sumfac
+    from spectralelementmethod_tpu.ops.exchange import make_exchange
+
+    banner(f"mesh+disc build nx={nx} p={p}")
+    mesh = rectangle_mesh(nx, nx, p)
+    disc = Discretization(mesh, gll_basis_2d(p))
+    prob = Poisson(disc, dtype=np.float32)
+    prob.set_dirichlet("ebc", lambda x, y: 0.0)
+    ex = make_exchange(disc, fused_pad=True, fused_pad_min_e=0)
+    E = ex.E
+    print(f"E_real={ex.E_real} E_pad={E}", flush=True)
+    Gf = np.zeros((E, 3, disc.n_loc), np.float32)
+    Gf[:disc.E] = prob._G_host.reshape(disc.E, 3, -1)
+    Dhat = sumfac.make_stacked_derivative(
+        np.asarray(prob._D0), np.asarray(prob._D1))
+    W = disc.basis.weight_grid().reshape(-1)
+    a, exact = sumfac.affine_factorization(Gf, W)
+    assert exact
+    Kcat = sumfac.make_affine_element_matrices(Dhat, W, order=ex.hier)
+    return prob, ex, Gf, Dhat, a, Kcat
+
+
 def stage1_batched(nx=316):
-    prob, ex, Kcat_a = None, None, None
     prob, ex, Gf, Dhat, a, Kcat = _build(nx)
     b0, inv_d, wf_d = _cg_operands(prob, ex)
     it = 1000
