@@ -683,11 +683,11 @@ class Poisson(BoundaryConditionMixin):
             raise ValueError(f"unknown cg_kernel {cg_kernel!r}")
         defer_auto = defer_x == "auto"
         if defer_auto:
-            # same HBM-residency threshold as solve_local (per-RHS
-            # iterate; see solver.cg.auto_defer_x)
-            from ..solver.cg import auto_defer_x
+            # batched kernels: deferral wins already at 100k for k >= 4
+            # (round-3b measured table; see solver.cg.auto_defer_x_batched)
+            from ..solver.cg import auto_defer_x_batched
 
-            defer_x = auto_defer_x(ex.E, disc.n_loc)
+            defer_x = auto_defer_x_batched(ex.E, disc.n_loc, k)
         from_auto = cg_kernel == "auto"
         if from_auto:
             # measured policy (BASELINE.md round-2h/2n, p=8, v5e):
@@ -719,8 +719,15 @@ class Poisson(BoundaryConditionMixin):
                     self._op_cache[akey] = bool(exact_aff)
                 from ..solver.cg import hbm_residency_regime
 
+                # affine meshes: engage the batched kernels at HBM scale
+                # (round-2n: 1M k=2 split-m8 5.55 vs single 6.66) and at
+                # ANY scale for k >= 4 — the round-3b sweep measured the
+                # batched x far-split x defer_x=8 composition winning
+                # per RHS at 100k (k4: 0.494 vs same-run single 0.65;
+                # k8: 0.534; k16: 0.680 — k=4 is the sweet spot)
                 use = (not exact_aff
-                       or hbm_residency_regime(ex.E, disc.n_loc))
+                       or hbm_residency_regime(ex.E, disc.n_loc)
+                       or k >= 4)
             cg_kernel = "fused" if use else "plain"
         if cg_kernel != "plain":
             if not (transposed and precond == "jacobi"

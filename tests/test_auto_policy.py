@@ -308,3 +308,20 @@ class TestProceduralMaskFit:
         rng = np.random.RandomState(0)
         mb = rng.random_sample(4096) > 0.3
         assert pk._periodic_mask_params(mb) is None
+
+
+BATCHED_DEFER_TABLE = [
+    # (E, n_loc, k, expected m) — round-3b sweep: batched deferral wins
+    # at 100k for k >= 4 (k4 split 0.494 m8 vs 0.784 m0), at 1M for all k
+    (101_376, 81, 2, 0),
+    (101_376, 81, 4, 8),
+    (101_376, 81, 8, 8),
+    (1_007_616, 81, 2, 8),
+]
+
+
+@pytest.mark.parametrize("E,n_loc,k,m", BATCHED_DEFER_TABLE)
+def test_auto_defer_x_batched(E, n_loc, k, m):
+    from spectralelementmethod_tpu.solver.cg import auto_defer_x_batched
+
+    assert auto_defer_x_batched(E, n_loc, k) == m
