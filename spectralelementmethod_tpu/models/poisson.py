@@ -969,7 +969,12 @@ class Poisson(BoundaryConditionMixin):
                     return ex.dss(ve.reshape(ex.E, ex.n_loc))
 
             def A(uL):
-                uL = sumfac.masked(uL, free)
+                # no input mask pass: CG iterates satisfy the Dirichlet
+                # mask by induction (M masks its output, x0 = 0, p and r
+                # updates preserve it) — same masked-input-by-induction
+                # argument as the 2D operator's assume_masked_input.
+                # The residual seeds (_masked_residual / solve paths)
+                # mask explicitly before entering the loop.
                 return sumfac.masked(A_raw(uL), free)
 
             # auto-policy introspection (tests/test_auto_policy.py)

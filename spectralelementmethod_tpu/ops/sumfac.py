@@ -220,14 +220,17 @@ def laplacian_apply_local_3d_separable(ue, a, K0, K1, K2, w0, w1, w2):
     w12 = (w1[:, None] * w2[None, :]).astype(ue.dtype)
     w02 = (w0[:, None] * w2[None, :]).astype(ue.dtype)
     w01 = (w0[:, None] * w1[None, :]).astype(ue.dtype)
-    t0 = jnp.einsum("mp,epqr->emqr", K0, ue,
-                    precision="highest") * w12[None, None]
-    t1 = jnp.einsum("nq,epqr->epnr", K1, ue,
-                    precision="highest") * w02[None, :, None]
-    t2 = jnp.einsum("kr,epqr->epqk", K2, ue,
-                    precision="highest") * w01[None, :, :, None]
     s = a.reshape(a.shape[:2] + (1, 1, 1)).astype(ue.dtype)
-    return s[:, 0] * t0 + s[:, 3] * t1 + s[:, 5] * t2
+    # accumulate term by term (v += ...) instead of materializing all
+    # three weighted tensors and a 3-way add: gives XLA one fewer live
+    # (E, *shape) intermediate per term to fuse into the combine
+    v = (s[:, 0] * w12[None, None]) * jnp.einsum(
+        "mp,epqr->emqr", K0, ue, precision="highest")
+    v = v + (s[:, 3] * w02[None, :, None]) * jnp.einsum(
+        "nq,epqr->epnr", K1, ue, precision="highest")
+    v = v + (s[:, 5] * w01[None, :, :, None]) * jnp.einsum(
+        "kr,epqr->epqk", K2, ue, precision="highest")
+    return v
 
 
 def laplacian_apply_local_3d_separable_T(uT, aT, K0, K1, K2, w0, w1, w2):
