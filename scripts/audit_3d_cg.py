@@ -52,7 +52,10 @@ def main():
         b = jnp.where(free, jnp.asarray(b_np * (1.0 + salt)), 0.0)
         res = cg(A, b, M=M, tol=0.0, max_iter=iters, dot_weight=w,
                  block=iters)
-        res.x.block_until_ready()
+        # scalar host pull that data-depends on the result:
+        # block_until_ready was measured returning EARLY on the
+        # tunneled backend (utils/timing.py round-2h finding)
+        float(jnp.sum(res.x))
         return res
 
     run(10, 1e-7)                          # compile both block sizes
@@ -75,6 +78,7 @@ def main():
     prob2.set_dirichlet("ebc", 0.0)
     t0 = time.perf_counter()
     sol = prob2.solve_local(tol=1e-5, max_iter=618)
+    float(np.sum(sol.u))
     t_solve = time.perf_counter() - t0
     print(json.dumps({
         "metric": "solve_local_3d_wallclock_s",
