@@ -45,11 +45,15 @@ def main():
           f"nodes={disc.n_nodes}", flush=True)
 
     rng = np.random.RandomState(0)
-    b_np = rng.standard_normal((E, n)).astype(np.float32)
+    # upload ONCE; per-run salting happens on device (a 57 MB host
+    # upload per run through the tunnel would dominate the differencing)
+    b0_dev = jnp.where(free, jnp.asarray(
+        rng.standard_normal((E, n)).astype(np.float32)), 0.0)
+    float(jnp.sum(b0_dev))
     w = ex._weights_as(np.float32)
 
     def run(iters, salt):
-        b = jnp.where(free, jnp.asarray(b_np * (1.0 + salt)), 0.0)
+        b = b0_dev * jnp.float32(1.0 + salt)
         res = cg(A, b, M=M, tol=0.0, max_iter=iters, dot_weight=w,
                  block=iters)
         # scalar host pull that data-depends on the result:
@@ -58,19 +62,23 @@ def main():
         float(jnp.sum(res.x))
         return res
 
-    run(10, 1e-7)                          # compile both block sizes
-    run(20, 2e-7)
-    t0 = time.perf_counter()
-    run(100, 3e-7)
-    t100 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(200, 4e-7)
-    t200 = time.perf_counter() - t0
-    ms_iter = (t200 - t100) / 100 * 1e3
+    run(10, 1e-7)                          # compile
+    run(100, 9e-7)
+    run(200, 8e-7)
+    run(400, 7e-7)
+    ts = {}
+    for iters, salt in ((100, 3e-7), (200, 4e-7), (400, 5e-7)):
+        t0 = time.perf_counter()
+        run(iters, salt)
+        ts[iters] = time.perf_counter() - t0
+    ms_iter = (ts[400] - ts[200]) / 200 * 1e3
+    ms_iter_lo = (ts[200] - ts[100]) / 100 * 1e3
     print(json.dumps({
         "metric": "cg3d_ms_per_iter_salted",
         "value": round(ms_iter, 3),
-        "t100_s": round(t100, 3), "t200_s": round(t200, 3),
+        "alt_200_100": round(ms_iter_lo, 3),
+        "t100_s": round(ts[100], 3), "t200_s": round(ts[200], 3),
+        "t400_s": round(ts[400], 3),
     }), flush=True)
 
     # the production entry (fresh problem to avoid cache crosstalk)
