@@ -22,6 +22,9 @@ import time
 t0 = time.perf_counter()
 import numpy as np
 
+from spectralelementmethod_tpu.config import enable_x64
+
+enable_x64()
 from spectralelementmethod_tpu.mesh import annulus_mesh
 from spectralelementmethod_tpu.models import squirmer as sqm
 
