@@ -131,3 +131,28 @@ class TestChecks:
         with checks.nan_debug_mode():
             assert jax.config.jax_debug_nans
         assert jax.config.jax_debug_nans == before
+
+
+class TestCompilationCache:
+    def test_enable_compilation_cache(self, tmp_path, monkeypatch):
+        import jax
+
+        from spectralelementmethod_tpu import config as cfg
+
+        monkeypatch.setattr(cfg, "_CACHE_ENABLED", False)
+        d = str(tmp_path / "xla_cache")
+        out = cfg.enable_compilation_cache(d)
+        assert out == d
+        import os
+
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        # idempotent: second call keeps the configured dir
+        assert cfg.enable_compilation_cache("/elsewhere") == d
+
+    def test_opt_out(self, tmp_path, monkeypatch):
+        from spectralelementmethod_tpu import config as cfg
+
+        monkeypatch.setattr(cfg, "_CACHE_ENABLED", False)
+        monkeypatch.setenv("SEM_TPU_CACHE_DIR", "off")
+        assert cfg.enable_compilation_cache(str(tmp_path)) is None
