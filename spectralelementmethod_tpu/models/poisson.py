@@ -719,15 +719,15 @@ class Poisson(BoundaryConditionMixin):
                     self._op_cache[akey] = bool(exact_aff)
                 from ..solver.cg import hbm_residency_regime
 
-                # affine meshes: engage the batched kernels at HBM scale
-                # (round-2n: 1M k=2 split-m8 5.55 vs single 6.66) and at
-                # ANY scale for k >= 4 — the round-3b sweep measured the
-                # batched x far-split x defer_x=8 composition winning
-                # per RHS at 100k (k4: 0.494 vs same-run single 0.65;
-                # k8: 0.534; k16: 0.680 — k=4 is the sweet spot)
+                # affine meshes: engage the batched kernels for every
+                # batch — the round-3b sweep measured the batched x
+                # defer_x=8 composition winning per RHS at 100k from
+                # k=2 up (k2: 0.523 vs same-run single 0.626; k4 split:
+                # 0.494 — the sweet spot; k8: 0.534; k16: 0.680), and
+                # round-2n measured the 1M k=2 win (5.55 vs 6.66)
                 use = (not exact_aff
                        or hbm_residency_regime(ex.E, disc.n_loc)
-                       or k >= 4)
+                       or k >= 2)
             cg_kernel = "fused" if use else "plain"
         if cg_kernel != "plain":
             if not (transposed and precond == "jacobi"

@@ -1263,12 +1263,10 @@ def auto_defer_x_batched(E: int, n_loc: int, k: int,
     :func:`auto_defer_x`), the k-stacked kernels win with m=8 already at
     100k: removing the k-RHS x window relieves exactly the VMEM pressure
     that shrinks their lane tiles (round-3b measured per-RHS ms/iter at
-    100k p=8: k4 split 0.494 m8 vs 0.784 m0; k8 0.534 vs 0.810; k16
-    0.680 vs 0.916; and at 1M k2: 5.55 vs 8.74).  Engage m=8 for k >= 4
-    at any scale and for any k in the HBM-residency regime; k < 4 at
-    VMEM scale keeps m=0 (unmeasured, and the single-RHS evidence says
-    deferral costs there)."""
-    if k >= 4 or hbm_residency_regime(E, n_loc, itemsize):
+    100k p=8: k2 0.523 m8 vs 0.694 m0; k4 split 0.494 vs 0.784; k8
+    0.534 vs 0.810; k16 0.680 vs 0.916; and at 1M k2: 5.55 vs 8.74).
+    Engage m=8 for every batched solve (k >= 2)."""
+    if k >= 2 or hbm_residency_regime(E, n_loc, itemsize):
         return 8
     return 0
 

@@ -312,8 +312,9 @@ class TestProceduralMaskFit:
 
 BATCHED_DEFER_TABLE = [
     # (E, n_loc, k, expected m) — round-3b sweep: batched deferral wins
-    # at 100k for k >= 4 (k4 split 0.494 m8 vs 0.784 m0), at 1M for all k
-    (101_376, 81, 2, 0),
+    # at 100k from k=2 up (k2 0.523 m8 vs 0.694 m0; k4 split 0.494 vs
+    # 0.784) and at 1M (k2: 5.55 vs 8.74)
+    (101_376, 81, 2, 8),
     (101_376, 81, 4, 8),
     (101_376, 81, 8, 8),
     (1_007_616, 81, 2, 8),
