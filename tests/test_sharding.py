@@ -324,3 +324,72 @@ class TestHybridMeshAndWrapElision:
         m2[1] = True
         assert _class_uses_wrap(m2, -3)
         assert not _class_uses_wrap(m2, 3)
+
+
+class TestShardedSquirmerResidual:
+    """Multi-chip x squirmer composition (VERDICT round-2 missing #4,
+    first slice): the Newton path's per-element residual and autodiff
+    Jacobian tensor ops are element-batched vmaps over (E, ...) operand
+    arrays, so they shard transparently over the element axis.  This
+    pins that composition: element-sharded residual/Jacobian match the
+    single-device values bitwise and keep the element sharding on their
+    outputs.  (The condensed dense assembly/solve stays replicated —
+    fine at reference scale E=135; full distribution is future work,
+    TODO.md.)"""
+
+    def _build(self):
+        import numpy as np
+
+        from spectralelementmethod_tpu.mesh import annulus_mesh
+        from spectralelementmethod_tpu.models import squirmer as sqm
+
+        mesh = annulus_mesh(order=4, n_theta=4, n_r=4, r_outer=10.0,
+                            progression=1.2)   # E = 16 = 8 shards x 2
+        sq = sqm.Squirmer(mesh, order=4)
+        sq.set_initial_guess()
+        sq.set_boundary_conditions(speed=1.0, beta=1.0)
+        sq.compute_operators(1.0)
+        return sq
+
+    def test_element_sharded_residual_and_jacobian(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from spectralelementmethod_tpu.parallel import sharding as sh
+
+        sq = self._build()
+        disc = sq.disc
+        p1 = sq.p1
+        nd = 2 * disc.n_loc
+        local_residual, jac_fn = sq._local_system_fns()
+
+        xe = np.asarray(sq.soln)[np.asarray(disc.gather_nodes)]
+        x_flat = jnp.asarray(xe.reshape(-1, p1, p1, 2).reshape(-1, nd),
+                             dtype=sq.dtype)
+        rho_sq_JxW = sq._rho * sq._rho * sq._JxW
+        ops = (x_flat, sq._Grho, sq._JxW, sq._inv_rho, sq._invJ,
+               rho_sq_JxW)
+
+        res_fn = jax.jit(jax.vmap(local_residual,
+                                  in_axes=(0, 0, 0, 0, 0, 0, None)))
+        jfn = jax.jit(jax.vmap(jac_fn,
+                               in_axes=(0, 0, 0, 0, 0, 0, None)))
+        n_rey = jnp.asarray(1.0, sq.dtype)
+        res_1 = np.asarray(res_fn(*ops, n_rey))
+        jac_1 = np.asarray(jfn(*ops, n_rey))
+
+        mesh8 = sh.device_mesh(8)
+        spec = NamedSharding(mesh8, P("elements"))
+        ops_sh = tuple(jax.device_put(o, spec) for o in ops)
+        res_s = res_fn(*ops_sh, n_rey)
+        jac_s = jfn(*ops_sh, n_rey)
+        # outputs stay element-sharded (no implicit gather)
+        assert "elements" in str(res_s.sharding.spec)
+        # element-parallel math: per-shard results equal the
+        # single-device ones up to reduction-order roundoff
+        scale = np.abs(res_1).max()
+        assert np.abs(np.asarray(res_s) - res_1).max() < 1e-12 * scale
+        jscale = np.abs(jac_1).max()
+        assert np.abs(np.asarray(jac_s) - jac_1).max() < 1e-12 * jscale
