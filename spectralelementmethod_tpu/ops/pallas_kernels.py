@@ -865,11 +865,11 @@ def affine_tile_window(n: int, n_rhs: int) -> int:
 
     Resident per-lane f32 rows: the stacked u window (k*n), the output
     center (k*n), per-RHS transients (V 3n + S n, sequential so counted
-    once), the affine window (3) and masks.  Sized to ~11.5 MB of the
+    once), the affine window (3) and masks.  Sized to ~11 MB of the
     16 MB scoped-vmem stack, floored to the 128-lane tiler granularity.
     """
     rows = (2 * n_rhs + 5) * n
-    win = int(11.5e6 / (4 * rows)) // 128 * 128
+    win = int(11.0e6 / (4 * rows)) // 128 * 128
     return max(win, 384)
 
 
@@ -1166,11 +1166,13 @@ def general_tile_window(n: int, n_rhs: int) -> int:
 
     Resident per-lane f32 rows: the u window (k*n) + factor window (3n)
     + output center (k*n) + per-RHS transients (grads 2n, flux 2n, S n).
-    Sized to ~11.5 MB of the 16 MB scoped-vmem stack, floored to the
-    128-lane granularity the tiler needs.
+    Sized to ~11 MB of the 16 MB scoped-vmem stack, floored to the
+    128-lane granularity the tiler needs (11.5 MB left the k=4 general
+    kernel 5% over the stack at the 100k padding — measured compile
+    OOM, round 3).
     """
     rows = (2 * n_rhs + 8) * n
-    win = int(11.5e6 / (4 * rows)) // 128 * 128
+    win = int(11.0e6 / (4 * rows)) // 128 * 128
     return max(win, 384)
 
 
