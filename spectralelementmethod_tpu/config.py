@@ -54,8 +54,10 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     XLA compiles, BASELINE.md round-2i); the persistent cache replays
     them from disk on every later process.  ``path`` defaults to
     ``$SEM_TPU_CACHE_DIR`` or ``~/.cache/spectralelementmethod_tpu/xla``.
-    Thresholds are zeroed so even small executables cache (the squirmer
-    pipeline compiles many medium-size kernels, not one giant one).
+    The size threshold is removed and the compile-time threshold lowered
+    to 0.5 s: every executable worth a disk round-trip caches (the
+    squirmer pipeline compiles many medium-size kernels, not one giant
+    one); sub-0.5 s compiles are cheaper to redo than to persist.
 
     Set ``SEM_TPU_CACHE_DIR=off`` to disable.  Returns the cache dir
     (None when disabled).

@@ -348,16 +348,33 @@ def _face_geometry_3d(
     n_dS = np.cross(tau0, tau1, axis=1)
     dS = np.linalg.norm(n_dS, axis=1)
 
+    # shared face-quadrature weight vector: outer(w_t0, w_t1) in the
+    # face's (t0, t1) order.  The batch guard above only checks node
+    # COUNT, so on anisotropic grids two faces can have equal-size but
+    # axis-transposed in-plane rules — verify every face in the batch
+    # produces the same weight vector rather than silently applying
+    # faces[0]'s ordering to all (ADVICE round-3).
+    def _face_weights(f):
+        t0, t1 = FACE_AXES_3D[int(f)]
+        sb0, sb1 = basis.subbases[t0], basis.subbases[t1]
+        if hasattr(sb0, "quad_rule") and hasattr(sb1, "quad_rule"):
+            return np.outer(sb0.quad_rule.weights,
+                            sb1.quad_rule.weights).ravel()
+        return None
+
+    weights = _face_weights(faces[0]) if k else _face_weights(1)
     if k:
-        t0, t1 = FACE_AXES_3D[int(faces[0])]
-    else:
-        t0, t1 = 1, 2
-    sb0, sb1 = basis.subbases[t0], basis.subbases[t1]
-    if hasattr(sb0, "quad_rule") and hasattr(sb1, "quad_rule"):
-        weights = np.outer(sb0.quad_rule.weights,
-                           sb1.quad_rule.weights).ravel()
-    else:
-        weights = None
+        for f in np.unique(faces[1:]):
+            wf = _face_weights(f)
+            same = (weights is None and wf is None) or (
+                weights is not None and wf is not None
+                and weights.shape == wf.shape
+                and np.array_equal(weights, wf))
+            if not same:
+                raise NotImplementedError(
+                    "faces with different in-plane quadrature rules in "
+                    "one FaceGeometry batch"
+                )
 
     return FaceGeometry(cells, faces, local_ind, x, tau0, n_dS, dS,
                         weights, tangent2=tau1)

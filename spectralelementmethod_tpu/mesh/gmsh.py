@@ -88,9 +88,7 @@ def _hex_recursive_order(M: int):
     if M > 2:
         m = M - 2
         # interior positions of a face in its own 2D recursive order
-        sp2 = spiral_to_lex_permutation((m, m))
-        order2d = np.stack(
-            np.unravel_index(np.argsort(sp2, axis=None), (m, m)), axis=1)
+        order2d = _quad_recursive_order(m, m)
         for q in _HEX_FACES:
             du = (c[q[1]] - c[q[0]]) // L
             dv = (c[q[3]] - c[q[0]]) // L
@@ -101,14 +99,49 @@ def _hex_recursive_order(M: int):
     return out
 
 
+# gmsh quad canonical topology, one dimension down from the hex tables:
+# corner lattice positions at (u, v) in {0, L}^2 in CCW order, edge list
+# (each traversed from its first corner to its second)
+_QUAD_CORNERS = [(0, 0), (1, 0), (1, 1), (0, 1)]
+_QUAD_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0)]
+
+
+def _quad_recursive_order(M: int, N: int):
+    """(M, N) lattice positions in gmsh recursive quad node order.
+
+    Same construction as :func:`_hex_recursive_order` one dimension
+    down: 4 corners, 4 edge interiors traversed corner->corner CCW,
+    then the interior by recursion.  Degenerate slabs left by the
+    recursion (a single row or column — odd orders) come out in gmsh
+    line order: endpoints first, then the interior ascending.
+    """
+    if M < 1 or N < 1:
+        return []
+    if M == 1 and N == 1:
+        return [(0, 0)]
+    if M == 1:
+        return [(0, 0), (0, N - 1)] + [(0, t) for t in range(1, N - 1)]
+    if N == 1:
+        return [(0, 0), (M - 1, 0)] + [(t, 0) for t in range(1, M - 1)]
+    c = np.asarray(_QUAD_CORNERS) * np.asarray((M - 1, N - 1))
+    out = [tuple(p) for p in c]
+    for a, b in _QUAD_EDGES:
+        span = int(np.abs(c[b] - c[a]).max())
+        d = (c[b] - c[a]) // span
+        out.extend(tuple(c[a] + d * t) for t in range(1, span))
+    return out + [(i + 1, j + 1)
+                  for i, j in _quad_recursive_order(M - 2, N - 2)]
+
+
 def spiral_to_lex_permutation(shape) -> np.ndarray:
     """idxmap with ``lex_grid = spiral_list[idxmap]``.
 
     Gmsh orders a cell's nodes vertices-first, then edges counter-clockwise,
     recursing into the interior; this builds the permutation mapping that
-    ordering to the lexicographic grid.  Convention parity:
-    ``sem/grid_importers.py:273-333`` (including the odd-centerline special
-    cases).
+    ordering to the lexicographic grid, by inverting the recursive
+    position lists of :func:`_quad_recursive_order` /
+    :func:`_hex_recursive_order`.  Output parity (the ordering is pinned
+    by the gmsh format): ``sem/grid_importers.py:273-333``.
     """
     if len(shape) == 0:
         return np.zeros((), dtype=np.int64)
@@ -128,40 +161,9 @@ def spiral_to_lex_permutation(shape) -> np.ndarray:
     else:
         raise NotImplementedError("only 1D/2D/3D cells supported")
 
-    idxmap = np.zeros((M, N), dtype=np.int64)
-    k = 0
-    ring = 0
-    while ring < min(M, N) // 2:
-        r = ring
-        # vertices of this ring: (r,r), (-r-1,r), (-r-1,-r-1), (r,-r-1)
-        corners = ([r, -r - 1, -r - 1, r], [r, r, -r - 1, -r - 1])
-        idxmap[corners] = np.arange(k, k + 4)
-        k += 4
-        p_ns = M - 2 * (r + 1)
-        idxmap[r + 1:-r - 1, r] = np.arange(k, k + p_ns)      # south, +u
-        k += p_ns
-        p_ew = N - 2 * (r + 1)
-        idxmap[-r - 1, r + 1:-r - 1] = np.arange(k, k + p_ew)  # east, +v
-        k += p_ew
-        idxmap[r + 1:-r - 1, -r - 1] = np.arange(k + p_ns - 1, k - 1, -1)
-        k += p_ns                                              # north, -u
-        idxmap[r, r + 1:-r - 1] = np.arange(k + p_ew - 1, k - 1, -1)
-        k += p_ew                                              # west, -v
-        ring += 1
-
-    r = ring
-    if (M % 2 or N % 2) and (min(M, N) != 2):
-        if M > N:       # horizontal line of leftover center nodes
-            idxmap[[r, -r - 1], [r, r]] = np.arange(k, k + 2)
-            k += 2
-            idxmap[r + 1:-r - 1, r] = np.arange(k, M * N)
-        elif M < N:     # vertical line of leftover center nodes
-            idxmap[[r, r], [r, -r - 1]] = np.arange(k, k + 2)
-            k += 2
-            idxmap[r, r + 1:-r - 1] = np.arange(k, M * N)
-        else:           # single center node
-            idxmap[r, r] = M * N - 1
-
+    idxmap = np.empty((M, N), dtype=np.int64)
+    for t, (i, j) in enumerate(_quad_recursive_order(M, N)):
+        idxmap[i, j] = t
     return idxmap.reshape(shape)
 
 

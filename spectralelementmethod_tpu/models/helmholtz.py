@@ -62,6 +62,12 @@ class Helmholtz(BoundaryConditionMixin):
             else _as_callable(reaction))
         cvals = self._coeff_fn(rho, zz)
         kvals = _as_callable(reaction)(rho, zz)
+        #: (E, *shape) diffusivity at the GLL nodes, or None when c == 1:
+        #: boundary_flux (BoundaryConditionMixin) multiplies the gradient
+        #: by this so the reported flux is of (c grad u), not grad u
+        self._coeff_vals = (
+            None if (not callable(coefficient) and float(coefficient) == 1.0)
+            else np.broadcast_to(cvals, disc.detJxW.shape))
         G = disc.laplacian_factors(np.broadcast_to(cvals, disc.detJxW.shape))
         #: mass-weighted reaction: k * detJxW at the GLL nodes (diagonal
         #: collocated mass, reference Me convention squirmer:253-254)

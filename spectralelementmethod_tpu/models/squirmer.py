@@ -105,6 +105,15 @@ class SphereWithSlipVel:
         "shell"), e.g. :func:`...mesh.generators.annulus_mesh`.
     order : int
         GLL basis order (reference uses 8, ``squirmer:91``).
+
+    Notes
+    -----
+    Construction enables the persistent XLA compilation cache as a side
+    effect (global JAX config + writes under ``~/.cache/`` or
+    ``$SEM_TPU_CACHE_DIR``) — cold-start compiles dominate first-run UX
+    (100.7 s -> 16.5 s measured, BASELINE.md round-3d).  Set
+    ``SEM_TPU_CACHE_DIR=off`` to opt out; see
+    :func:`..config.enable_compilation_cache`.
     """
 
     DPN = 2  # dofs per node: (psi, omega)

@@ -185,3 +185,24 @@ class TestSolveLocalBatch:
         F = np.stack([np.ones(disc.n_nodes), 3.0 * np.ones(disc.n_nodes)])
         sol = prob.solve_local_batch(F, tol=1e-11)
         np.testing.assert_allclose(sol.u[1], 3 * sol.u[0], atol=1e-9)
+
+
+class TestBoundaryFluxCoefficient:
+    def test_flux_includes_coefficient(self):
+        """Helmholtz.boundary_flux must report the flux of (c grad u),
+        not grad u (ADVICE round-3: Helmholtz.__init__ didn't set
+        _coeff_vals, so a non-unit coefficient was silently dropped)."""
+        mesh = rectangle_mesh(3, 3, 3, x0=(0, 0), x1=(1, 1),
+                              boundary_names={"west": "b", "east": "b",
+                                              "south": "b", "north": "b"})
+        disc = Discretization(mesh, gll_basis_2d(3))
+        prob = Helmholtz(disc, coefficient=3.0, reaction=1.0)
+        x = disc.global_gll_coords()
+        u = x[0] ** 2 * x[1] + x[1] ** 3      # div(3 grad u) = 3(2y + 6y)
+        flux = prob.boundary_flux(u, "b")
+        np.testing.assert_allclose(flux, 12.0, rtol=1e-11)
+
+    def test_unit_coefficient_skips_scaling(self):
+        disc = all_dirichlet_rect(3, 3, 3)
+        prob = Helmholtz(disc, coefficient=1.0)
+        assert prob._coeff_vals is None
