@@ -283,7 +283,8 @@ def sharded_local_poisson_problem_3d(problem, mesh=None,
 
 def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
                                   backend: str = "xla",
-                                  comm: str = "propagation"):
+                                  comm: str = "propagation",
+                                  precond="jacobi"):
     """Element-sharded **L-vector** CG setup — the production multi-chip path.
 
     Unlike :func:`sharded_poisson_problem` (replicated global vector +
@@ -309,6 +310,18 @@ def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
     ppermute halo exchange (:func:`.halo.make_sharded_fused_operator`) —
     the single-chip production kernel at multi-chip scale (f32 affine
     meshes; interpret-mode off TPU).
+
+    ``precond`` selects the preconditioner built for the sharded system:
+    ``"jacobi"`` (point Jacobi), ``"pmg"`` (the two-level p-multigrid
+    V-cycle of :func:`..solver.pmg.make_pmg_preconditioner`, composed
+    with the sharded operator — transposed comms only: its transfers are
+    per-element matmuls that shard trivially, its coarse DSS rides the
+    same collective-permutes via XLA propagation, and the tiny exact
+    coarse solve is replicated), or a dict ``{"pmg": {...}}`` to tune
+    the V-cycle.  With ``"pmg"`` the CG iteration count is h-independent
+    — a true converging solve at scale, matching the role of the
+    reference's always-converging direct solve
+    (``/root/reference/sem/discrete.py:502-528``).
 
     Returns ``(A, r, M, u_dL, exchange, jmesh)``; solve with
     ``cg(A, r, M=M, dot=exchange.dot)`` and recover the global solution via
@@ -401,5 +414,32 @@ def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
         A_raw = sumfac.make_local_laplacian_operator(
             ex, Gf_d, Dhat, None, backend=backend)
     r = jnp.where(free_d, bL_d - A_raw(u_dL_d), 0.0)
-    M = jacobi_preconditioner(diag_d, free_d)
+    if precond == "pmg" or isinstance(precond, dict):
+        if not transposed:
+            raise ValueError("precond='pmg' requires a transposed comm "
+                             "('shardmap'/'shardmap-fused')")
+        from ..solver.pmg import make_pmg_preconditioner
+
+        pmg_kw = dict(precond.get("pmg", {})) if isinstance(
+            precond, dict) else {}
+        pmg_kw.setdefault("p_coarse", 1)
+        pmg_kw.setdefault("cycle_dtype", np.dtype(dtype))
+        M_pmg = make_pmg_preconditioner(
+            disc, ex, Gf[:E], A, ~problem._dirichlet_mask,
+            np.asarray(problem.operator_diagonal()),
+            dtype=np.dtype(dtype), coarse_pad_to=Ep, **pmg_kw)
+
+        # pad columns of the V-cycle output can be nonzero (the factory
+        # derives its masks from gathered global nodes, which alias node
+        # 0 on pad rows) — zero them so every CG vector keeps the
+        # sharded path's pads-are-inert invariant
+        def M(r):
+            return jnp.where(free_d, M_pmg(r), 0.0)
+
+        M._coarse_kind = M_pmg._coarse_kind
+        M._levels = M_pmg._levels
+    elif precond == "jacobi":
+        M = jacobi_preconditioner(diag_d, free_d)
+    else:
+        raise ValueError(f"unknown precond {precond!r}")
     return A, r, M, u_dL_d, ex, mesh

@@ -582,7 +582,8 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
                             dtype=np.float32,
                             cycle_dtype=None,
                             coeff_fn=None,
-                            reaction_fn=None):
+                            reaction_fn=None,
+                            coarse_pad_to=None):
     """Symmetric two-level p-MG V-cycle preconditioner on 'ne' L-vectors.
 
     Parameters
@@ -629,6 +630,13 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
         collocated coarse mass term ``k detJxW`` to the coarse operator
         and its diagonal, and the matching fine term to the V-cycle's
         internal fine apply.
+    coarse_pad_to : optional padded coarse element count.  Sharded
+        callers pass the fine exchange's (shard-divisible) padded E so
+        the transfers are pure per-element matmuls with no cross-shard
+        slice/pad reshaping — padding is inert (zero dot weights,
+        pad-inert DSS), so the V-cycle shards by XLA propagation with
+        the coarse halo exchange riding the same collective-permutes as
+        the fine level (VERDICT round-3 item 2).
 
     Returns ``M`` with introspection attributes ``M._coarse_kind``
     (``"fdm"``/``"chebyshev"``) and ``M._levels``.
@@ -654,7 +662,7 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
     mesh_c = mesh_with_order(disc.mesh, p_coarse)
     basis_c = gll_basis_2d(p_coarse)
     disc_c = Discretization(mesh_c, basis_c)
-    ex_c = make_exchange(disc_c)
+    ex_c = make_exchange(disc_c, pad_to=coarse_pad_to)
     if ex_c.E_real != ex_f.E_real:
         raise AssertionError("fine/coarse exchanges disagree on E_real")
     Er, Ef, Ec = ex_f.E_real, ex_f.E, ex_c.E
@@ -738,17 +746,28 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
     free_f_np = np.asarray(free_global, bool)[ex_f.gather_hier]
     free_f = jnp.asarray(np.ascontiguousarray(free_f_np.T))
 
-    def restrict(r):
-        loc = P_d.T @ (w_f * r)[:, :Er]
-        if Ec > Er:
-            loc = jnp.pad(loc, ((0, 0), (0, Ec - Er)))
-        return jnp.where(free_c, ex_c.dss_T(loc), 0.0)
+    if Ec == Ef:
+        # matched paddings (sharded callers): pure per-element matmuls —
+        # no slice/pad, so each transfer shards trivially over elements.
+        # Padding columns stay zero throughout: w_f is zero there, DSS
+        # is pad-inert, and the coarse operators carry zero pad factors.
+        def restrict(r):
+            return jnp.where(free_c, ex_c.dss_T(P_d.T @ (w_f * r)), 0.0)
 
-    def prolong(ec):
-        ef = P_d @ ec[:, :Er]
-        if Ef > Er:
-            ef = jnp.pad(ef, ((0, 0), (0, Ef - Er)))
-        return jnp.where(free_f, ef, 0.0)
+        def prolong(ec):
+            return jnp.where(free_f, P_d @ ec, 0.0)
+    else:
+        def restrict(r):
+            loc = P_d.T @ (w_f * r)[:, :Er]
+            if Ec > Er:
+                loc = jnp.pad(loc, ((0, 0), (0, Ec - Er)))
+            return jnp.where(free_c, ex_c.dss_T(loc), 0.0)
+
+        def prolong(ec):
+            ef = P_d @ ec[:, :Er]
+            if Ef > Er:
+                ef = jnp.pad(ef, ((0, 0), (0, Ef - Er)))
+            return jnp.where(free_f, ef, 0.0)
 
     # ---- internal fine apply (cycle dtype) -----------------------------------
     # the V-cycle's own fine operator: same math as A_f, arithmetic in

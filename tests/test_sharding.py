@@ -393,3 +393,70 @@ class TestShardedSquirmerResidual:
         assert np.abs(np.asarray(res_s) - res_1).max() < 1e-12 * scale
         jscale = np.abs(jac_1).max()
         assert np.abs(np.asarray(jac_s) - jac_1).max() < 1e-12 * jscale
+
+
+class TestShardedPmg:
+    """p-multigrid composed with the sharded operator (VERDICT round-3
+    item 2): the config-5 solve role is the reference's always-converging
+    direct solve (/root/reference/sem/discrete.py:502-528) — at scale
+    that means an h-independent preconditioner under sharding, not
+    Jacobi throughput."""
+
+    def _solve(self, nx, ny, p, tol=1e-12):
+        mesh = rectangle_mesh(nx, ny, p)
+        disc = Discretization(mesh, gll_basis_2d(p))
+        prob = Poisson(disc, dtype=np.float64)
+        prob.set_dirichlet("ebc", lambda x, y: 0.2 * ((x + 1) + (y + 1)))
+        jmesh = sh.device_mesh(8)
+        A, r, M, u_dL, ex, _ = sh.sharded_local_poisson_problem(
+            prob, jmesh, comm="shardmap", precond="pmg")
+        w = ex._weights_as(np.float64, transposed=True)
+        res = cg(A, r, M=M, tol=tol, max_iter=400, dot_weight=w, block=25)
+        u = ex.global_from_local_T(np.asarray(u_dL + res.x))
+        return prob, A, r, M, u_dL, ex, w, res, u
+
+    def test_matches_single_device_1e10(self):
+        prob, A, r, M, u_dL, ex, w, res, u_sh = self._solve(12, 10, 4)
+        assert bool(res.converged)
+        # identical math single-device: unsharded XLA operator, same M
+        from spectralelementmethod_tpu.ops import sumfac
+
+        disc = prob.disc
+        Gf = np.zeros((ex.E, 3, disc.n_loc))
+        Gf[:disc.E] = prob._G_host.reshape(disc.E, 3, -1)
+        Dhat = sumfac.make_stacked_derivative(
+            np.asarray(prob._D0), np.asarray(prob._D1))
+        free = ((~prob._dirichlet_mask)[ex.gather_hier])
+        free[disc.E:] = False
+        A1 = sumfac.make_local_laplacian_operator(
+            ex, Gf, Dhat, jnp.asarray(np.ascontiguousarray(free.T)),
+            vector_layout="ne", backend="xla")
+        res1 = cg(A1, r, M=M, tol=1e-12, max_iter=400, dot_weight=w,
+                  block=25)
+        u1 = ex.global_from_local_T(np.asarray(u_dL + res1.x))
+        agree = float(np.abs(u_sh - u1).max() / np.abs(u1).max())
+        assert agree < 1e-10, agree
+
+    def test_h_independent_iterations(self):
+        *_, res_s, _ = self._solve(12, 10, 4)
+        *_, res_l, _ = self._solve(24, 20, 4)
+        its_s, its_l = int(res_s.iterations), int(res_l.iterations)
+        # 4x the elements: pmg iteration counts must not grow like the
+        # Jacobi count (~2x per refinement); allow a small drift
+        assert its_l <= its_s + 5, (its_s, its_l)
+        assert its_l <= 40, its_l
+
+    def test_exact_coarse_engages_on_tensor_mesh(self):
+        *_, M, _, _, _, _, _ = self._solve(12, 10, 4)
+        assert M._coarse_kind == "fdm"
+        assert M._levels == (4, 1)
+
+    def test_pmg_requires_transposed_comm(self):
+        mesh = rectangle_mesh(5, 3, 4)
+        disc = Discretization(mesh, gll_basis_2d(4))
+        prob = Poisson(disc, dtype=np.float64)
+        prob.set_dirichlet("ebc", 0.0)
+        with pytest.raises(ValueError, match="transposed"):
+            sh.sharded_local_poisson_problem(
+                prob, sh.device_mesh(8), comm="propagation",
+                precond="pmg")
