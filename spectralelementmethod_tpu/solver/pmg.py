@@ -291,6 +291,120 @@ class GridFDM:
         return obj
 
 
+class GridFDM2DLattice:
+    """Order-independent exact tensor-grid coarse solve (2D).
+
+    :class:`GridFDM` infers the tensor element numbering ``e = i*ny + j``
+    from adjacency — which any host partitioner (panel, Morton, RCM)
+    destroys even though the underlying mesh is still a perfect tensor
+    grid.  This variant maps through the **global node lattice** the way
+    :class:`GridFDM3D` does: coordinates of the coarse nodes are sorted
+    into per-axis value lists; if they fill a full lattice, each L-vector
+    slot gets a grid position (``grid_of_slot``) and the solve is a
+    scatter-set / two dense eigen-transform matmuls / gather — no element
+    ordering assumed.  Operates on transposed ``(n_c, Ec)`` L-vectors
+    (the 2D pmg layout).  This is what lets the config-5 pipeline
+    (imported mesh, panel-partitioned, sharded) keep h-independent
+    iteration counts.
+    """
+
+    def __init__(self, grid_of_slot, dims, free_iv, Sx, Sy, lam, Er, E):
+        self.dims = dims
+        (self.fx0, self.fx1), (self.fy0, self.fy1) = free_iv
+        self.Er, self.E = Er, E
+        self._gos = jnp.asarray(grid_of_slot)            # (Er, n_c) int
+        # float64 masters; cast per call to the vector dtype
+        self.Sx = jnp.asarray(np.asarray(Sx, np.float64))
+        self.Sy = jnp.asarray(np.asarray(Sy, np.float64))
+        self._inv_lam = jnp.asarray(1.0 / np.asarray(lam, np.float64))
+
+    def __call__(self, rc):
+        N0, N1 = self.dims
+        flat = jnp.zeros(N0 * N1, rc.dtype).at[
+            self._gos.reshape(-1)].set(
+            rc[:, :self.Er].T.reshape(-1))
+        G = flat.reshape(N0, N1)
+        Gf = G[self.fx0:self.fx1, self.fy0:self.fy1]
+        Sx = self.Sx.astype(rc.dtype)
+        Sy = self.Sy.astype(rc.dtype)
+        t = (Sx.T @ Gf @ Sy) * self._inv_lam.astype(rc.dtype)
+        Uf = Sx @ t @ Sy.T
+        U = jnp.zeros_like(G).at[
+            self.fx0:self.fx1, self.fy0:self.fy1].set(Uf)
+        out = U.reshape(-1)[self._gos].T                 # (n_c, Er)
+        if self.E > self.Er:
+            out = jnp.pad(out, ((0, 0), (0, self.E - self.Er)))
+        return out
+
+    @classmethod
+    def try_build(cls, ex_c, disc_c, basis_c, a, free_c_np):
+        """Lattice coarse solve for (ex_c, coarse basis), or None.
+
+        ``a``: (>=Er, 3) affine factors of the FINE level (coarse reuse);
+        ``free_c_np``: (Ec, n_c) free mask in the coarse local order.
+        """
+        Er = ex_c.E_real
+        a = np.asarray(a)[:Er]
+        scale = np.abs(a).max() + 1e-300
+        if (np.abs(a - a[0]).max() > 1e-10 * scale
+                or np.abs(a[0, 1]) > 1e-10 * scale):
+            return None                      # non-uniform or sheared
+        a0, a2 = float(a[0, 0]), float(a[0, 2])
+        p0 = basis_c.coeff_shape[0] - 1
+        p1 = basis_c.coeff_shape[1] - 1
+
+        gix = np.asarray(ex_c.gather_hier[:Er])          # (Er, n_c)
+        used = np.unique(gix.reshape(-1))
+        xy = np.asarray(disc_c.mesh.nodes)[:, used]      # (2, Nu)
+        axes_vals, axis_idx = [], []
+        span = np.abs(xy).max() + 1.0
+        for d in range(2):
+            v = np.round(xy[d] / span * 1e12)
+            vals = np.unique(v)
+            axes_vals.append(vals)
+            axis_idx.append(np.searchsorted(vals, v))
+        dims = tuple(len(v) for v in axes_vals)
+        if int(np.prod(dims)) != used.size:
+            return None                      # not a full lattice
+        grid_flat_of_used = axis_idx[0] * dims[1] + axis_idx[1]
+        if np.unique(grid_flat_of_used).size != used.size:
+            return None
+        lut = np.full(used.max() + 1, -1, dtype=np.int64)
+        lut[used] = grid_flat_of_used
+        grid_of_slot = lut[gix]
+        if (grid_of_slot < 0).any():
+            return None
+        n_el = []
+        for Nd, pc in zip(dims, (p0, p1)):
+            if (Nd - 1) % pc:
+                return None
+            n_el.append((Nd - 1) // pc)
+
+        # free mask must be an outer product of contiguous intervals
+        fflat = np.zeros(int(np.prod(dims)), bool)
+        fflat[grid_of_slot.reshape(-1)] = free_c_np[:Er].reshape(-1)
+        fgrid = fflat.reshape(dims)
+        ivs = GridFDM._side_interval(fgrid)
+        if ivs is None:
+            return None
+
+        out = []
+        for d, (i0, i1) in zip(range(2), ivs):
+            sub = basis_c.get_subbasis(d)
+            w1 = np.asarray(basis_c.quad_rule.weights[d], np.float64)
+            D1 = np.asarray(sub.D1, np.float64)
+            khat = D1.T @ np.diag(w1) @ D1
+            K, m = GridFDM._assemble_1d(0.5 * (khat + khat.T), w1,
+                                        n_el[d])
+            K, m = K[i0:i1, i0:i1], m[i0:i1]
+            ms = 1.0 / np.sqrt(m)
+            lam, Q = np.linalg.eigh(ms[:, None] * K * ms[None, :])
+            out.append((np.maximum(lam, 1e-300), ms[:, None] * Q))
+        (lamx, Sx), (lamy, Sy) = out
+        lam = a0 * lamx[:, None] + a2 * lamy[None, :]
+        return cls(grid_of_slot, dims, ivs, Sx, Sy, lam, Er, ex_c.E)
+
+
 class GridFDM3D:
     """Exact tensor-grid coarse solve for 3D box meshes.
 
@@ -814,6 +928,11 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
     if coarse in ("auto", "fdm") and exact and reaction_fn is None:
         grid = GridFDM.try_build(ex_c, basis_c, a,
                                  np.asarray(free_c_np), ex_c.hier)
+        if grid is None:
+            # partitioned element orders (panel/Morton/RCM) break the
+            # tensor-numbering inference but not the node lattice
+            grid = GridFDM2DLattice.try_build(
+                ex_c, disc_c, basis_c, a, np.asarray(free_c_np))
     if grid is None and coarse == "fdm":
         raise ValueError(
             "coarse='fdm' needs a uniform affine tensor-product mesh "

@@ -351,3 +351,52 @@ class TestHelmholtzPMG:
         scale = np.abs(sol_j.u).max()
         assert np.abs(sol_m.u - sol_j.u).max() / scale < 1e-5
         assert int(sol_m.cg.iterations) < int(sol_j.cg.iterations)
+
+
+class TestLatticeCoarse:
+    """Order-independent exact coarse solve (GridFDM2DLattice): host
+    partitioners (panel/Morton) scramble the element numbering GridFDM
+    infers from, but not the node lattice — the exact coarse solve must
+    survive reordering (it is what keeps config-5 h-independent)."""
+
+    def _reordered_problem(self, order, nx=12, ny=10, p=4):
+        from spectralelementmethod_tpu.parallel import partition as pt
+
+        mesh = rectangle_mesh(nx, ny, p)
+        if order == "panel":
+            perm = pt.panel_order(n_fast=ny, n_slow=nx, panel=5)
+        else:
+            perm = pt.morton_order(mesh.centroids)
+        mesh = pt.reorder_elements(mesh, perm)
+        disc = Discretization(mesh, gll_basis_2d(p))
+        prob = Poisson(disc, forcing=lambda x, y: np.sin(np.pi * x)
+                       * np.cos(np.pi * y), dtype=np.float32)
+        prob.set_dirichlet("ebc", 0.0)
+        return prob
+
+    @pytest.mark.parametrize("order", ["panel", "morton"])
+    def test_reordered_mesh_keeps_exact_coarse(self, order):
+        prob = self._reordered_problem(order)
+        ex, Gf, A, free, free_np = _pieces(prob)
+        M = make_pmg_preconditioner(
+            prob.disc, ex, Gf, A, ~prob._dirichlet_mask,
+            np.asarray(prob.operator_diagonal()))
+        assert M._coarse_kind == "fdm"
+
+    def test_lattice_solution_matches_tensor_grid(self):
+        """Same mesh, natural vs panel order: both exact-coarse pmg
+        solves reach the same solution."""
+        prob_nat = _problem(nx=12, ny=10, p=4, all_dirichlet=False)
+        sol_nat = prob_nat.solve_local(tol=1e-6, precond="pmg",
+                                       vector_layout="ne")
+        prob_pan = self._reordered_problem("panel")
+        sol_pan = prob_pan.solve_local(tol=1e-6, precond="pmg",
+                                       vector_layout="ne")
+        assert bool(sol_pan.cg.converged)
+        # compare on global node values (orders differ element-wise,
+        # global node ids are shared)
+        scale = np.abs(sol_nat.u).max()
+        assert np.abs(sol_pan.u - sol_nat.u).max() / scale < 1e-4
+        # iteration counts in the same exact-coarse class
+        assert abs(int(sol_pan.cg.iterations)
+                   - int(sol_nat.cg.iterations)) <= 6
