@@ -35,6 +35,15 @@ def _progress(msg: str) -> None:
 _T0 = time.perf_counter()
 
 
+def _stage_breakdown():
+    """Host setup-stage seconds (utils.stages), largest first."""
+    from spectralelementmethod_tpu.utils.stages import snapshot
+
+    snap = snapshot()
+    return {k: round(v, 2) for k, v in
+            sorted(snap.items(), key=lambda kv: -kv[1])}
+
+
 def build_element_data(E_target: int, p: int, dtype):
     """Structured-grid element data (gather map + geometric factors) built
     vectorized, so setup doesn't dominate the benchmark at 100k elements."""
@@ -228,6 +237,7 @@ def main_3d(args, dtype):
             "device": str(jax.devices()[0]),
             "exchange": type(ex).__name__,
             "setup_s": round(t_setup, 2),
+            "setup_breakdown": _stage_breakdown(),
             "timing_reliable": timing_reliable,
         },
     }
@@ -883,6 +893,7 @@ def main():
             "defer_x": args.defer_x,
             "precond": args.precond,
             "setup_s": round(t_setup, 2),
+            "setup_breakdown": _stage_breakdown(),
             "timing_reliable": timing_reliable,
             "baseline": "serial per-element numpy einsum apply "
                         f"(reference style), {n_sample}-element sample",

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..basis.tensor import TensorProductQS
 from ..mesh.mesh import Mesh
+from ..utils.stages import stage
 from . import mapping as mp
 
 
@@ -83,9 +84,10 @@ class Discretization:
         # mapping coefficients -> Jacobians); see mp.batched_geometry_2d
         geom_fn = (mp.batched_geometry_2d if mesh.ndim == 2
                    else mp.batched_geometry_3d)
-        self.x_coeffs, self.J, self.detJ, self.invJ = (
-            geom_fn(self.map_basis, mesh.nodes, node_maps)
-        )
+        with stage("disc/geometry"):
+            self.x_coeffs, self.J, self.detJ, self.invJ = (
+                geom_fn(self.map_basis, mesh.nodes, node_maps)
+            )
         if not np.all(self.detJ > 0):
             bad = np.argwhere(~(self.detJ > 0))
             raise ValueError(

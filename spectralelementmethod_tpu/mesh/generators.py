@@ -28,6 +28,22 @@ from .geometry import Quadrilateral
 from .mesh import Mesh
 
 
+import functools
+
+from ..utils.stages import stage as _stage
+
+
+def _staged(name):
+    """Account a mesh generator's host wall-clock under utils.stages."""
+    def wrap(fn):
+        @functools.wraps(fn)
+        def inner(*a, **kw):
+            with _stage(name):
+                return fn(*a, **kw)
+        return inner
+    return wrap
+
+
 def _patch_param_1d(corner_values: np.ndarray, order: int) -> np.ndarray:
     """Global 1D parameter line: cells between consecutive corner values,
     ``order+1`` equispaced nodes per cell, shared endpoints."""
@@ -41,6 +57,7 @@ def _patch_param_1d(corner_values: np.ndarray, order: int) -> np.ndarray:
     return u
 
 
+@_staged("mesh/generate")
 def structured_patch_mesh(
     u_corners,
     v_corners,
@@ -395,6 +412,7 @@ def polyline_curve(points, fractions=None):
     return c
 
 
+@_staged("mesh/generate")
 def multi_patch_mesh(patches, order: int, region: str = "interior",
                      tol: float = 1e-9) -> Mesh:
     """Stitch structured patches into one conforming mesh.
@@ -544,6 +562,7 @@ def tube_mesh(order: int, blt: float = 0.75, r_head: float = 32.0,
     return mesh
 
 
+@_staged("mesh/generate")
 def box_mesh(
     nx: int,
     ny: int,

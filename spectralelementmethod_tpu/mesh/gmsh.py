@@ -180,7 +180,7 @@ def lex_to_spiral_permutation(shape) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def load_msh(file_path: str, ndim: int = 2) -> Mesh:
+def _load_msh_impl(file_path: str, ndim: int = 2) -> Mesh:
     """Load a Gmsh ``.msh`` file — format 2.2 or 4.1, binary or ASCII.
 
     Physical names of dimension ``ndim`` become mesh regions; lower-dim
@@ -945,3 +945,12 @@ def save_msh41(mesh: Mesh, file_path: str) -> None:
             tag += len(elems)
             f.write(raw.tobytes())
         f.write(b"\n$EndElements\n")
+
+
+def load_msh(file_path: str, ndim: int = 2) -> Mesh:
+    """Stage-accounted Gmsh import (see :func:`_load_msh_impl`; mesh
+    import is a tracked setup-time sink, utils.stages "mesh/import")."""
+    from ..utils.stages import stage
+
+    with stage("mesh/import"):
+        return _load_msh_impl(file_path, ndim)

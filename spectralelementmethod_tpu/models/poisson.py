@@ -172,7 +172,10 @@ class Poisson(BoundaryConditionMixin):
         self.disc = disc
         self.dtype = dtype
 
-        xg = disc.global_gll_coords()  # (2, n_nodes) GLL node positions
+        from ..utils.stages import stage
+
+        with stage("model/coords"):
+            xg = disc.global_gll_coords()  # (2, n_nodes) GLL positions
         self.x_nodes = xg
 
         ndim = disc.mesh.ndim
@@ -184,14 +187,16 @@ class Poisson(BoundaryConditionMixin):
             self._coeff_fn = cfun   # pmg coarse rediscretization
             coeff = cfun(*coords)
         self._coeff_vals = coeff  # (E, *shape) or None; boundary_flux
-        G = disc.laplacian_factors(coeff)
+        with stage("model/factors"):
+            G = disc.laplacian_factors(coeff)
 
         # host copies only; device copies are LAZY properties (_gix, _G,
         # _detJxW).  The production L-vector path never touches the
         # global-vector device operands, and uploading ~160 MB of unused
         # factors through a remote-TPU tunnel can stall setup for minutes
         # (measured ~1.5 MB/s effective under tunnel congestion).
-        self._G_host = np.asarray(G, dtype=dtype)
+        with stage("model/factors"):
+            self._G_host = np.asarray(G, dtype=dtype)
         self._D0 = jnp.asarray(disc.basis.subbases[0].D1, dtype=dtype)
         self._D1 = jnp.asarray(disc.basis.subbases[1].D1, dtype=dtype)
         if ndim == 3:
@@ -202,8 +207,9 @@ class Poisson(BoundaryConditionMixin):
         # weak forcing: ∫ f phi = scatter(f * detJxW) at collocated GLL
         # quadrature (examples/poisson.py:200 "fe = JxW" for f=1);
         # host numpy — jnp consumers upload on use
-        self._b = disc.scatter_add(
-            np.asarray(f_gll * disc.detJxW)).astype(dtype)
+        with stage("model/forcing"):
+            self._b = disc.scatter_add(
+                np.asarray(f_gll * disc.detJxW)).astype(dtype)
 
         self._dirichlet_mask = np.zeros(disc.n_nodes, dtype=bool)
         self._dirichlet_vals = np.zeros(disc.n_nodes)
@@ -258,17 +264,20 @@ class Poisson(BoundaryConditionMixin):
         """
         d = getattr(self, "_diag_host", None)
         if d is None:
-            if self.disc.mesh.ndim == 3:
-                de = sumfac.laplacian_diag_local_host_3d(
-                    self._G_host, np.asarray(self._D0),
-                    np.asarray(self._D1), np.asarray(self._D2))
-            else:
-                de = sumfac.laplacian_diag_local_host(
-                    self._G_host, np.asarray(self._D0),
-                    np.asarray(self._D1))
-            d = np.zeros(self.disc.n_nodes, dtype=de.dtype)
-            np.add.at(d, self.disc.gather_nodes.ravel(), de.ravel())
-            self._diag_host = d.astype(self.dtype)
+            from ..utils.stages import stage as _st
+
+            with _st("model/diagonal"):
+                if self.disc.mesh.ndim == 3:
+                    de = sumfac.laplacian_diag_local_host_3d(
+                        self._G_host, np.asarray(self._D0),
+                        np.asarray(self._D1), np.asarray(self._D2))
+                else:
+                    de = sumfac.laplacian_diag_local_host(
+                        self._G_host, np.asarray(self._D0),
+                        np.asarray(self._D1))
+                d = np.zeros(self.disc.n_nodes, dtype=de.dtype)
+                np.add.at(d, self.disc.gather_nodes.ravel(), de.ravel())
+                self._diag_host = d.astype(self.dtype)
         return self._diag_host
 
     # -- solve -------------------------------------------------------------------

@@ -834,7 +834,7 @@ class BoxRollExchange3D(PairScatterExchange):
         return u.reshape(v.shape)
 
 
-def make_exchange(disc, threshold: float = 0.25,
+def _make_exchange_impl(disc, threshold: float = 0.25,
                   pad_to: int | None = None,
                   layout: str = "edges-first",
                   fused_pad: bool = False,
@@ -916,3 +916,13 @@ def make_exchange(disc, threshold: float = 0.25,
             if not (ex3.n_edge_tail or ex3.n_vert_tail):
                 ex = ex3
     return ex
+
+
+def make_exchange(disc, **kw):
+    """Stage-accounted wrapper of the exchange factory (see
+    :func:`_make_exchange_impl` for the selection rules; host exchange
+    construction is a top setup-time sink tracked by utils.stages)."""
+    from ..utils.stages import stage
+
+    with stage("exchange/build"):
+        return _make_exchange_impl(disc, **kw)

@@ -42,6 +42,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.stages import stage as _host_stage
+
+
+def _staged_factory(fn):
+    """Account a preconditioner factory's host+compile wall-clock
+    (utils.stages "precond/pmg-build") — a tracked setup-time sink."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(*a, **kw):
+        with _host_stage("precond/pmg-build"):
+            return fn(*a, **kw)
+    return inner
+
 
 # ---------------------------------------------------------------------------
 # Chebyshev acceleration of an SPD preconditioner
@@ -560,6 +574,7 @@ class GridFDM3D:
         return cls(grid_of_slot, dims, ivs, S_axes, lam3, Er, ex_c.E)
 
 
+@_staged_factory
 def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
                                *,
                                p_coarse: int = 2,
@@ -684,6 +699,7 @@ def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
 # The preconditioner factory
 
 
+@_staged_factory
 def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
                             *,
                             p_coarse: int = 1,
