@@ -215,6 +215,31 @@ def main_3d(args, dtype):
     sol = prob.solve_local(tol=cg_tol, precond=args.precond)
     t_cg = time.perf_counter() - t0
 
+    # 3D converged-solve headline (VERDICT round-3 item 6): solve TO
+    # TOLERANCE with the two-level p-MG V-cycle (unified entry point,
+    # GridFDM3D exact tensor-lattice coarse solve on box meshes) and
+    # record wall-clock next to the jacobi throughput arm.
+    solve_extra = {}
+    if args.precond == "jacobi" and not args.smoke:
+        try:
+            tol_s = 1e-6
+            _progress("3D pmg solve warmup (compile + precond build)")
+            sol_p = prob.solve_local(tol=tol_s, precond="pmg")
+            _progress("3D pmg solve timing")
+            t0 = time.perf_counter()
+            sol_p = prob.solve_local(tol=tol_s, precond="pmg")
+            t_solve = time.perf_counter() - t0
+            solve_extra = {
+                "cg_solve_to_tol_s": round(t_solve, 3),
+                "cg_solve_to_tol": tol_s,
+                "cg_solve_to_tol_iters": int(sol_p.cg.iterations),
+                "cg_solve_to_tol_converged": bool(sol_p.cg.converged),
+                "cg_solve_to_tol_resnorm": float(sol_p.cg.residual_norm),
+                "cg_solve_to_tol_precond": "pmg",
+            }
+        except Exception as e:               # noqa: BLE001
+            _progress(f"3D converged-solve arm skipped: {e}")
+
     result = {
         "metric": f"element_apply_gflops_3d_p{p}_{E}el",
         "value": round(gflops, 2),
@@ -237,6 +262,7 @@ def main_3d(args, dtype):
             "device": str(jax.devices()[0]),
             "exchange": type(ex).__name__,
             "setup_s": round(t_setup, 2),
+            **solve_extra,
             "setup_breakdown": _stage_breakdown(),
             "timing_reliable": timing_reliable,
         },

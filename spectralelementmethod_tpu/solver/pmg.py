@@ -702,7 +702,7 @@ def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
 @_staged_factory
 def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
                             *,
-                            p_coarse: int = 1,
+                            p_coarse: int | None = None,
                             smoother: str = "jacobi",
                             degree: int = 3,
                             alpha: float = 4.0,
@@ -734,6 +734,8 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
     free_global : (n_nodes,) bool — global non-Dirichlet mask.
     diag_global : (n_nodes,) fine assembled operator diagonal.
     p_coarse : coarse polynomial order (must divide the fine order).
+        None = dimension-appropriate measured default (1 in 2D —
+        BASELINE.md round-4a sweep; 2 in 3D).
     smoother : "jacobi" (Chebyshev-accelerated point Jacobi) or "fdm"
         (Chebyshev-accelerated FDM additive Schwarz, :mod:`.fdm` —
         stronger on intra-element modes, ~2 extra matmuls per apply).
@@ -778,8 +780,25 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
     from ..ops.exchange import make_exchange
     from .cg import jacobi_preconditioner
 
+    if disc.mesh.ndim == 3:
+        # unified entry (VERDICT round-3 item 6): dispatch to the 3D
+        # factory — it rediscretizes the coarse level itself, so Gf and
+        # the 2D-only knobs don't apply
+        if smoother != "jacobi":
+            raise NotImplementedError("3D pmg smoother is jacobi-Chebyshev")
+        if coeff_fn is not None or reaction_fn is not None:
+            raise NotImplementedError(
+                "3D pmg: coefficient/reaction coarse terms TODO")
+        return make_pmg_preconditioner_3d(
+            disc, ex_f, A_f, free_global, diag_global,
+            p_coarse=2 if p_coarse is None else p_coarse,
+            degree=degree, alpha=alpha, coarse=coarse,
+            coarse_degree=coarse_degree, coarse_interval=coarse_interval,
+            dtype=dtype)
     if disc.mesh.ndim != 2:
-        raise NotImplementedError("pmg: 2D only (3D coarse path TODO)")
+        raise NotImplementedError("pmg supports 2D and 3D meshes")
+    if p_coarse is None:
+        p_coarse = 1
     out_dtype = np.dtype(dtype)
     cyc = np.dtype(cycle_dtype) if cycle_dtype is not None else np.dtype(
         np.float32)

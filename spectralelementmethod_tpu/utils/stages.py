@@ -19,15 +19,24 @@ from contextlib import contextmanager
 
 _STAGES: dict[str, float] = {}
 _COUNTS: dict[str, int] = {}
+_ACTIVE: set[str] = set()
 
 
 @contextmanager
 def stage(name: str):
-    """Accumulate the wall-clock of the enclosed block under ``name``."""
+    """Accumulate the wall-clock of the enclosed block under ``name``.
+
+    Reentrant-safe: a stage nested inside itself (e.g. the unified pmg
+    factory dispatching to the 3D factory) accumulates only once."""
+    if name in _ACTIVE:
+        yield
+        return
+    _ACTIVE.add(name)
     t0 = time.perf_counter()
     try:
         yield
     finally:
+        _ACTIVE.discard(name)
         dt = time.perf_counter() - t0
         _STAGES[name] = _STAGES.get(name, 0.0) + dt
         _COUNTS[name] = _COUNTS.get(name, 0) + 1
