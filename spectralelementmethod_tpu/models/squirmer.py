@@ -200,6 +200,50 @@ class SphereWithSlipVel:
         self._step_fn = None  # compiled Newton step
         self._solve_dev_fn = None  # compiled whole-Newton device loop
 
+    def shard_elements(self, device_mesh, axis: str = "elements") -> None:
+        """Element-shard the Newton pipeline over a JAX device mesh.
+
+        The sharded-squirmer composition (VERDICT round-3 item 4): every
+        per-element operand of the Newton step — geometry fields, the
+        rho-weighted Laplacian factors, ``detJxW`` — is placed with its
+        leading element axis sharded over ``device_mesh``.  The
+        residual/Jacobian vmaps and the per-element Schur condensation
+        (``condensation.schur_factor``'s batched inverses) then run
+        element-parallel under XLA sharding propagation; the condensed
+        ``(n_ext_dofs)^2`` assembly and dense solve replicate — at the
+        reference's E=135 scale the condensed system is tiny, so a
+        replicated direct solve is the right distribution (the
+        element-local work is where the FLOPs are).  An uneven element
+        count (135 over 8 shards) is padded by edge repetition — the
+        padded rows compute on copies of element 0 and are sliced off
+        before condensation.
+
+        Call once after construction (before the first ``solve``); the
+        compiled step is invalidated so it rebuilds against the sharded
+        operands.  Reference role: the serial per-element Newton
+        assembly loop, ``examples/squirmer-axisymmetric.py:389-457``.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(device_mesh, P(axis))
+        n_sh = int(device_mesh.devices.size)
+        E = self.disc.E
+        Ep = -(-E // n_sh) * n_sh
+        for name in ("_rho", "_z", "_inv_rho", "_JxW", "_invJ", "_Grho"):
+            arr = getattr(self, name)
+            if Ep > E:
+                # explicit shardings must be even: pad by edge repetition
+                # (element 0's valid geometry — no NaN); vmap outputs are
+                # sliced back to E before condensation (_elem_gather)
+                arr = jnp.concatenate(
+                    [arr, jnp.repeat(arr[:1], Ep - E, axis=0)])
+            setattr(self, name, jax.device_put(arr, s))
+        self._elem_sharding = s
+        # compiled pipelines captured the old (unsharded) operands as
+        # hoisted constants — force rebuilds
+        self._step_fn = None
+        self._solve_dev_fn = None
+
     # -- reference-parity views --------------------------------------------
 
     @property
@@ -354,6 +398,20 @@ class SphereWithSlipVel:
 
     # -- residual / Jacobian --------------------------------------------------
 
+    def _elem_gather(self):
+        """(gather, E) for the element vmaps, padded when sharded.
+
+        ``shard_elements`` pads the element operands to a shard-divisible
+        count by edge repetition (explicit shardings cannot be uneven);
+        the matching gather map repeats element 0 and callers slice the
+        vmap outputs back to the real count before condensation."""
+        g = self.disc.gather_nodes
+        Ep = int(self._Grho.shape[0])
+        if Ep > g.shape[0]:
+            g = np.concatenate(
+                [g, np.repeat(g[:1], Ep - g.shape[0], axis=0)])
+        return jnp.asarray(g), Ep
+
     def _local_system_fns(self):
         """(local_residual, jac_fn) for one element (autodiff Jacobian)."""
         p1 = self.p1
@@ -406,7 +464,8 @@ class SphereWithSlipVel:
         rho = self._rho
         rho_sq_JxW = rho * rho * self._JxW  # Me diagonal (squirmer:253-254)
         local_residual, jac_fn = self._local_system_fns()
-        gather = jnp.asarray(disc.gather_nodes)
+        gather, _E_pad = self._elem_gather()
+        E_real = disc.E
         ldof_perm = self._ldof_perm
         csys = self.csys
 
@@ -423,6 +482,7 @@ class SphereWithSlipVel:
                 x_flat, self._Grho, self._JxW, self._inv_rho, self._invJ,
                 rho_sq_JxW, n_rey,
             )
+            res, jac = res[:E_real], jac[:E_real]   # drop sharding pad
 
             # lex-interleaved -> hierarchical-interleaved
             lrhs = -res[:, ldof_perm]
@@ -473,7 +533,8 @@ class SphereWithSlipVel:
         rho = self._rho
         rho_sq_JxW = rho * rho * self._JxW
         local_residual, jac_fn = self._local_system_fns()
-        gather = jnp.asarray(disc.gather_nodes)
+        gather, _E_pad = self._elem_gather()
+        E_real = disc.E
         ldof_perm = self._ldof_perm
         csys = self.csys
         n_dofs = disc.n_nodes * 2
@@ -502,6 +563,7 @@ class SphereWithSlipVel:
                            in_axes=(0, 0, 0, 0, 0, 0, None))(x_flat, *args)
             jac = jax.vmap(jac_fn,
                            in_axes=(0, 0, 0, 0, 0, 0, None))(x_flat, *args)
+            res, jac = res[:E_real], jac[:E_real]   # drop sharding pad
             lrhs = -res[:, ldof_perm]
             lmat = jac[:, ldof_perm][:, :, ldof_perm]
             # non-finite entries live only on constrained axis rows/cols

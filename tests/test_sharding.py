@@ -460,3 +460,27 @@ class TestShardedPmg:
             sh.sharded_local_poisson_problem(
                 prob, sh.device_mesh(8), comm="propagation",
                 precond="pmg")
+
+
+class TestShardedSquirmerEndToEnd:
+    """Full sharded Newton -> secant composition (VERDICT round-3 item
+    4): element-shard the whole Newton iteration over the 8-device
+    virtual mesh — sharded residual/Jacobian + per-element Schur
+    condensation, replicated condensed dense solve — and reproduce the
+    reference's golden swimming speed.  Reference role: the serial
+    per-element Newton loop, examples/squirmer-axisymmetric.py:389-457."""
+
+    def test_golden_speed_on_virtual_mesh(self):
+        from spectralelementmethod_tpu.mesh import annulus_mesh
+        from spectralelementmethod_tpu.models import squirmer as sqm
+
+        mesh = annulus_mesh(order=8, n_theta=9, n_r=15, r_outer=100.0,
+                            progression=1.35, node_placement="gmsh")
+        sq = sqm.Squirmer(mesh, order=8)
+        sq.shard_elements(sh.device_mesh(8))
+        # element operands really are sharded (uneven 135 over 8)
+        assert "elements" in str(sq._Grho.sharding.spec)
+        sq.set_initial_guess()
+        speed = sq.calc_speed([0.99, 1.01], n_rey=1.0, beta=1.0,
+                              verbose=False)
+        assert abs(speed - 0.92571156681483957) < 2e-6

@@ -15,6 +15,12 @@ seconds through a remote tunnel.
 import jax
 import pytest
 
+from spectralelementmethod_tpu.config import enable_compilation_cache
+
+# ~40 kernel-variant compiles per full run at tens of seconds each
+# through the tunnel — persist them across invocations
+enable_compilation_cache()
+
 
 def pytest_configure(config):
     # the repo-level addopts run the CPU suite under two xdist workers
