@@ -389,7 +389,12 @@ def affine_factorization(Gf, W, rel_tol: float | None = None):
 
     Gf = np.asarray(Gf)
     if rel_tol is None:
-        rel_tol = 100 * np.finfo(Gf.dtype).eps
+        # floor at 1e-12: high-aspect fine meshes (e.g. 80 x 1280 cells)
+        # accumulate ~3x 100*eps of f64 rounding through the fused-GEMM
+        # geometry pipeline while genuinely curved meshes sit at 1e-3+
+        # relative — a 6.7e-14 residual must not silently disable the
+        # whole affine family (it cost config-5 its exact coarse solve)
+        rel_tol = max(100 * np.finfo(Gf.dtype).eps, 1e-12)
     W = np.asarray(W).reshape(-1)
     sumWW = float(W @ W)
     a = Gf @ W / sumWW                       # (E, 3) least-squares scales

@@ -349,10 +349,17 @@ class TestPmgDefaults:
             make_pmg_preconditioner)
 
         sig = inspect.signature(make_pmg_preconditioner)
-        assert sig.parameters["p_coarse"].default == 1
+        # None = dimension-appropriate default; 2D resolves to 1
+        # (behavioral check below in test_bench_does_not_override)
+        assert sig.parameters["p_coarse"].default is None
         assert sig.parameters["smoother"].default == "jacobi"
         assert sig.parameters["degree"].default == 3
         assert sig.parameters["alpha"].default == 4.0
+
+        import re
+        src = inspect.getsource(make_pmg_preconditioner)
+        assert re.search(r"if p_coarse is None:\n        p_coarse = 1",
+                         src), "2D default coarse order must stay 1"
 
     def test_bench_does_not_override_p_coarse(self):
         import re
@@ -360,3 +367,19 @@ class TestPmgDefaults:
         src = open("bench.py").read()
         # no hardcoded coarse-order override anywhere in the bench
         assert not re.search(r"p_coarse\s*=\s*[02-9]", src)
+
+
+class TestAffineToleranceFloor:
+    def test_high_aspect_fine_mesh_stays_affine(self):
+        """80x1280-class aspect ratios accumulate ~3x the old 100*eps
+        threshold of f64 rounding in the geometry GEMMs; the 1e-12
+        floor keeps them (correctly) affine.  Round-4: the old
+        threshold silently knocked config-5 off the exact coarse
+        solve."""
+        mesh = rectangle_mesh(4, 64, 2)      # same 1:16 cell aspect
+        disc = Discretization(mesh, gll_basis_2d(2))
+        prob = Poisson(disc, dtype=np.float64)
+        Gf = prob._G_host.reshape(disc.E, 3, -1)
+        W = disc.basis.weight_grid().reshape(-1)
+        _, exact = sumfac.affine_factorization(Gf, W)
+        assert exact

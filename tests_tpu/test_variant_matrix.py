@@ -75,12 +75,15 @@ def _grid(name, iso, aniso):
 
 
 def _check_apply(fused, A_xla, uT, k, tol):
+    n, E = uT.shape
     if k == 1:
         got = np.asarray(fused(uT))
         expect = np.asarray(A_xla(uT))
     else:
-        U = jnp.stack([uT * (1.0 + 0.25 * j) for j in range(k)])
-        got = np.asarray(fused(U))
+        # multi-RHS kernels take sublane-stacked (k*n, E) inputs
+        U = jnp.concatenate([uT * (1.0 + 0.25 * j) for j in range(k)],
+                            axis=0)
+        got = np.asarray(fused(U)).reshape(k, n, E)
         expect = np.stack([np.asarray(A_xla(uT)) * (1.0 + 0.25 * j)
                            for j in range(k)])
     scale = np.abs(expect).max()
@@ -156,36 +159,67 @@ def test_general_apply_far_split(iso):
 # ---------------------------------------------------------------------------
 
 
-def _check_kA(kA, A_xla, ex, uT, k, defer, tol, p_dtype=None):
-    r = uT if k == 1 else jnp.stack(
-        [uT * (1.0 + 0.25 * j) for j in range(k)])
-    if p_dtype is not None:
-        r = r            # storage conversion happens inside the kernel
-    zeros = jnp.zeros_like(r)
-    inv = jnp.ones_like(uT)        # shared (n, E) across the RHS batch
-    beta = 0.0 if k == 1 else jnp.zeros((k,), jnp.float32)
+def _check_kA(kA, A_xla, ex, uT, defer, tol):
+    """Full-halo single-RHS kernels: beta=0, inv=1 => Ap' = A r."""
+    zeros = jnp.zeros_like(uT)
+    inv = jnp.ones_like(uT)
     if defer:
-        out = kA(r, zeros, inv, beta)
-        p_new, Ap, dparts = out
+        p_new, Ap, dparts = kA(uT, zeros, inv, 0.0)
     else:
-        alpha = 0.0 if k == 1 else jnp.zeros((k,), jnp.float32)
-        p_new, Ap, x_new, dparts = kA(r, zeros, inv, zeros, beta, alpha)
-    if k == 1:
-        expect = np.asarray(A_xla(uT))
-        got = np.asarray(Ap, dtype=np.float32)
-    else:
-        expect = np.stack([np.asarray(A_xla(uT)) * (1.0 + 0.25 * j)
-                           for j in range(k)])
-        got = np.asarray(Ap, dtype=np.float32)
+        p_new, Ap, x_new, dparts = kA(uT, zeros, inv, zeros, 0.0, 0.0)
+    assert not isinstance(Ap, tuple)
+    expect = np.asarray(A_xla(uT))
+    got = np.asarray(Ap, dtype=np.float32)
     scale = np.abs(expect).max()
     assert np.abs(got - expect).max() / scale < tol
-    # denominator partials reduce to the weighted <p, Ap>
-    denom = (float(jnp.sum(dparts)) if k == 1
-             else np.asarray(jnp.sum(dparts, axis=tuple(
-                 range(1, dparts.ndim)))))
+    denom = float(jnp.sum(dparts))
+    expect_d = float(ex.dot_T(uT, jnp.asarray(expect)))
+    assert abs(denom - expect_d) / abs(expect_d) < tol * 10
+
+
+def _solve_oracle(pieces, kA, kB, k, defer, p_dtype, tol=2e-3):
+    """Split/batched kernels use internal far-row contracts the kA
+    oracle cannot see — verify them through a full Poisson solve
+    against the plain-CG solution."""
+    from spectralelementmethod_tpu.solver.cg import (cg_fused,
+                                                     cg_fused_batched)
+
+    ex, Gf, a, Kcat, Dhat, A_aff, _, uT, prob = pieces
+    fnp = (~prob._dirichlet_mask)[ex.gather_hier]
+    freeT = jnp.asarray(np.ascontiguousarray(fnp.T))
+    diagL = jnp.asarray(np.ascontiguousarray(
+        np.asarray(prob.operator_diagonal())[ex.gather_hier]
+        .astype(np.float32).T))
+    aux_dt = jnp.bfloat16 if p_dtype is not None else jnp.float32
+    inv = jnp.where(freeT, 1.0 / jnp.where(diagL != 0, diagL, 1.0),
+                    0.0).astype(aux_dt)
+    w = jnp.asarray(np.asarray(ex.weights.T, dtype=np.float32))
+    w_free = jnp.where(freeT, w, 0.0).astype(aux_dt)
+    b = np.asarray(prob._b) + prob._neumann
+    bL = jnp.asarray(np.ascontiguousarray(
+        b[ex.gather_hier].astype(np.float32).T))
+    r0 = jnp.where(freeT, bL, 0.0)
+    sol_plain = prob.solve_local(tol=1e-6, vector_layout="ne",
+                                 cg_kernel="plain")
+    # tol 1e-5: bf16 direction storage floors the attainable relative
+    # residual near 1e-6 at this size (the production paths re-anchor
+    # via the true-residual restart; this oracle checks kernels, not
+    # the restart)
     if k == 1:
-        expect_d = float(ex.dot_T(uT, jnp.asarray(expect)))
-        assert abs(denom - expect_d) / abs(expect_d) < tol * 10
+        res = cg_fused(kA, kB, r0, inv=inv, w_free=w_free, tol=1e-5,
+                       max_iter=1500, block=750, p_dtype=p_dtype,
+                       defer_x=defer)
+        assert bool(res.converged)
+        u = ex.global_from_local_T(np.asarray(res.x))
+    else:
+        R = jnp.stack([r0 * (1.0 + 0.25 * j) for j in range(k)])
+        res = cg_fused_batched(kA, kB, R, inv=inv, w_free=w_free,
+                               tol=1e-5, max_iter=1500, block=750,
+                               p_dtype=p_dtype, defer_x=defer)
+        assert bool(np.asarray(res.converged).all())
+        u = ex.global_from_local_T(np.asarray(res.x[0]))
+    scale = np.abs(sol_plain.u).max()
+    assert np.abs(u - sol_plain.u).max() / scale < tol
 
 
 @pytest.mark.parametrize("grid", ["iso", "aniso"])
@@ -201,7 +235,9 @@ def test_affine_cg_kernel_matrix(grid, halo, defer, iso, aniso):
                                       defer_x=bool(defer), **kw)
     if halo == "split":
         assert kA._prep.has_far
-    _check_kA(kA, A_aff, ex, uT, 1, bool(defer), 1e-4)
+        _solve_oracle(_grid(grid, iso, aniso), kA, kB, 1, defer, None)
+    else:
+        _check_kA(kA, A_aff, ex, uT, bool(defer), 1e-4)
 
 
 @pytest.mark.parametrize("halo", ["full", "split"])
@@ -215,8 +251,9 @@ def test_affine_cg_kernel_bf16p(halo, defer, iso):
     kA, kB, _ = make_fused_cg_kernels(ex, Kcat, a, precision="high",
                                       p_dtype=jnp.bfloat16,
                                       defer_x=bool(defer), **kw)
-    _check_kA(kA, A_aff, ex, uT, 1, bool(defer), 2e-2,
-              p_dtype=jnp.bfloat16)
+    # solution error ~ tol * kappa: 1e-5 residual on this ~1e3-cond
+    # system puts the solution ~1e-2 from the 1e-6 plain solve
+    _solve_oracle(iso, kA, kB, 1, defer, jnp.bfloat16, tol=3e-2)
 
 
 @pytest.mark.parametrize("k", [2, 4])
@@ -233,7 +270,7 @@ def test_batched_cg_kernel_matrix(k, halo, defer, iso):
         defer_x=bool(defer), **kw)
     if halo == "split":
         assert kA._prep.has_far
-    _check_kA(kA, A_aff, ex, uT, k, bool(defer), 1e-4)
+    _solve_oracle(iso, kA, kB, k, defer, None)
 
 
 @pytest.mark.parametrize("halo", ["full", "split"])
@@ -245,7 +282,7 @@ def test_general_cg_kernel(halo, iso):
     kw = dict(FAR) if halo == "split" else {}
     kA, kB, _ = make_fused_cg_kernels_general(
         ex, Gf, Dhat, precision="high", p_dtype=jnp.bfloat16, **kw)
-    _check_kA(kA, A_gen, ex, uT, 1, False, 2e-2, p_dtype=jnp.bfloat16)
+    _solve_oracle(iso, kA, kB, 1, 0, jnp.bfloat16, tol=3e-2)
 
 
 @pytest.mark.parametrize("defer", [0, 8])
