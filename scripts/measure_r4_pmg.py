@@ -56,7 +56,7 @@ def main():
     prob = Poisson(disc, dtype=dtype)
     prob.set_dirichlet("ebc", lambda x, y: 0.2 * ((x + 1) + (y + 1)))
 
-    D = np.asarray(prob._D0)
+    D = prob._D0_host
     Dhat = sumfac.make_stacked_derivative(D, D)
     Gf = prob._G_host.reshape(disc.E, 3, -1)
 

@@ -48,8 +48,7 @@ def arm_2d(E_target, label):
     ex = make_exchange(disc, fused_pad=True)
     diag = prob.operator_diagonal()
     Gf = prob._G_host.reshape(disc.E, 3, -1)
-    Dhat = sumfac.make_stacked_derivative(
-        np.asarray(prob._D0), np.asarray(prob._D1))
+    Dhat = sumfac.make_stacked_derivative(prob._D0_host, prob._D1_host)
     free_np = (~prob._dirichlet_mask)[ex.gather_hier]
     free = jnp.asarray(np.ascontiguousarray(free_np.T))
     A = sumfac.make_local_laplacian_operator(

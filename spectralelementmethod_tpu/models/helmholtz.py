@@ -71,22 +71,30 @@ class Helmholtz(BoundaryConditionMixin):
         G = disc.laplacian_factors(np.broadcast_to(cvals, disc.detJxW.shape))
         #: mass-weighted reaction: k * detJxW at the GLL nodes (diagonal
         #: collocated mass, reference Me convention squirmer:253-254)
-        self._kM = jnp.asarray(
+        self._kM_host = np.asarray(
             np.broadcast_to(kvals, disc.detJxW.shape) * disc.detJxW,
-            dtype=dtype,
-        )
+            dtype=dtype)
+        self._kM = jnp.asarray(self._kM_host)
 
         self._gix = jnp.asarray(disc.gather_nodes)
-        self._G = jnp.asarray(G, dtype=dtype)
-        self._D0 = jnp.asarray(disc.basis.subbases[0].D1, dtype=dtype)
-        self._D1 = jnp.asarray(disc.basis.subbases[1].D1, dtype=dtype)
+        # host masters + device copies: setup-path consumers (operator
+        # builds, diagonals) read the host arrays — np.asarray on a
+        # device-resident array costs 50-100 s through the remote-TPU
+        # tunnel (round-4 setup roofline)
+        self._G_host = np.asarray(G, dtype=dtype)
+        self._D0_host = np.asarray(disc.basis.subbases[0].D1, dtype=dtype)
+        self._D1_host = np.asarray(disc.basis.subbases[1].D1, dtype=dtype)
+        self._G = jnp.asarray(self._G_host)
+        self._D0 = jnp.asarray(self._D0_host)
+        self._D1 = jnp.asarray(self._D1_host)
 
         f_gll = _as_callable(forcing)(rho, zz)
-        self._b = jnp.asarray(
-            disc.scatter_add(np.broadcast_to(f_gll, disc.detJxW.shape)
-                             * disc.detJxW),
-            dtype=dtype,
-        )
+        # host master (jnp consumers promote on use): solve_local reads
+        # it back on host, and device-resident reads cost minutes
+        # through the tunnel
+        self._b = disc.scatter_add(
+            np.broadcast_to(f_gll, disc.detJxW.shape)
+            * disc.detJxW).astype(dtype)
 
         self._dirichlet_mask = np.zeros(disc.n_nodes, dtype=bool)
         self._dirichlet_vals = np.zeros(disc.n_nodes)
@@ -209,12 +217,11 @@ class Helmholtz(BoundaryConditionMixin):
         A = self._op_cache.get(key)
         if A is None:
             # operator-build-time operands only (cached solves skip them)
-            Gf = np.asarray(self._G, dtype=self.dtype).reshape(
-                disc.E, 3, -1)
+            Gf = self._G_host.reshape(disc.E, 3, -1)
             Dhat = sumfac.make_stacked_derivative(
-                np.asarray(self._D0), np.asarray(self._D1))
+                self._D0_host, self._D1_host)
             kM_np = np.zeros((ex.E, ex.n_loc), dtype=self.dtype)
-            kM_np[:disc.E] = np.asarray(self._kM).reshape(disc.E, -1)[
+            kM_np[:disc.E] = self._kM_host.reshape(disc.E, -1)[
                 :, ex.hier]
             kM_L = jnp.asarray(np.ascontiguousarray(kM_np.T) if transposed
                                else kM_np)

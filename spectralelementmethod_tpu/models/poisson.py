@@ -197,10 +197,17 @@ class Poisson(BoundaryConditionMixin):
         # (measured ~1.5 MB/s effective under tunnel congestion).
         with stage("model/factors"):
             self._G_host = np.asarray(G, dtype=dtype)
-        self._D0 = jnp.asarray(disc.basis.subbases[0].D1, dtype=dtype)
-        self._D1 = jnp.asarray(disc.basis.subbases[1].D1, dtype=dtype)
+        # derivative matrices: HOST masters + lazy device copies (the
+        # _D0 property).  Setup-path consumers must read the host
+        # copies: np.asarray on a device-resident array — even a (9, 9)
+        # one — measured 50-100 s through the remote-TPU tunnel, which
+        # silently dominated operator_diagonal and the bench setup
+        # (round-4 setup roofline).
+        self._D0_host = np.asarray(disc.basis.subbases[0].D1, dtype=dtype)
+        self._D1_host = np.asarray(disc.basis.subbases[1].D1, dtype=dtype)
         if ndim == 3:
-            self._D2 = jnp.asarray(disc.basis.subbases[2].D1, dtype=dtype)
+            self._D2_host = np.asarray(disc.basis.subbases[2].D1,
+                                       dtype=dtype)
 
         ffun = _as_callable(forcing)
         f_gll = ffun(*coords)
@@ -230,6 +237,27 @@ class Poisson(BoundaryConditionMixin):
         d = self.__dict__.get("_G_dev")
         if d is None:
             d = self.__dict__["_G_dev"] = jnp.asarray(self._G_host)
+        return d
+
+    @property
+    def _D0(self):
+        d = self.__dict__.get("_D0_dev")
+        if d is None:
+            d = self.__dict__["_D0_dev"] = jnp.asarray(self._D0_host)
+        return d
+
+    @property
+    def _D1(self):
+        d = self.__dict__.get("_D1_dev")
+        if d is None:
+            d = self.__dict__["_D1_dev"] = jnp.asarray(self._D1_host)
+        return d
+
+    @property
+    def _D2(self):
+        d = self.__dict__.get("_D2_dev")
+        if d is None:
+            d = self.__dict__["_D2_dev"] = jnp.asarray(self._D2_host)
         return d
 
     @property
@@ -269,12 +297,11 @@ class Poisson(BoundaryConditionMixin):
             with _st("model/diagonal"):
                 if self.disc.mesh.ndim == 3:
                     de = sumfac.laplacian_diag_local_host_3d(
-                        self._G_host, np.asarray(self._D0),
-                        np.asarray(self._D1), np.asarray(self._D2))
+                        self._G_host, self._D0_host,
+                        self._D1_host, self._D2_host)
                 else:
                     de = sumfac.laplacian_diag_local_host(
-                        self._G_host, np.asarray(self._D0),
-                        np.asarray(self._D1))
+                        self._G_host, self._D0_host, self._D1_host)
                 d = np.zeros(self.disc.n_nodes, dtype=de.dtype)
                 np.add.at(d, self.disc.gather_nodes.ravel(), de.ravel())
                 self._diag_host = d.astype(self.dtype)
@@ -357,7 +384,7 @@ class Poisson(BoundaryConditionMixin):
 
         Gf = self._G_host.reshape(disc.E, 3, -1)
         Dhat = sumfac.make_stacked_derivative(
-            np.asarray(self._D0), np.asarray(self._D1)
+            self._D0_host, self._D1_host
         )
         free_np = (~self._dirichlet_mask)[ex.gather_hier]
         free_local = jnp.asarray(

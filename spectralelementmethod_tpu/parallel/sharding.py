@@ -351,7 +351,7 @@ def sharded_local_poisson_problem(problem, mesh=None, axis: str = ELEM_AXIS,
     Gf = np.zeros((Ep, 3, n_loc), dtype=dtype)
     Gf[:E] = np.asarray(problem._G, dtype=dtype).reshape(E, 3, -1)
     Dhat = sumfac.make_stacked_derivative(
-        np.asarray(problem._D0), np.asarray(problem._D1)
+        problem._D0_host, problem._D1_host
     )
 
     free = np.zeros((Ep, n_loc), dtype=bool)
