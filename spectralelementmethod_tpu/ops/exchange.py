@@ -407,10 +407,14 @@ class RollExchange(LocalExchange):
                 sel = keys == key
                 mask = np.zeros(E, dtype=bool)
                 mask[d_e[sel]] = True
+                # mask stays HOST numpy: device consumers (dss jit
+                # traces) convert to constants for free, while reading a
+                # device-resident mask back (the fused-kernel preps do)
+                # measured ~12 s per array through the remote tunnel
                 self.edge_classes.append((
                     int(d_f[sel][0]), int(s_f[sel][0]),
                     int(delta[sel][0]), bool(flips[sel][0]),
-                    jnp.asarray(mask),
+                    mask,
                 ))
                 tail[sel] = False
         self.edge_tail_dst = jnp.asarray(dst[tail])
@@ -460,7 +464,7 @@ class RollExchange(LocalExchange):
                 mask[d_e[sel]] = True
                 self.vert_classes.append((
                     int(d_s[sel][0]), int(s_s[sel][0]),
-                    int(delta[sel][0]), jnp.asarray(mask),
+                    int(delta[sel][0]), mask,
                 ))
                 vtail[sel] = False
         self.vert_tail_dst = jnp.asarray(cp[vtail])
