@@ -357,6 +357,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    # persist XLA/Mosaic executables across bench runs (the squirmer's
+    # 6.1x cold-start win, extended to the bench path — VERDICT round-3
+    # item 3); SEM_TPU_CACHE_DIR=off opts out
+    from spectralelementmethod_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.f64 else np.float32

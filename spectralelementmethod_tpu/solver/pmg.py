@@ -166,21 +166,26 @@ class GridFDM:
 
     # -- L-vector <-> grid ---------------------------------------------------
 
-    def _to_grid(self, rc):
-        """Consistent hier L-vector (n_c, Ec) -> grid (N0, N1)."""
+    def _to_grid(self, rc, xp=jnp):
+        """Consistent hier L-vector (n_c, Ec) -> grid (N0, N1).
+
+        ``xp=np`` runs the same index gymnastics in pure numpy —
+        ``try_build`` uses it so the free-mask analysis never round-trips
+        the device (a single d2h read through the remote tunnel measured
+        12-100 s, which dominated the pmg build)."""
         p0, p1, nx, ny = self.p0, self.p1, self.nx, self.ny
         lex = rc[self._lex_rows][:, :self.Er].reshape(
             p0 + 1, p1 + 1, nx, ny)
-        core = jnp.transpose(lex[:p0, :p1], (2, 0, 3, 1)).reshape(
+        core = xp.transpose(lex[:p0, :p1], (2, 0, 3, 1)).reshape(
             nx * p0, ny * p1)
-        east = jnp.transpose(lex[p0, :p1, -1, :], (1, 0)).reshape(
+        east = xp.transpose(lex[p0, :p1, -1, :], (1, 0)).reshape(
             1, ny * p1)
-        north = jnp.transpose(lex[:p0, p1, :, -1], (1, 0)).reshape(
+        north = xp.transpose(lex[:p0, p1, :, -1], (1, 0)).reshape(
             nx * p0, 1)
         ne = lex[p0, p1, -1, -1].reshape(1, 1)
-        return jnp.concatenate([
-            jnp.concatenate([core, north], axis=1),
-            jnp.concatenate([east, ne], axis=1),
+        return xp.concatenate([
+            xp.concatenate([core, north], axis=1),
+            xp.concatenate([east, ne], axis=1),
         ], axis=0)
 
     def _from_grid(self, G):
@@ -277,9 +282,9 @@ class GridFDM:
         lex_rows = inv_hier
         obj._lex_rows = np.asarray(lex_rows)
         obj._hier_rows = np.asarray(hier)
-        fgrid = np.asarray(
-            obj._to_grid(jnp.asarray(
-                np.ascontiguousarray(free_c_np.T.astype(np.float32)))))
+        fgrid = np.asarray(obj._to_grid(
+            np.ascontiguousarray(free_c_np.T.astype(np.float32)),
+            xp=np))
         fgrid = fgrid > 0.5
         ivs = cls._side_interval(fgrid)
         if ivs is None:
