@@ -360,9 +360,11 @@ def main():
     # persist XLA/Mosaic executables across bench runs (the squirmer's
     # 6.1x cold-start win, extended to the bench path — VERDICT round-3
     # item 3); SEM_TPU_CACHE_DIR=off opts out
-    from spectralelementmethod_tpu.config import enable_compilation_cache
+    from spectralelementmethod_tpu.config import (enable_compilation_cache,
+                                                  enable_setup_cache)
 
     enable_compilation_cache()
+    enable_setup_cache()       # geometry-precompute disk cache (round-4)
 
     if args.f64:
         jax.config.update("jax_enable_x64", True)

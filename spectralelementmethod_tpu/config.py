@@ -89,3 +89,43 @@ def host_device_count(n: int = 8) -> None:
     token = f"--xla_force_host_platform_device_count={n}"
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " " + token).strip()
+
+
+_SETUP_CACHE_DIR: str | None = None
+
+
+def enable_setup_cache(path: str | None = None) -> str | None:
+    """Enable the on-disk setup-artifact cache (idempotent).
+
+    One-time host setup (the batched geometry precompute: mapping
+    coefficients, Jacobians, detJ, inverse Jacobians) dominates
+    time-to-solution at scale — 6.8 s at 100k-2D, 22.5 s at 19.7k-3D,
+    minutes at 1M (round-4 setup roofline, BASELINE.md).  This cache
+    persists those arrays keyed by a hash of the mesh bytes + mapping
+    basis, the setup-side twin of the compilation cache (and of the
+    reference's own precomputed ``basis-data.hdf5``,
+    ``sem/basis_data.py:112-129``).  ``path`` defaults to
+    ``$SEM_TPU_SETUP_CACHE_DIR`` or
+    ``~/.cache/spectralelementmethod_tpu/setup``.
+
+    Set ``SEM_TPU_SETUP_CACHE_DIR=off`` to disable.  Returns the cache
+    dir (None when disabled).
+    """
+    global _SETUP_CACHE_DIR
+    env = os.environ.get("SEM_TPU_SETUP_CACHE_DIR", "")
+    if env.lower() == "off":
+        return None
+    if _SETUP_CACHE_DIR is not None:
+        return _SETUP_CACHE_DIR
+    path = path or env or os.path.expanduser(
+        "~/.cache/spectralelementmethod_tpu/setup")
+    os.makedirs(path, exist_ok=True)
+    _SETUP_CACHE_DIR = path
+    return path
+
+
+def setup_cache_dir() -> str | None:
+    """Active setup-cache directory (None = caching disabled)."""
+    if os.environ.get("SEM_TPU_SETUP_CACHE_DIR", "").lower() == "off":
+        return None
+    return _SETUP_CACHE_DIR

@@ -85,22 +85,81 @@ class Discretization:
         geom_fn = (mp.batched_geometry_2d if mesh.ndim == 2
                    else mp.batched_geometry_3d)
         with stage("disc/geometry"):
-            self.x_coeffs, self.J, self.detJ, self.invJ = (
-                geom_fn(self.map_basis, mesh.nodes, node_maps)
-            )
-        if not np.all(self.detJ > 0):
-            bad = np.argwhere(~(self.detJ > 0))
-            raise ValueError(
-                f"non-positive Jacobian determinant in cell(s) "
-                f"{np.unique(bad[:, 0])[:10]} (mapping is tangled or "
-                f"mis-oriented)"
-            )
+            cached = self._load_geometry_cache(mesh, node_maps)
+            if cached is not None:
+                # detJ > 0 was validated when the entry was written
+                self.x_coeffs, self.J, self.detJ, self.invJ = cached
+            else:
+                self.x_coeffs, self.J, self.detJ, self.invJ = (
+                    geom_fn(self.map_basis, mesh.nodes, node_maps)
+                )
+                if not np.all(self.detJ > 0):
+                    bad = np.argwhere(~(self.detJ > 0))
+                    raise ValueError(
+                        f"non-positive Jacobian determinant in cell(s) "
+                        f"{np.unique(bad[:, 0])[:10]} (mapping is "
+                        f"tangled or mis-oriented)"
+                    )
+                self._save_geometry_cache(mesh, node_maps)
         #: (*shape,) quadrature weight grid
         self.W = basis.weight_grid()
         #: (E, *shape) detJ times quadrature weights
         self.detJxW = self.detJ * self.W
 
         self._face_geoms: dict[str, mp.FaceGeometry] = {}
+
+    # -- setup-artifact disk cache -------------------------------------------
+
+    def _geometry_cache_path(self, mesh, node_maps):
+        """npz path keyed by mesh bytes + mapping basis, or None."""
+        from ..config import setup_cache_dir
+
+        cdir = setup_cache_dir()
+        if cdir is None:
+            return None
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(mesh.nodes).tobytes())
+        h.update(np.ascontiguousarray(node_maps).tobytes())
+        for sb in self.map_basis.subbases:
+            h.update(np.ascontiguousarray(
+                np.asarray(sb.nodes, np.float64)).tobytes())
+        import os
+
+        return os.path.join(cdir, f"geom-{h.hexdigest()[:24]}")
+
+    _GEOM_KEYS = ("x_coeffs", "J", "detJ", "invJ")
+
+    def _load_geometry_cache(self, mesh, node_maps):
+        path = self._geometry_cache_path(mesh, node_maps)
+        if path is None:
+            return None
+        import os
+
+        try:
+            # memory-mapped: pages fault in on use, so a warm setup pays
+            # only for the arrays it actually touches
+            return tuple(
+                np.load(os.path.join(path, k + ".npy"), mmap_mode="r")
+                for k in self._GEOM_KEYS)
+        except (OSError, ValueError):
+            return None
+
+    def _save_geometry_cache(self, mesh, node_maps):
+        path = self._geometry_cache_path(mesh, node_maps)
+        if path is None:
+            return
+        import os
+
+        try:
+            tmp = path + ".tmp"               # atomic publish via rename
+            os.makedirs(tmp, exist_ok=True)
+            for k in self._GEOM_KEYS:
+                np.save(os.path.join(tmp, k + ".npy"), getattr(self, k))
+            os.replace(tmp, path)
+        except OSError:
+            pass
 
     # -- sizes ---------------------------------------------------------------
 

@@ -170,3 +170,60 @@ def test_multi_geometry_rejected():
     mesh.add_cell(np.arange(9).reshape(3, 3) + 4, g2, rid)
     with pytest.raises(NotImplementedError):
         Discretization(mesh, gll_basis_2d(1))
+
+
+class TestGeometrySetupCache:
+    """On-disk geometry-precompute cache (round-4 setup roofline): the
+    setup-side twin of the compilation cache, keyed by mesh bytes +
+    mapping basis (reference analogue: the precomputed basis tables,
+    sem/basis_data.py:112-129)."""
+
+    def _with_cache(self, tmp_path, fn):
+        from spectralelementmethod_tpu import config
+
+        old = config._SETUP_CACHE_DIR
+        config._SETUP_CACHE_DIR = str(tmp_path)
+        try:
+            return fn()
+        finally:
+            config._SETUP_CACHE_DIR = old
+
+    def test_round_trip_exact(self, tmp_path):
+        mesh = rectangle_mesh(4, 3, 4)
+
+        def run():
+            d1 = Discretization(mesh, gll_basis_2d(4))
+            d2 = Discretization(mesh, gll_basis_2d(4))
+            for k in ("x_coeffs", "J", "detJ", "invJ"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(d1, k)),
+                    np.asarray(getattr(d2, k)))
+            # the second build is a cache hit (memmap-backed)
+            assert isinstance(d2.detJ, np.memmap)
+            return d2
+
+        d2 = self._with_cache(tmp_path, run)
+        # downstream consumers work off the memmap views
+        assert abs(float(np.sum(d2.detJxW)) - 4.0) < 1e-12
+
+    def test_different_order_misses(self, tmp_path):
+        mesh = rectangle_mesh(3, 3, 4)
+
+        def run():
+            from spectralelementmethod_tpu.mesh import mesh_with_order
+
+            Discretization(mesh, gll_basis_2d(4))
+            d = Discretization(mesh_with_order(mesh, 2), gll_basis_2d(2))
+            assert not isinstance(d.detJ, np.memmap) or \
+                d.detJ.shape[1] == 3
+            return True
+
+        assert self._with_cache(tmp_path, run)
+
+    def test_disabled_by_default(self):
+        from spectralelementmethod_tpu import config
+
+        if config._SETUP_CACHE_DIR is None:
+            mesh = rectangle_mesh(3, 2, 3)
+            d = Discretization(mesh, gll_basis_2d(3))
+            assert not isinstance(d.detJ, np.memmap)
