@@ -92,7 +92,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--one-m", action="store_true")
     ap.add_argument("--skip-3d", action="store_true")
+    ap.add_argument("--cache", action="store_true",
+                    help="enable the persistent compile + setup caches "
+                         "(the production/bench posture); run twice to "
+                         "see cold vs warm")
     args = ap.parse_args()
+    if args.cache:
+        from spectralelementmethod_tpu.config import (
+            enable_compilation_cache, enable_setup_cache)
+
+        enable_compilation_cache()
+        enable_setup_cache()
     arm_2d(99_856, "2D 100k p=8")
     if not args.skip_3d:
         arm_3d()
