@@ -955,11 +955,11 @@ class Poisson(BoundaryConditionMixin):
         cached = self._op_cache.get(("A3d",))
         if cached is None:
             D0, D1, D2 = self._D0, self._D1, self._D2
-            W3 = jnp.asarray(self.disc.basis.weight_grid(),
-                             dtype=self.dtype)
+            W3_np = np.asarray(self.disc.basis.weight_grid())
+            W3 = jnp.asarray(W3_np, dtype=self.dtype)
             a_np, affine = sumfac.affine_factorization(
                 self._G_host.reshape(disc.E, 6, -1),
-                np.asarray(W3).reshape(-1))
+                W3_np.reshape(-1))
             no_cross = bool(
                 np.abs(a_np[:, [1, 2, 4]]).max()
                 <= 1e-12 * (np.abs(a_np).max() + 1e-300))
@@ -975,9 +975,10 @@ class Poisson(BoundaryConditionMixin):
                 # affine pipeline on v5e at p=8)
                 ws = [np.asarray(disc.basis.subbases[d].quad_wts)
                       for d in range(3)]
+                Dh = [self._D0_host, self._D1_host, self._D2_host]
                 Ks = [jnp.asarray(
                     sumfac.assembled_1d_stiffness(
-                        np.asarray([D0, D1, D2][d]), ws[d]),
+                        np.asarray(Dh[d]), ws[d]),
                     dtype=self.dtype) for d in range(3)]
                 wds = [jnp.asarray(w, dtype=self.dtype) for w in ws]
 
@@ -1072,10 +1073,29 @@ class Poisson(BoundaryConditionMixin):
         ex, to_local, free = ctx["ex"], ctx["to_local"], ctx["free"]
         A_raw, A, M = ctx["A_raw"], ctx["A"], ctx["M"]
 
-        b = np.asarray(self._b) + self._neumann
-        u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
-        bL, u_dL = to_local(b), to_local(u_d)
-        r = _masked_residual(A_raw, free, bL, u_dL)
+        # vector uploads are cached across solve calls: at 50M nodes the
+        # (E, n) f32 L-vectors are ~284 MB each, and re-shipping them
+        # through the remote tunnel per call dominated repeat-solve
+        # wall-clock (round-4 3D bench).  The key hashes everything the
+        # residual depends on (BCs + Neumann data; _b is fixed at
+        # construction), so BC mutation invalidates correctly.
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(self._dirichlet_mask.tobytes())
+        h.update(self._dirichlet_vals.tobytes())
+        h.update(np.ascontiguousarray(self._neumann).tobytes())
+        vkey = h.hexdigest()
+        cachedv = self.__dict__.get("_vec3d")
+        if cachedv is not None and cachedv[0] == vkey:
+            u_dL, r = cachedv[1], cachedv[2]
+        else:
+            b = np.asarray(self._b) + self._neumann
+            u_d = np.where(self._dirichlet_mask, self._dirichlet_vals,
+                           0.0)
+            bL, u_dL = to_local(b), to_local(u_d)
+            r = _masked_residual(A_raw, free, bL, u_dL)
+            self.__dict__["_vec3d"] = (vkey, u_dL, r)
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(self.disc.ndof)))
