@@ -852,6 +852,8 @@ def main():
             from spectralelementmethod_tpu.solver.pmg import (
                 make_pmg_preconditioner)
 
+            from spectralelementmethod_tpu.solver.cg import cg_refined
+
             _progress("pmg preconditioner build")
             # factory defaults (p_coarse=1): measured-best, see the
             # --precond pmg branch note
@@ -860,10 +862,15 @@ def main():
                 np.asarray(prob.operator_diagonal()))
             tol_s = 1e-6
 
+            # cg_refined: f32 recursions floor near eps*kappa of the
+            # rhs — at 1M/67M DOFs the single-cycle solve stalled at
+            # ~2e-3 of ||b||; the true-residual re-anchor reaches 1e-6
+            # (healthy solves converge in cycle 1 and pay one extra
+            # apply)
             def run_solve():
-                return cg(A_cg, r_cg, M=M_pmg, tol=tol_s,
-                          max_iter=2000, dot=dot, dot_weight=dw,
-                          block=64)
+                return cg_refined(A_cg, r_cg, M=M_pmg, tol=tol_s,
+                                  max_iter=700, dot=dot, dot_weight=dw,
+                                  block=64, cycles=3)
 
             _progress("pmg solve warmup (compile)")
             rs = run_solve()

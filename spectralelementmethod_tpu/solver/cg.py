@@ -65,6 +65,67 @@ class CGResult(NamedTuple):
     issued: int = 0
 
 
+
+def cg_refined(
+    A: Callable,
+    b: jax.Array,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    dot: Callable | None = None,
+    dot_weight: jax.Array | None = None,
+    block: int = 64,
+    cycles: int = 3,
+) -> CGResult:
+    """PCG with true-residual refinement (iterative-refinement outer loop).
+
+    Single-precision CG recursions floor near ``eps * kappa`` of the
+    CURRENT right-hand side: at 1M elements / 67M DOFs the f32
+    pmg-preconditioned solve stalled at ~2e-3 of ``||b||`` while the
+    requested tolerance was 1e-6 (round-4 bench).  The classical fix —
+    the plain-CG twin of the fused kernels' true-residual restart
+    (``cg_fused``, BASELINE.md round-2h) — re-anchors: after each inner
+    solve the TRUE residual ``b - A x`` is recomputed and a fresh inner
+    CG runs against the remaining error, so each cycle floors relative
+    to an ever-smaller right-hand side.  Healthy solves converge in the
+    first cycle and pay exactly one extra operator apply + norm.
+
+    Stop criterion: ``||b - A x|| <= tol * ||b||`` in the
+    ``dot``-induced norm (absolute via the ``atol`` plumbing of
+    :func:`cg`).  Returns a :class:`CGResult` whose ``iterations`` /
+    ``issued`` accumulate over cycles.
+    """
+    if dot_weight is not None:
+        def _nrm2(v):
+            return float(jnp.sum(dot_weight * v * v).real)
+    elif dot is not None:
+        def _nrm2(v):
+            return float(dot(v, v).real)
+    else:
+        def _nrm2(v):
+            return float(jnp.vdot(v, v).real)
+
+    stop2 = float(tol) ** 2 * _nrm2(b)
+    x = jnp.zeros_like(b)
+    r = b
+    its = issued = 0
+    rn2 = _nrm2(r)
+    for _ in range(max(int(cycles), 1)):
+        if rn2 <= stop2:
+            break
+        res = cg(A, r, M=M, tol=0.0, atol=math.sqrt(stop2),
+                 max_iter=max_iter, dot=dot, dot_weight=dot_weight,
+                 block=block)
+        x = x + res.x
+        its += int(res.iterations)
+        issued += int(res.issued)
+        r = b - A(x)                      # true residual re-anchor
+        rn2 = _nrm2(r)
+    return CGResult(x, its, math.sqrt(max(rn2, 0.0)),
+                    rn2 <= stop2 * (1 + 1e-12), issued)
+
+
 def cg_host(
     A: Callable,
     b: jax.Array,

@@ -344,3 +344,43 @@ class TestReviewRegressions:
                                      cg_kernel="fused-interpret")
         assert sol.u.shape[0] == 1 and bool(
             np.asarray(sol.cg.converged).all())
+
+
+class TestCgRefined:
+    def test_matches_plain_cg_when_healthy(self):
+        from spectralelementmethod_tpu.solver.cg import cg, cg_refined
+
+        rng = np.random.RandomState(0)
+        Amat = rng.standard_normal((40, 40))
+        Amat = Amat @ Amat.T + 40 * np.eye(40)
+        b = jnp.asarray(rng.standard_normal(40))
+
+        def A(x):
+            return jnp.asarray(Amat) @ x
+
+        r1 = cg(A, b, tol=1e-10, max_iter=200)
+        r2 = cg_refined(A, b, tol=1e-10, max_iter=200)
+        assert bool(r2.converged)
+        np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                                   atol=1e-8)
+
+    def test_refinement_beats_single_cycle_floor(self):
+        """f32 inner recursions floor; the true-residual re-anchor gets
+        past it (the 1M bench stall, round-4)."""
+        from spectralelementmethod_tpu.solver.cg import cg, cg_refined
+
+        rng = np.random.RandomState(1)
+        n = 120
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.logspace(0, 6, n)            # kappa = 1e6
+        Amat = (Q * lam) @ Q.T
+        Amat = jnp.asarray((0.5 * (Amat + Amat.T)).astype(np.float32))
+        x_true = rng.standard_normal(n).astype(np.float32)
+        b = jnp.asarray(Amat @ x_true)
+
+        def A(x):
+            return Amat @ x
+
+        res = cg_refined(A, b, tol=1e-6, max_iter=3000, cycles=4)
+        rn = float(np.linalg.norm(np.asarray(b - A(res.x))))
+        assert rn <= 1.01e-6 * float(np.linalg.norm(np.asarray(b))), rn
