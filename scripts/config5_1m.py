@@ -92,7 +92,10 @@ def main():
                                     # (sem/grid_importers.py:221-270)
 
     t0 = time.perf_counter()
-    perm = pt.panel_order(n_fast=nx, n_slow=nx, panel=128)
+    # panel=64: the cross-panel class offset is panel*n_slow + 1 =
+    # 65537 lanes, which must stay below the per-shard block
+    # (1M / 8 = 131072); panel=128 lands exactly ONE lane over
+    perm = pt.panel_order(n_fast=nx, n_slow=nx, panel=64)
     mesh = pt.reorder_elements(mesh, perm)
     phase("partition_s", t0)
 
