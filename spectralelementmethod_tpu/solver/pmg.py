@@ -718,7 +718,8 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
                             cycle_dtype=None,
                             coeff_fn=None,
                             reaction_fn=None,
-                            coarse_pad_to=None):
+                            coarse_pad_to=None,
+                            cycle_backend: str = "auto"):
     """Symmetric two-level p-MG V-cycle preconditioner on 'ne' L-vectors.
 
     Parameters
@@ -767,6 +768,10 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
         collocated coarse mass term ``k detJxW`` to the coarse operator
         and its diagonal, and the matching fine term to the V-cycle's
         internal fine apply.
+    cycle_backend : operator backend for the V-cycle's internal fine and
+        coarse applies ('auto' = fused Pallas on TPU; 'xla' forces the
+        unfused path — also a debugging isolate for kernel-vs-math
+        questions).
     coarse_pad_to : optional padded coarse element count.  Sharded
         callers pass the fine exchange's (shard-divisible) padded E so
         the transfers are pure per-element matmuls with no cross-shard
@@ -871,6 +876,7 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
 
     lap_c = sumfac.make_local_laplacian_operator(
         ex_c, Gc_np, Dhat_c, free_c, structure=structure_c,
+        backend=cycle_backend,
         vector_layout="ne", assume_masked_input=True)
     if kM_c_T is None:
         A_c = lap_c
@@ -930,8 +936,8 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
         ex_f, np.asarray(Gf, dtype=cyc), sumfac.make_stacked_derivative(
             np.asarray(basis_f.get_D1_matrix(0)),
             np.asarray(basis_f.get_D1_matrix(1))),
-        free_f, structure="auto", vector_layout="ne",
-        assume_masked_input=True)
+        free_f, structure="auto", backend=cycle_backend,
+        vector_layout="ne", assume_masked_input=True)
     if reaction_fn is None:
         A_f_cyc = lap_f_cyc
     else:
