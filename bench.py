@@ -806,6 +806,75 @@ def main():
         except Exception as e:               # noqa: BLE001
             _progress(f"fused-CG arm skipped: {e}")
 
+    # Secondary record in the DEFAULT run (VERDICT round-4 item 7): the
+    # batched multi-RHS fused CG at its measured-best configuration
+    # (--nrhs 4 --cg-mode fused-bf16p --defer-x 8 = 0.473 ms/iter/RHS at
+    # 100k, BASELINE.md round-3e) — the driver-visible scoreboard now
+    # carries the per-RHS throughput record every round.
+    batched_extra = {}
+    if (args.cg_mode == "plain" and args.precond == "jacobi"
+            and args.kernel in ("local", "xla-local") and args.nrhs == 1
+            and not args.smoke and dtype == np.float32 and transposed):
+        try:
+            from spectralelementmethod_tpu.ops import pallas_kernels
+            from spectralelementmethod_tpu.solver.cg import (
+                cg_fused_batched)
+
+            if not pallas_kernels.supported():
+                raise RuntimeError("no TPU (interpret mode skipped)")
+            k_b = 4
+            m_b = 8
+            Gf_p = sumfac._pad_factors_to_exchange(
+                Gf.astype(np.float32), ex)
+            Wg = disc.basis.weight_grid().reshape(-1)
+            a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wg)
+            if not exact_aff:
+                raise RuntimeError("mesh not affine")
+            Kcat = sumfac.make_affine_element_matrices(
+                Dhat, Wg, order=ex.hier)
+            kA_b, kB_b, _ = pallas_kernels.make_fused_cg_kernels_batched(
+                ex, Kcat, a_f, n_rhs=k_b, precision="high",
+                p_dtype=jnp.bfloat16, defer_x=True)
+            inv_b = jnp.where(
+                free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
+            ).astype(jnp.bfloat16)
+            wf_b = jnp.where(
+                free, ex._weights_as(np.float32, transposed=True), 0.0
+            ).astype(jnp.bfloat16)
+            rng_b = np.random.RandomState(7)
+            R_b = jnp.stack([r_cg] + [
+                jnp.where(free, jnp.asarray(
+                    rng_b.standard_normal(r_cg.shape).astype(dtype)),
+                    0.0)
+                for _ in range(k_b - 1)])
+
+            def run_cg_batched():
+                return cg_fused_batched(
+                    kA_b, kB_b, R_b, inv=inv_b, w_free=wf_b,
+                    tol=cg_tol, max_iter=cg_iters, block=cg_iters,
+                    p_dtype=jnp.bfloat16, defer_x=m_b)
+
+            _progress("batched fused-bf16p cg warmup (compile)")
+            rb = run_cg_batched()
+            rb.x.block_until_ready()
+            _progress("batched fused-bf16p cg timing")
+            t0 = time.perf_counter()
+            rb = run_cg_batched()
+            rb.x.block_until_ready()
+            t_cg_b = time.perf_counter() - t0
+            it_b = max(int(np.max(np.asarray(rb.iterations))), 1)
+            den_b = max(int(rb.issued), it_b)
+            batched_extra = {
+                "cg_ms_per_iter_per_rhs_batched": round(
+                    t_cg_b * 1e3 / den_b / k_b, 3),
+                "cg_wallclock_s_batched": round(t_cg_b, 3),
+                "cg_iters_batched": it_b,
+                "cg_nrhs_batched": k_b,
+                "cg_defer_x_batched": m_b,
+            }
+        except Exception as e:               # noqa: BLE001
+            _progress(f"batched fused-CG arm skipped: {e}")
+
     # MXU occupancy: executed matmul FLOPs (the assembled-K dot is
     # (3n, n) @ (n, window) per element tile = 6 n^2 FLOP/element,
     # repeated per bf16 decomposition pass and inflated by the
@@ -852,7 +921,8 @@ def main():
             from spectralelementmethod_tpu.solver.pmg import (
                 make_pmg_preconditioner)
 
-            from spectralelementmethod_tpu.solver.cg import cg_refined
+            from spectralelementmethod_tpu.solver.cg import (
+                cg_refined_static)
 
             _progress("pmg preconditioner build")
             # factory defaults (p_coarse=1): measured-best, see the
@@ -862,15 +932,41 @@ def main():
                 np.asarray(prob.operator_diagonal()))
             tol_s = 1e-6
 
-            # cg_refined: f32 recursions floor near eps*kappa of the
-            # rhs — at 1M/67M DOFs the single-cycle solve stalled at
-            # ~2e-3 of ||b||; the true-residual re-anchor reaches 1e-6
-            # (healthy solves converge in cycle 1 and pay one extra
-            # apply)
+            # Single-dispatch mixed-precision refined solve (round-5
+            # root cause, BASELINE.md round-5a): the f32 apply's ~5
+            # eps32 per-entry rounding floors any f32-evaluated
+            # residual near 1e-5 RELATIVE at 6.4M DOFs, so an f32-only
+            # arm either stalls (honest refinement, BENCH_r04) or
+            # false-converges on the recurrence residual (the old
+            # "green" plain arm).  cg_refined_static re-anchors the
+            # inner f32 pmg-CG segments against the f64-evaluated true
+            # residual inside ONE jitted program — converged here
+            # means certified at f64.
+            _progress("f64 anchor operator build")
+            with jax.enable_x64():
+                Gf64 = np.asarray(prob._G_host, np.float64).reshape(
+                    E, 3, -1)
+                A_hi = sumfac.make_local_laplacian_operator(
+                    ex, Gf64, np.asarray(Dhat, np.float64), free,
+                    backend="xla", precision="highest",
+                    vector_layout="ne", assume_masked_input=True)
+                u_d_np = np.where(prob._dirichlet_mask,
+                                  prob._dirichlet_vals, 0.0)
+                bL64 = jnp.asarray(np.ascontiguousarray(
+                    ex.local_from_global(np.asarray(prob._b))
+                    .astype(np.float64).T), jnp.float64)
+                u_dL64 = jnp.asarray(np.ascontiguousarray(
+                    ex.local_from_global(u_d_np)
+                    .astype(np.float64).T), jnp.float64)
+                r_hi = jax.jit(
+                    lambda f, b, u: jnp.where(f, b - A_hi(u), 0.0))(
+                        free, bL64, u_dL64)
+                r_hi.block_until_ready()
+
             def run_solve():
-                return cg_refined(A_cg, r_cg, M=M_pmg, tol=tol_s,
-                                  max_iter=700, dot=dot, dot_weight=dw,
-                                  block=64, cycles=3)
+                return cg_refined_static(
+                    A_cg, r_hi, A_hi=A_hi, M=M_pmg, tol=tol_s,
+                    schedule=(64, 32, 32, 64), dot_weight=dw)
 
             _progress("pmg solve warmup (compile)")
             rs = run_solve()
@@ -884,10 +980,19 @@ def main():
                 "cg_solve_to_tol_s": round(t_solve, 3),
                 "cg_solve_to_tol": tol_s,
                 "cg_solve_to_tol_iters": int(rs.iterations),
+                # V-cycles actually EXECUTED (incl. frozen ladder tail)
+                # + per-cycle true resnorms + stall flag: a red arm is
+                # diagnosable from the artifact alone (VERDICT r4 #3)
+                "cg_solve_to_tol_issued": int(rs.issued),
                 "cg_solve_to_tol_converged": bool(rs.converged),
                 "cg_solve_to_tol_resnorm": float(rs.residual_norm),
+                "cg_solve_cycle_resnorms": [float(v) for v in
+                                            rs.cycle_resnorms],
+                "cg_solve_stalled": bool(rs.stalled),
+                "cg_solve_schedule": [64, 32, 32, 64],
                 "cg_solve_to_tol_precond":
-                    f"pmg/{M_pmg._coarse_kind}-coarse",
+                    f"pmg/{M_pmg._coarse_kind}-coarse"
+                    "+f64-anchored-refinement",
             }
         except Exception as e:               # noqa: BLE001
             _progress(f"converged-solve arm skipped: {e}")
@@ -940,6 +1045,7 @@ def main():
             "baseline": "serial per-element numpy einsum apply "
                         f"(reference style), {n_sample}-element sample",
             **fused_extra,
+            **batched_extra,
             **solve_extra,
         },
     }

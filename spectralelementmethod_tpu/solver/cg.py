@@ -63,6 +63,13 @@ class CGResult(NamedTuple):
     #: including post-convergence frozen ones — the honest denominator
     #: for wall-clock-per-iteration accounting.  0 = not tracked.
     issued: int = 0
+    #: :func:`cg_refined` only — TRUE residual norm after each
+    #: refinement cycle (diagnosable red arms, VERDICT round-4 item 3)
+    cycle_resnorms: tuple = ()
+    #: True when the solve ended on a stall (residual plateaued above
+    #: tolerance) rather than convergence/budget — a red arm's
+    #: wall-clock is then explainable from ``issued`` + the plateau
+    stalled: bool = False
 
 
 
@@ -77,6 +84,10 @@ def cg_refined(
     dot_weight: jax.Array | None = None,
     block: int = 64,
     cycles: int = 3,
+    stall_cut: float | None = 4.0,
+    A_hi: Callable | None = None,
+    b_hi: jax.Array | None = None,
+    inner_tol_factor: float = 0.25,
 ) -> CGResult:
     """PCG with true-residual refinement (iterative-refinement outer loop).
 
@@ -94,8 +105,31 @@ def cg_refined(
     Stop criterion: ``||b - A x|| <= tol * ||b||`` in the
     ``dot``-induced norm (absolute via the ``atol`` plumbing of
     :func:`cg`).  Returns a :class:`CGResult` whose ``iterations`` /
-    ``issued`` accumulate over cycles.
+    ``issued`` accumulate over cycles, with per-cycle TRUE residual
+    norms in ``cycle_resnorms`` (a red arm is then diagnosable from
+    the artifact alone — VERDICT round-4 item 3).
+
+    ``stall_cut`` is handed to the inner :func:`cg` ladder so a
+    rounding-floored inner recursion stops after one no-progress block
+    instead of burning ``max_iter``; a cycle whose RE-ANCHORED true
+    residual then fails to halve ends the outer loop too (more cycles
+    cannot help when the V-cycle/recursion floor IS the limit).
+
+    ``A_hi``/``b_hi`` (optional) switch the ANCHOR computations to a
+    high-precision operator/RHS (float64; evaluated under
+    ``jax.experimental.enable_x64`` so the arrays keep their width on
+    an f32-default config).  Round-5 root cause (BASELINE.md round-5a):
+    at 100k elements / 6.4M DOFs the f32 APPLY itself carries ~5 eps32
+    per-entry rounding, flooring any f32-evaluated residual near 1e-5
+    relative — above a 1e-6 target — so f32-only refinement re-anchors
+    against a wrong residual and stalls (the red BENCH_r04 arm).  With
+    f64 anchors each cycle's inner f32 solve targets the CURRENT
+    correction (floor ~1e-5 of the ever-smaller cycle RHS) and the
+    certified final residual is the f64 one: ~2-3 f64 applies total
+    buy a genuinely converged 1e-6 solve at f32 speed.
     """
+    from ..utils.hoist import hoist_closure
+
     if dot_weight is not None:
         def _nrm2(v):
             return float(jnp.sum(dot_weight * v * v).real)
@@ -106,24 +140,203 @@ def cg_refined(
         def _nrm2(v):
             return float(jnp.vdot(v, v).real)
 
-    stop2 = float(tol) ** 2 * _nrm2(b)
+    if A_hi is not None:
+        if dot is not None and dot_weight is None:
+            raise ValueError("A_hi anchoring supports dot_weight or the "
+                             "Euclidean dot (the f64 anchor norm must "
+                             "match the inner stopping norm)")
+        # f64 anchor state, built and jitted under enable_x64 so the
+        # arrays keep their width on an f32-default config; the hoist
+        # keeps A_hi's operator data out of the compile payload
+        with jax.enable_x64():
+            b_h = jnp.asarray(b_hi if b_hi is not None else b,
+                              jnp.float64)
+            w_h = (jnp.asarray(dot_weight, jnp.float64)
+                   if dot_weight is not None else None)
+            x_h = jnp.zeros_like(b_h)
+            Ah_p, Ah_c = hoist_closure(A_hi, b_h)
+            Ah_c = tuple(Ah_c)
+
+            @jax.jit
+            def _anchor(bh, xh, dx, w, consts):
+                xh = xh + dx.astype(bh.dtype)
+                rh = bh - Ah_p(xh, *consts)
+                rn2 = (jnp.sum(w * rh * rh) if w is not None
+                       else jnp.real(jnp.vdot(rh, rh)))
+                return xh, rh, rn2
+
+            # x = 0 anchor: warms the compile and yields the f64
+            # ||b_hi|| that defines the stopping threshold
+            _, _, rn2_h = _anchor(b_h, x_h, jnp.zeros_like(b),
+                                  w_h, Ah_c)
+            rn2 = float(rn2_h)
+    else:
+        rn2 = _nrm2(b)
+
+    stop2 = float(tol) ** 2 * rn2
     x = jnp.zeros_like(b)
     r = b
     its = issued = 0
-    rn2 = _nrm2(r)
+    history = []
+    stalled = False
     for _ in range(max(int(cycles), 1)):
         if rn2 <= stop2:
             break
-        res = cg(A, r, M=M, tol=0.0, atol=math.sqrt(stop2),
+        # drive each inner solve PAST the outer target: its claimed
+        # (recurrence) residual under-reports the true one by the f32
+        # evaluation floor, so stopping exactly at the target leaves
+        # the re-anchored residual just above it and burns an extra
+        # cycle (measured at 100k: 3 cycles at factor 1.0, 2 at 0.25 —
+        # the extra inner iterations ride the same 64-block for free)
+        res = cg(A, r, M=M, tol=0.0,
+                 atol=inner_tol_factor * math.sqrt(stop2),
                  max_iter=max_iter, dot=dot, dot_weight=dot_weight,
-                 block=block)
-        x = x + res.x
+                 block=block, stall_cut=stall_cut)
         its += int(res.iterations)
         issued += int(res.issued)
-        r = b - A(x)                      # true residual re-anchor
-        rn2 = _nrm2(r)
+        rn2_prev = rn2
+        if A_hi is not None:
+            with jax.enable_x64():
+                x_h, r_h, rn2_d = _anchor(b_h, x_h, res.x, w_h, Ah_c)
+                rn2 = float(rn2_d)
+                r = r_h.astype(b.dtype)     # next cycle's f32 RHS
+        else:
+            x = x + res.x
+            r = b - A(x)                  # true residual re-anchor
+            rn2 = _nrm2(r)
+        history.append(math.sqrt(max(rn2, 0.0)))
+        if rn2 > stop2 and rn2 > 0.25 * rn2_prev:
+            # the cycle barely moved the true residual: the inner
+            # recursion's floor is the limit, not the anchor point
+            stalled = True
+            break
+    if A_hi is not None:
+        x = x_h                            # f64 accumulated solution
     return CGResult(x, its, math.sqrt(max(rn2, 0.0)),
-                    rn2 <= stop2 * (1 + 1e-12), issued)
+                    rn2 <= stop2 * (1 + 1e-12), issued,
+                    cycle_resnorms=tuple(history), stalled=stalled)
+
+
+def cg_refined_static(
+    A: Callable,
+    b_hi: jax.Array,
+    *,
+    A_hi: Callable,
+    M: Callable | None = None,
+    tol: float = 1e-6,
+    schedule: tuple = (64, 32, 32, 64),
+    dot_weight: jax.Array | None = None,
+    inner_tol_factor: float = 0.25,
+    dtype=jnp.float32,
+) -> CGResult:
+    """Single-dispatch mixed-precision refined PCG.
+
+    The production TPU form of :func:`cg_refined`: the whole solve —
+    f32 inner PCG segments, f64 true-residual anchors between them, and
+    convergence-based segment skipping — compiles to ONE jitted program
+    with ONE host sync at the end.  Through a remote-TPU tunnel the
+    host-ladder version pays ~15 dispatch/sync round trips (~28 ms
+    each; over half its wall-clock at 100k), and an f32-only ladder
+    cannot certify 1e-6 at bench scale anyway (the f32 apply's ~5 eps32
+    per-entry rounding floors f32-evaluated residuals near 1e-5
+    relative at 6.4M DOFs — BASELINE.md round-5a).  Here each
+    ``schedule`` entry runs that many inner f32 PCG iterations against
+    the current f64-anchored residual, then re-anchors
+    ``r = b_hi - A_hi(x)`` in f64; segments after convergence are
+    skipped by ``lax.cond`` (no wasted V-cycles, no host check).
+
+    ``b_hi``: float64 anchor right-hand side (the lifted-BC residual
+    evaluated in f64).  ``A``/``M``: the f32 operator/preconditioner on
+    the same layout; ``A_hi``: the f64 operator (same factor VALUES as
+    ``A`` — it evaluates the f32-defined system's residual exactly).
+    ``inner_tol_factor`` drives inner recurrences past the outer
+    target (their claimed residual under-reports the true one by the
+    f32 evaluation floor).  Stopping: ``||b_hi - A_hi x||_w <= tol *
+    ||b_hi||_w`` in the f64-evaluated ``dot_weight`` norm — converged
+    means CONVERGED.  Returns a :class:`CGResult` with float64 ``x``,
+    per-segment anchored resnorms in ``cycle_resnorms`` (skipped
+    segments repeat the last value), and ``issued`` = executed inner
+    iterations (skipped segments excluded).
+    """
+    from ..utils.hoist import hoist_closure
+
+    if M is None:
+        M = _identity_M
+    schedule = tuple(int(n) for n in schedule)
+    n_seg = len(schedule)
+    tol2 = float(tol) ** 2
+    f2 = float(inner_tol_factor) ** 2
+
+    with jax.enable_x64():
+        b_h = jnp.asarray(b_hi, jnp.float64)
+        r32_ex = b_h.astype(dtype)
+        A_p, A_c = hoist_closure(A, r32_ex)
+        M_p, M_c = hoist_closure(M, r32_ex)
+        Ah_p, Ah_c = hoist_closure(A_hi, b_h)
+        A_c, M_c, Ah_c = tuple(A_c), tuple(M_c), tuple(Ah_c)
+        if dot_weight is not None:
+            w32 = jnp.asarray(dot_weight).astype(dtype)
+            w64 = jnp.asarray(dot_weight).astype(jnp.float64)
+            dot_p, dot_c, wfold = _diag_weight_dot, (w32,), True
+        else:
+            w64 = None
+            dot_p, dot_c, wfold = _euclidean_dot, (), False
+
+        @jax.jit
+        def run(bh, A_c, M_c, Ah_c, dot_c):
+            def wsum64(v):
+                return (jnp.sum(w64 * v * v) if w64 is not None
+                        else jnp.real(jnp.vdot(v, v)))
+
+            rn2_0 = wsum64(bh)
+            stop2 = tol2 * rn2_0
+            atol2_i = jnp.asarray(f2 * stop2, dtype)
+            xh = jnp.zeros_like(bh)
+            r32 = bh.astype(dtype)
+            rn2_h = rn2_0
+            its = jnp.array(0, jnp.int32)
+            issued = jnp.array(0, jnp.int32)
+            seg_rns = []
+            for n in schedule:
+                def seg(args, n=n):
+                    xh, r32, rn2_h, its, issued = args
+                    r0 = r32
+                    z0 = M_p(r0, *M_c)
+                    rz0 = dot_p(r0, z0, *dot_c)
+                    rn0 = jnp.real(dot_p(r0, r0, *dot_c))
+                    state = (jnp.zeros_like(r0), r0, z0, z0, rz0, rn0,
+                             jnp.array(0, jnp.int32), atol2_i,
+                             jnp.array(n, jnp.int32), rn0)
+                    state = _cg_block_body(
+                        lambda v, *c: A_p(v, *c), M_p, dot_p, n, state,
+                        A_c, M_c, dot_c, weight_fold=wfold)
+                    xh2 = xh + state[0].astype(jnp.float64)
+                    rh = bh - Ah_p(xh2, *Ah_c)
+                    return (xh2, rh.astype(dtype), wsum64(rh),
+                            its + state[6], issued + n)
+
+                xh, r32, rn2_h, its, issued = jax.lax.cond(
+                    rn2_h <= stop2,
+                    lambda args: args, seg,
+                    (xh, r32, rn2_h, its, issued))
+                seg_rns.append(jnp.sqrt(rn2_h))
+            return (xh, rn2_h, rn2_0, its, issued,
+                    jnp.stack(seg_rns))
+
+        xh, rn2_h, rn2_0, its, issued, seg_rns = run(
+            b_h, A_c, M_c, Ah_c, dot_c)
+        # one transfer for all scalars (each separate read is a tunnel
+        # round trip)
+        rn2_f, rn2_0f, its_f, issued_f, seg_f = jax.device_get(
+            (rn2_h, rn2_0, its, issued, seg_rns))
+    stop2 = tol2 * float(rn2_0f)
+    return CGResult(xh, int(its_f),
+                    math.sqrt(max(float(rn2_f), 0.0)),
+                    float(rn2_f) <= stop2 * (1 + 1e-12), int(issued_f),
+                    cycle_resnorms=tuple(float(v) for v in seg_f),
+                    stalled=bool(float(rn2_f) > stop2
+                                 and int(issued_f) < sum(schedule)
+                                 * (n_seg and 1)))
 
 
 def cg_host(
@@ -192,6 +405,7 @@ def cg(
     dot: Callable | None = None,
     dot_weight: jax.Array | None = None,
     block: int = 64,
+    stall_cut: float | None = None,
 ) -> CGResult:
     """Solve ``A x = b`` with preconditioned CG.
 
@@ -208,6 +422,14 @@ def cg(
     ``dot``-induced norm.  ``block`` sets the first jitted iteration
     block; pass ``block >= max_iter`` for a single-dispatch solve with no
     mid-solve host syncs (when the iteration count is known).
+    ``stall_cut`` (optional) stops the ladder early when a whole
+    >= 64-iteration block shrinks ``||r||^2`` by less than that factor
+    while still above tolerance — an f32 recursion at its rounding
+    floor would otherwise burn the full ``max_iter`` budget in
+    no-progress blocks (the plain-CG twin of :func:`cg_fused`'s stall
+    detector).  The result then reports ``stalled=True`` with the best
+    block-boundary state.  Leave ``None`` for slowly-but-honestly
+    converging runs (e.g. Jacobi ladders).
 
     The operator/preconditioner closures are converted to explicit
     runtime arguments (:func:`..utils.hoist.hoist_closure`) before
@@ -253,6 +475,8 @@ def cg(
     # compile each); oversized final blocks run inert frozen iterations.
     issued = 0
     best_state, best_rn2 = state, float("inf")
+    rn2_ckpt = float("inf")
+    stalled = False
     while issued < max_iter:
         # round the remaining budget up to a multiple of 64 so tail
         # blocks reuse a small set of static sizes (one compile each);
@@ -267,6 +491,12 @@ def cg(
         if (bool(state[5] <= state[7]) or bool(state[5] > 1e6 * state[9])
                 or not math.isfinite(rn2_now)):
             break
+        if (stall_cut is not None and n >= 64
+                and math.isfinite(rn2_ckpt)
+                and rn2_now > rn2_ckpt / stall_cut):
+            stalled = True
+            break
+        rn2_ckpt = rn2_now
         block = min(block * 2, 4096)
 
     # on breakdown/divergence, fall back to the best block-boundary state
@@ -274,7 +504,8 @@ def cg(
     # the plateau iterate without tracking x_best per iteration)
     x, r, z, p, rz, rn2, k_dev, stop2, _, _rn2_min = best_state
     rnorm = jnp.sqrt(rn2)
-    return CGResult(x, k_dev, rnorm, rn2 <= stop2, issued)
+    return CGResult(x, k_dev, rnorm, rn2 <= stop2, issued,
+                    stalled=stalled)
 
 
 @lru_cache(maxsize=64)

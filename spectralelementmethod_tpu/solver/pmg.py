@@ -37,12 +37,32 @@ Construction is host-side; the returned closure is pure jnp on
 
 from __future__ import annotations
 
+from contextlib import nullcontext
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from ..utils.stages import stage as _host_stage
+
+
+def _mm(mm_precision):
+    """Matmul-precision context for the V-cycle's own matmuls.
+
+    The coarse FDM eigen-transforms and the restrict/prolong matmuls
+    run through plain ``@``/einsum, which on TPU default to single-pass
+    bf16 MXU inputs (~3 decimal digits).  The operator applies inside
+    the cycle were always built at 'highest', so these were the only
+    low-precision links in the preconditioner chain — enough to make
+    the 100k/1M f32 converged solve marginal (round-5 root-cause,
+    BASELINE.md round-5a).  These matmuls are tiny next to the smoother
+    applies (coarse grids, (n_f, n_c) transfer operators), so full f32
+    precision costs nothing measurable.  ``None`` = legacy backend
+    default (kept for A/B probes).
+    """
+    return (nullcontext() if mm_precision is None
+            else jax.default_matmul_precision(mm_precision))
 
 
 def _staged_factory(fn):
@@ -204,15 +224,19 @@ class GridFDM:
             flat = jnp.pad(flat, ((0, 0), (0, self.Ec - self.Er)))
         return flat[self._hier_rows]
 
+    #: matmul precision of the eigen-transforms (see :func:`_mm`)
+    _mmp = "float32"
+
     def __call__(self, rc):
-        G = self._to_grid(rc)
-        Gf = G[self.fx0:self.fx1, self.fy0:self.fy1]
-        t = self.Sx.T @ Gf @ self.Sy
-        t = t * self._inv_lam
-        Uf = self.Sx @ t @ self.Sy.T
-        U = jnp.zeros_like(G)
-        U = U.at[self.fx0:self.fx1, self.fy0:self.fy1].set(Uf)
-        return self._from_grid(U)
+        with _mm(self._mmp):
+            G = self._to_grid(rc)
+            Gf = G[self.fx0:self.fx1, self.fy0:self.fy1]
+            t = self.Sx.T @ Gf @ self.Sy
+            t = t * self._inv_lam
+            Uf = self.Sx @ t @ self.Sy.T
+            U = jnp.zeros_like(G)
+            U = U.at[self.fx0:self.fx1, self.fy0:self.fy1].set(Uf)
+            return self._from_grid(U)
 
     # -- construction ----------------------------------------------------------
 
@@ -337,23 +361,27 @@ class GridFDM2DLattice:
         self.Sy = jnp.asarray(np.asarray(Sy, np.float64))
         self._inv_lam = jnp.asarray(1.0 / np.asarray(lam, np.float64))
 
+    #: matmul precision of the eigen-transforms (see :func:`_mm`)
+    _mmp = "float32"
+
     def __call__(self, rc):
-        N0, N1 = self.dims
-        flat = jnp.zeros(N0 * N1, rc.dtype).at[
-            self._gos.reshape(-1)].set(
-            rc[:, :self.Er].T.reshape(-1))
-        G = flat.reshape(N0, N1)
-        Gf = G[self.fx0:self.fx1, self.fy0:self.fy1]
-        Sx = self.Sx.astype(rc.dtype)
-        Sy = self.Sy.astype(rc.dtype)
-        t = (Sx.T @ Gf @ Sy) * self._inv_lam.astype(rc.dtype)
-        Uf = Sx @ t @ Sy.T
-        U = jnp.zeros_like(G).at[
-            self.fx0:self.fx1, self.fy0:self.fy1].set(Uf)
-        out = U.reshape(-1)[self._gos].T                 # (n_c, Er)
-        if self.E > self.Er:
-            out = jnp.pad(out, ((0, 0), (0, self.E - self.Er)))
-        return out
+        with _mm(self._mmp):
+            N0, N1 = self.dims
+            flat = jnp.zeros(N0 * N1, rc.dtype).at[
+                self._gos.reshape(-1)].set(
+                rc[:, :self.Er].T.reshape(-1))
+            G = flat.reshape(N0, N1)
+            Gf = G[self.fx0:self.fx1, self.fy0:self.fy1]
+            Sx = self.Sx.astype(rc.dtype)
+            Sy = self.Sy.astype(rc.dtype)
+            t = (Sx.T @ Gf @ Sy) * self._inv_lam.astype(rc.dtype)
+            Uf = Sx @ t @ Sy.T
+            U = jnp.zeros_like(G).at[
+                self.fx0:self.fx1, self.fy0:self.fy1].set(Uf)
+            out = U.reshape(-1)[self._gos].T             # (n_c, Er)
+            if self.E > self.Er:
+                out = jnp.pad(out, ((0, 0), (0, self.E - self.Er)))
+            return out
 
     @classmethod
     def try_build(cls, ex_c, disc_c, basis_c, a, free_c_np):
@@ -454,30 +482,35 @@ class GridFDM3D:
         self.S = [jnp.asarray(np.asarray(s, np.float64)) for s in S_axes]
         self._inv_lam = jnp.asarray(1.0 / np.asarray(lam3, np.float64))
 
-    def __call__(self, rc):
-        N0, N1, N2 = self.dims
-        flat = jnp.zeros(N0 * N1 * N2, rc.dtype).at[
-            self._gos.reshape(-1)].set(rc[:self.Er].reshape(-1))
-        G = flat.reshape(N0, N1, N2)
-        Gf = G[self.fx0:self.fx1, self.fy0:self.fy1, self.fz0:self.fz1]
-        Sx, Sy, Sz = (s.astype(rc.dtype) for s in self.S)
-        inv_lam = self._inv_lam.astype(rc.dtype)
+    #: matmul precision of the eigen-transforms (see :func:`_mm`)
+    _mmp = "float32"
 
-        # forward/backward are separable per axis with different B's
-        t = jnp.einsum("ia,abc->ibc", Sx.T, Gf)
-        t = jnp.einsum("jb,ibc->ijc", Sy.T, t)
-        t = jnp.einsum("kc,ijc->ijk", Sz.T, t)
-        t = t * inv_lam
-        t = jnp.einsum("ia,abc->ibc", Sx, t)
-        t = jnp.einsum("jb,ibc->ijc", Sy, t)
-        Uf = jnp.einsum("kc,ijc->ijk", Sz, t)
-        U = jnp.zeros_like(G).at[
-            self.fx0:self.fx1, self.fy0:self.fy1,
-            self.fz0:self.fz1].set(Uf)
-        out = U.reshape(-1)[self._gos]
-        if self.E > self.Er:
-            out = jnp.pad(out, ((0, self.E - self.Er), (0, 0)))
-        return out
+    def __call__(self, rc):
+        with _mm(self._mmp):
+            N0, N1, N2 = self.dims
+            flat = jnp.zeros(N0 * N1 * N2, rc.dtype).at[
+                self._gos.reshape(-1)].set(rc[:self.Er].reshape(-1))
+            G = flat.reshape(N0, N1, N2)
+            Gf = G[self.fx0:self.fx1, self.fy0:self.fy1,
+                   self.fz0:self.fz1]
+            Sx, Sy, Sz = (s.astype(rc.dtype) for s in self.S)
+            inv_lam = self._inv_lam.astype(rc.dtype)
+
+            # forward/backward are separable per axis with different B's
+            t = jnp.einsum("ia,abc->ibc", Sx.T, Gf)
+            t = jnp.einsum("jb,ibc->ijc", Sy.T, t)
+            t = jnp.einsum("kc,ijc->ijk", Sz.T, t)
+            t = t * inv_lam
+            t = jnp.einsum("ia,abc->ibc", Sx, t)
+            t = jnp.einsum("jb,ibc->ijc", Sy, t)
+            Uf = jnp.einsum("kc,ijc->ijk", Sz, t)
+            U = jnp.zeros_like(G).at[
+                self.fx0:self.fx1, self.fy0:self.fy1,
+                self.fz0:self.fz1].set(Uf)
+            out = U.reshape(-1)[self._gos]
+            if self.E > self.Er:
+                out = jnp.pad(out, ((0, self.E - self.Er), (0, 0)))
+            return out
 
     @classmethod
     def try_build(cls, ex_c, disc_c, free_c_np, G_c=None):
@@ -588,7 +621,10 @@ def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
                                coarse: str = "auto",
                                coarse_degree: int = 24,
                                coarse_interval: float = 100.0,
-                               dtype=np.float64):
+                               dtype=np.float64,
+                               mm_precision: str | None = "float32",
+                               lmax_iters: int = 30,
+                               lmax_safety: float = 1.05):
     """Two-level p-MG V-cycle on the 3D lexicographic (E, n) L-vectors.
 
     3D twin of :func:`make_pmg_preconditioner` for the
@@ -653,21 +689,24 @@ def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
     free_f = jnp.asarray(np.asarray(free_global, bool)[ex_f.gather_lex])
 
     def restrict(r):
-        loc = ((w_f * r)[:Er] @ P_d)
-        if Ec > Er:
-            loc = jnp.pad(loc, ((0, Ec - Er), (0, 0)))
-        return jnp.where(free_c, ex_c.dss(loc), 0.0)
+        with _mm(mm_precision):
+            loc = ((w_f * r)[:Er] @ P_d)
+            if Ec > Er:
+                loc = jnp.pad(loc, ((0, Ec - Er), (0, 0)))
+            return jnp.where(free_c, ex_c.dss(loc), 0.0)
 
     def prolong(ec):
-        ef = ec[:Er] @ P_d.T
-        if Ef > Er:
-            ef = jnp.pad(ef, ((0, Ef - Er), (0, 0)))
-        return jnp.where(free_f, ef, 0.0)
+        with _mm(mm_precision):
+            ef = ec[:Er] @ P_d.T
+            if Ef > Er:
+                ef = jnp.pad(ef, ((0, Ef - Er), (0, 0)))
+            return jnp.where(free_f, ef, 0.0)
 
     diagL_f = jnp.asarray(
         np.asarray(diag_global)[np.asarray(ex_f.gather_lex)], dtype=dtype)
     B_f = jacobi_preconditioner(diagL_f, free_f)
-    lmax_f = estimate_lmax(A_f, B_f, (Ef, n_f), dtype=dtype)
+    lmax_f = estimate_lmax(A_f, B_f, (Ef, n_f), dtype=dtype,
+                           iters=lmax_iters, safety=lmax_safety)
     S_f = chebyshev_smoother(A_f, B_f, lmax_f, lmax_f / alpha, degree)
 
     grid = None
@@ -678,10 +717,12 @@ def make_pmg_preconditioner_3d(disc, ex_f, A_f, free_global, diag_global,
                 "coarse='fdm' needs a uniform box lattice with "
                 "outer-product Dirichlet data")
     if grid is not None:
+        grid._mmp = mm_precision
         C = grid
         coarse_kind = "fdm"
     else:
-        lmax_c = estimate_lmax(A_c, B_c, (Ec, n_c), dtype=dtype)
+        lmax_c = estimate_lmax(A_c, B_c, (Ec, n_c), dtype=dtype,
+                               iters=lmax_iters, safety=lmax_safety)
         C = chebyshev_smoother(A_c, B_c, lmax_c,
                                lmax_c / coarse_interval, coarse_degree)
         coarse_kind = "chebyshev"
@@ -719,7 +760,10 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
                             coeff_fn=None,
                             reaction_fn=None,
                             coarse_pad_to=None,
-                            cycle_backend: str = "auto"):
+                            cycle_backend: str = "auto",
+                            mm_precision: str | None = "float32",
+                            lmax_iters: int = 30,
+                            lmax_safety: float = 1.05):
     """Symmetric two-level p-MG V-cycle preconditioner on 'ne' L-vectors.
 
     Parameters
@@ -804,7 +848,8 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
             p_coarse=2 if p_coarse is None else p_coarse,
             degree=degree, alpha=alpha, coarse=coarse,
             coarse_degree=coarse_degree, coarse_interval=coarse_interval,
-            dtype=dtype)
+            dtype=dtype, mm_precision=mm_precision,
+            lmax_iters=lmax_iters, lmax_safety=lmax_safety)
     if disc.mesh.ndim != 2:
         raise NotImplementedError("pmg supports 2D and 3D meshes")
     if p_coarse is None:
@@ -912,22 +957,27 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
         # Padding columns stay zero throughout: w_f is zero there, DSS
         # is pad-inert, and the coarse operators carry zero pad factors.
         def restrict(r):
-            return jnp.where(free_c, ex_c.dss_T(P_d.T @ (w_f * r)), 0.0)
+            with _mm(mm_precision):
+                return jnp.where(free_c,
+                                 ex_c.dss_T(P_d.T @ (w_f * r)), 0.0)
 
         def prolong(ec):
-            return jnp.where(free_f, P_d @ ec, 0.0)
+            with _mm(mm_precision):
+                return jnp.where(free_f, P_d @ ec, 0.0)
     else:
         def restrict(r):
-            loc = P_d.T @ (w_f * r)[:, :Er]
-            if Ec > Er:
-                loc = jnp.pad(loc, ((0, 0), (0, Ec - Er)))
-            return jnp.where(free_c, ex_c.dss_T(loc), 0.0)
+            with _mm(mm_precision):
+                loc = P_d.T @ (w_f * r)[:, :Er]
+                if Ec > Er:
+                    loc = jnp.pad(loc, ((0, 0), (0, Ec - Er)))
+                return jnp.where(free_c, ex_c.dss_T(loc), 0.0)
 
         def prolong(ec):
-            ef = P_d @ ec[:, :Er]
-            if Ef > Er:
-                ef = jnp.pad(ef, ((0, 0), (0, Ef - Er)))
-            return jnp.where(free_f, ef, 0.0)
+            with _mm(mm_precision):
+                ef = P_d @ ec[:, :Er]
+                if Ef > Er:
+                    ef = jnp.pad(ef, ((0, 0), (0, Ef - Er)))
+                return jnp.where(free_f, ef, 0.0)
 
     # ---- internal fine apply (cycle dtype) -----------------------------------
     # the V-cycle's own fine operator: same math as A_f, arithmetic in
@@ -966,7 +1016,8 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
         B_f = jacobi_preconditioner(jnp.asarray(diagL_f), free_f)
     else:
         raise ValueError(f"unknown smoother {smoother!r}")
-    lmax_f = estimate_lmax(A_f_cyc, B_f, (n_f, Ef), dtype=cyc)
+    lmax_f = estimate_lmax(A_f_cyc, B_f, (n_f, Ef), dtype=cyc,
+                           iters=lmax_iters, safety=lmax_safety)
     S_f = chebyshev_smoother(A_f_cyc, B_f, lmax_f, lmax_f / alpha, degree)
 
     # ---- coarse solve ----------------------------------------------------------
@@ -984,10 +1035,12 @@ def make_pmg_preconditioner(disc, ex_f, Gf, A_f, free_global, diag_global,
             "coarse='fdm' needs a uniform affine tensor-product mesh "
             "with per-side-uniform Dirichlet data and no reaction term")
     if grid is not None:
+        grid._mmp = mm_precision
         C = grid
         coarse_kind = "fdm"
     else:
-        lmax_c = estimate_lmax(A_c, B_c, (n_c, Ec), dtype=cyc)
+        lmax_c = estimate_lmax(A_c, B_c, (n_c, Ec), dtype=cyc,
+                               iters=lmax_iters, safety=lmax_safety)
         C = chebyshev_smoother(A_c, B_c, lmax_c,
                                lmax_c / coarse_interval, coarse_degree)
         coarse_kind = "chebyshev"

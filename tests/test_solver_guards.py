@@ -90,3 +90,74 @@ class TestFusedBackendDtypeGuard:
             sumfac._make_local_laplacian_operator_T(
                 ex, Gf, Dhat, backend="fused-interpret",
                 compute_dtype=jnp.bfloat16)
+
+
+class TestCGStallCut:
+    """stall_cut: an f32 recursion at its rounding floor stops after one
+    no-progress ladder block instead of burning max_iter (the plain-CG
+    twin of cg_fused's stall detector; VERDICT round-4 item 3)."""
+
+    def _floored_solve(self, stall_cut):
+        # f32 CG on the Hilbert matrix (kappa >> 1/eps32) driven to an
+        # unreachable absolute tolerance: floors at ~1.4e-3 relative
+        # within the first ladder block, then plateaus
+        n = 64
+        H = 1.0 / (np.arange(n)[:, None] + np.arange(n)[None, :] + 1.0)
+        Hd = jnp.asarray(H.astype(np.float32))
+        b = jnp.ones(n, jnp.float32)
+        return cg(lambda x: Hd @ x, b, tol=0.0, atol=1e-20,
+                  max_iter=4096, block=64, stall_cut=stall_cut)
+
+    def test_stall_cut_bounds_issued(self):
+        res = self._floored_solve(stall_cut=4.0)
+        assert res.stalled
+        assert not bool(res.converged)
+        # one plateaued block after the floor is reached, then cut
+        assert res.issued <= 256
+        # the returned iterate is still the floor-accurate solution
+        assert float(res.residual_norm) < 0.1
+
+    def test_no_stall_cut_keeps_running(self):
+        # without the cut the ladder keeps issuing plateau blocks until
+        # a different guard (budget or the 1e6x divergence bail) ends it
+        res_cut = self._floored_solve(stall_cut=4.0)
+        res = self._floored_solve(stall_cut=None)
+        assert not res.stalled
+        assert res.issued > res_cut.issued
+
+    def test_converging_solve_not_cut(self):
+        d = jnp.arange(1.0, 17.0, dtype=jnp.float32)
+        res = cg(lambda x: d * x, jnp.ones(16, jnp.float32), tol=1e-6,
+                 max_iter=400, block=64, stall_cut=4.0)
+        assert bool(res.converged)
+        assert not res.stalled
+
+
+class TestCGRefinedDiagnostics:
+    def test_healthy_solve_one_cycle(self):
+        from spectralelementmethod_tpu.solver.cg import cg_refined
+
+        d = jnp.arange(1.0, 65.0, dtype=jnp.float32)
+        res = cg_refined(lambda x: d * x, jnp.ones(64, jnp.float32),
+                         tol=1e-6, max_iter=400, block=64, cycles=3)
+        assert bool(res.converged)
+        assert not res.stalled
+        assert len(res.cycle_resnorms) == 1
+        assert res.cycle_resnorms[0] == pytest.approx(
+            float(res.residual_norm))
+
+    def test_floored_solve_reports_stall(self):
+        from spectralelementmethod_tpu.solver.cg import cg_refined
+
+        rng = np.random.RandomState(1)
+        d = jnp.asarray(
+            np.linspace(1.0, 1e5, 512).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(512).astype(np.float32))
+        res = cg_refined(lambda x: d * x, b, tol=1e-12, max_iter=4096,
+                         block=64, cycles=3)
+        assert not bool(res.converged)
+        assert res.stalled
+        # each cycle's true resnorm recorded; budget bounded by the
+        # stall cut, not 3 * max_iter
+        assert 1 <= len(res.cycle_resnorms) <= 3
+        assert res.issued < 3 * 4096
