@@ -84,11 +84,18 @@ class Discretization:
         # mapping coefficients -> Jacobians); see mp.batched_geometry_2d
         geom_fn = (mp.batched_geometry_2d if mesh.ndim == 2
                    else mp.batched_geometry_3d)
+        #: (E, n_factor_comps) per-element affine Laplacian factors, set
+        #: only when geometry came from the disk cache AND the save-time
+        #: check proved every element affine (J constant to 1e-13) —
+        #: lets :meth:`laplacian_factors` skip the invJ mmap page-in
+        #: (round-4c: the dominant warm 3D setup cost)
+        self._affine_a = None
         with stage("disc/geometry"):
             cached = self._load_geometry_cache(mesh, node_maps)
             if cached is not None:
                 # detJ > 0 was validated when the entry was written
-                self.x_coeffs, self.J, self.detJ, self.invJ = cached
+                (self.x_coeffs, self.J, self.detJ, self.invJ,
+                 self._affine_a) = cached
             else:
                 self.x_coeffs, self.J, self.detJ, self.invJ = (
                     geom_fn(self.map_basis, mesh.nodes, node_maps)
@@ -140,11 +147,18 @@ class Discretization:
         try:
             # memory-mapped: pages fault in on use, so a warm setup pays
             # only for the arrays it actually touches
-            return tuple(
+            arrs = tuple(
                 np.load(os.path.join(path, k + ".npy"), mmap_mode="r")
                 for k in self._GEOM_KEYS)
         except (OSError, ValueError):
             return None
+        try:
+            # tiny (E, n_comp) artifact; absent for curved meshes and
+            # entries written by older versions
+            affine_a = np.load(os.path.join(path, "affine_a.npy"))
+        except (OSError, ValueError):
+            affine_a = None
+        return arrs + (affine_a,)
 
     def _save_geometry_cache(self, mesh, node_maps):
         path = self._geometry_cache_path(mesh, node_maps)
@@ -157,9 +171,28 @@ class Discretization:
             os.makedirs(tmp, exist_ok=True)
             for k in self._GEOM_KEYS:
                 np.save(os.path.join(tmp, k + ".npy"), getattr(self, k))
+            aff = self._compute_affine_factors()
+            if aff is not None:
+                np.save(os.path.join(tmp, "affine_a.npy"), aff)
             os.replace(tmp, path)
         except OSError:
             pass
+
+    def _compute_affine_factors(self):
+        """(E, n_comp) Laplacian factors if EVERY element is affine
+        (J constant over the element to 1e-13 relative), else None.
+        Called at cache-save time while J/invJ/detJ are resident."""
+        d = self.mesh.ndim
+        E = self.E
+        Jf = np.asarray(self.J).reshape(E, d, d, -1)
+        scale = np.abs(Jf).max() + 1e-300
+        if np.abs(Jf - Jf[..., :1]).max() > 1e-13 * scale:
+            return None
+        invJ0 = np.asarray(self.invJ).reshape(E, d, d, -1)[..., 0]
+        detJ0 = np.asarray(self.detJ).reshape(E, -1)[:, 0]
+        comps = [detJ0 * np.einsum("ei,ei->e", invJ0[:, a], invJ0[:, b])
+                 for a in range(d) for b in range(a, d)]
+        return np.stack(comps, axis=1)
 
     # -- sizes ---------------------------------------------------------------
 
@@ -321,7 +354,18 @@ class Discretization:
         — exactly the contraction kernel of the reference's assembled
         ``Lse`` operator (``examples/poisson.py:180-193``) in matrix-free
         form.  ``coefficient``: optional (E, *shape) variable coefficient.
+
+        Cache-backed affine meshes take the rank-1 fast path: factors
+        collapse to ``a[e, c] * W`` ((E, n_comp) scalars times the
+        weight grid), skipping the invJ mmap page-in entirely — the
+        dominant warm 3D setup cost (BASELINE.md round-4c; the a values
+        were proven exact at cache-save time).
         """
+        if coefficient is None and self._affine_a is not None:
+            W = np.asarray(self.W).reshape(-1)
+            out = self._affine_a[:, :, None] * W[None, None, :]
+            return out.reshape(
+                (self.E, self._affine_a.shape[1]) + tuple(self.shape))
         gi = self.invJ  # (E, d, d, *shape): invJ[a, i] = dxi_a/dx_i
         scale = self.detJxW
         if coefficient is not None:

@@ -263,7 +263,6 @@ def cg_refined_static(
     if M is None:
         M = _identity_M
     schedule = tuple(int(n) for n in schedule)
-    n_seg = len(schedule)
     tol2 = float(tol) ** 2
     f2 = float(inner_tol_factor) ** 2
 
@@ -277,54 +276,15 @@ def cg_refined_static(
         if dot_weight is not None:
             w32 = jnp.asarray(dot_weight).astype(dtype)
             w64 = jnp.asarray(dot_weight).astype(jnp.float64)
-            dot_p, dot_c, wfold = _diag_weight_dot, (w32,), True
+            wfold = True
         else:
-            w64 = None
-            dot_p, dot_c, wfold = _euclidean_dot, (), False
-
-        @jax.jit
-        def run(bh, A_c, M_c, Ah_c, dot_c):
-            def wsum64(v):
-                return (jnp.sum(w64 * v * v) if w64 is not None
-                        else jnp.real(jnp.vdot(v, v)))
-
-            rn2_0 = wsum64(bh)
-            stop2 = tol2 * rn2_0
-            atol2_i = jnp.asarray(f2 * stop2, dtype)
-            xh = jnp.zeros_like(bh)
-            r32 = bh.astype(dtype)
-            rn2_h = rn2_0
-            its = jnp.array(0, jnp.int32)
-            issued = jnp.array(0, jnp.int32)
-            seg_rns = []
-            for n in schedule:
-                def seg(args, n=n):
-                    xh, r32, rn2_h, its, issued = args
-                    r0 = r32
-                    z0 = M_p(r0, *M_c)
-                    rz0 = dot_p(r0, z0, *dot_c)
-                    rn0 = jnp.real(dot_p(r0, r0, *dot_c))
-                    state = (jnp.zeros_like(r0), r0, z0, z0, rz0, rn0,
-                             jnp.array(0, jnp.int32), atol2_i,
-                             jnp.array(n, jnp.int32), rn0)
-                    state = _cg_block_body(
-                        lambda v, *c: A_p(v, *c), M_p, dot_p, n, state,
-                        A_c, M_c, dot_c, weight_fold=wfold)
-                    xh2 = xh + state[0].astype(jnp.float64)
-                    rh = bh - Ah_p(xh2, *Ah_c)
-                    return (xh2, rh.astype(dtype), wsum64(rh),
-                            its + state[6], issued + n)
-
-                xh, r32, rn2_h, its, issued = jax.lax.cond(
-                    rn2_h <= stop2,
-                    lambda args: args, seg,
-                    (xh, r32, rn2_h, its, issued))
-                seg_rns.append(jnp.sqrt(rn2_h))
-            return (xh, rn2_h, rn2_0, its, issued,
-                    jnp.stack(seg_rns))
-
+            w32 = w64 = None
+            wfold = False
+        run = _cg_refined_static_kernel(
+            A_p, M_p, Ah_p, schedule, tol2, f2, wfold,
+            jnp.dtype(dtype).name)
         xh, rn2_h, rn2_0, its, issued, seg_rns = run(
-            b_h, A_c, M_c, Ah_c, dot_c)
+            b_h, w32, w64, A_c, M_c, Ah_c)
         # one transfer for all scalars (each separate read is a tunnel
         # round trip)
         rn2_f, rn2_0f, its_f, issued_f, seg_f = jax.device_get(
@@ -335,8 +295,64 @@ def cg_refined_static(
                     float(rn2_f) <= stop2 * (1 + 1e-12), int(issued_f),
                     cycle_resnorms=tuple(float(v) for v in seg_f),
                     stalled=bool(float(rn2_f) > stop2
-                                 and int(issued_f) < sum(schedule)
-                                 * (n_seg and 1)))
+                                 and int(issued_f) < sum(schedule)))
+
+
+@lru_cache(maxsize=16)
+def _cg_refined_static_kernel(A_p, M_p, Ah_p, schedule, tol2, f2,
+                              wfold: bool, dtype_name: str):
+    """Jitted single-dispatch refined-solve program for one
+    (operator, preconditioner, anchor, schedule) tuple.  Same caching
+    rationale as :func:`_cg_kernels`: the hoisted pure functions are
+    stable objects, so repeated solves reuse the compiled executable;
+    the dot weights are runtime arguments (a closure capture would
+    inline them as HLO literals — tens of MB at bench scale)."""
+    dtype = jnp.dtype(dtype_name)
+    dot_p = _diag_weight_dot if wfold else _euclidean_dot
+
+    @jax.jit
+    def run(bh, w32, w64, A_c, M_c, Ah_c):
+        dot_c = (w32,) if wfold else ()
+
+        def wsum64(v):
+            return (jnp.sum(w64 * v * v) if wfold
+                    else jnp.real(jnp.vdot(v, v)))
+
+        rn2_0 = wsum64(bh)
+        stop2 = tol2 * rn2_0
+        atol2_i = jnp.asarray(f2 * stop2, dtype)
+        xh = jnp.zeros_like(bh)
+        r32 = bh.astype(dtype)
+        rn2_h = rn2_0
+        its = jnp.array(0, jnp.int32)
+        issued = jnp.array(0, jnp.int32)
+        seg_rns = []
+        for n in schedule:
+            def seg(args, n=n):
+                xh, r32, rn2_h, its, issued = args
+                r0 = r32
+                z0 = M_p(r0, *M_c)
+                rz0 = dot_p(r0, z0, *dot_c)
+                rn0 = jnp.real(dot_p(r0, r0, *dot_c))
+                state = (jnp.zeros_like(r0), r0, z0, z0, rz0, rn0,
+                         jnp.array(0, jnp.int32), atol2_i,
+                         jnp.array(n, jnp.int32), rn0)
+                state = _cg_block_body(
+                    A_p, M_p, dot_p, n, state,
+                    A_c, M_c, dot_c, weight_fold=wfold)
+                xh2 = xh + state[0].astype(jnp.float64)
+                rh = bh - Ah_p(xh2, *Ah_c)
+                return (xh2, rh.astype(dtype), wsum64(rh),
+                        its + state[6], issued + n)
+
+            xh, r32, rn2_h, its, issued = jax.lax.cond(
+                rn2_h <= stop2,
+                lambda args: args, seg,
+                (xh, r32, rn2_h, its, issued))
+            seg_rns.append(jnp.sqrt(rn2_h))
+        return (xh, rn2_h, rn2_0, its, issued, jnp.stack(seg_rns))
+
+    return run
 
 
 def cg_host(

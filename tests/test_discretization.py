@@ -227,3 +227,96 @@ class TestGeometrySetupCache:
             mesh = rectangle_mesh(3, 2, 3)
             d = Discretization(mesh, gll_basis_2d(3))
             assert not isinstance(d.detJ, np.memmap)
+
+
+class TestAffineCacheFastPath:
+    """Cache-backed affine meshes collapse laplacian_factors to
+    a[e, c] * W (rank-1 fast path, round-5: skips the invJ mmap
+    page-in that dominated warm 3D setup, BASELINE.md round-4c)."""
+
+    def _with_cache(self, tmp_path, fn):
+        from spectralelementmethod_tpu import config
+
+        old = config._SETUP_CACHE_DIR
+        config._SETUP_CACHE_DIR = str(tmp_path)
+        try:
+            return fn()
+        finally:
+            config._SETUP_CACHE_DIR = old
+
+    def test_fast_path_matches_direct_2d(self, tmp_path):
+        mesh = rectangle_mesh(5, 4, 4)
+
+        def run():
+            d1 = Discretization(mesh, gll_basis_2d(4))   # cold: saves
+            assert d1._affine_a is None                  # in-memory path
+            G_direct = d1.laplacian_factors(None)
+            d2 = Discretization(mesh, gll_basis_2d(4))   # warm: mmap
+            assert d2._affine_a is not None
+            assert d2._affine_a.shape == (d2.E, 3)
+            G_fast = d2.laplacian_factors(None)
+            scale = np.abs(np.asarray(G_direct)).max()
+            assert (np.abs(np.asarray(G_fast) - np.asarray(G_direct))
+                    .max() <= 1e-12 * scale)
+            # the fast path is EXACTLY rank-1: affine_factorization
+            # must accept it
+            from spectralelementmethod_tpu.ops import sumfac
+
+            W = d2.basis.weight_grid().reshape(-1)
+            _, exact = sumfac.affine_factorization(
+                np.asarray(G_fast).reshape(d2.E, 3, -1), W)
+            assert exact
+            return True
+
+        assert self._with_cache(tmp_path, run)
+
+    def test_fast_path_matches_direct_3d(self, tmp_path):
+        from spectralelementmethod_tpu.basis import gll_basis_3d
+        from spectralelementmethod_tpu.mesh import box_mesh
+
+        mesh = box_mesh(3, 2, 2, 3)
+
+        def run():
+            d1 = Discretization(mesh, gll_basis_3d(3))
+            G_direct = d1.laplacian_factors(None)
+            d2 = Discretization(mesh, gll_basis_3d(3))
+            assert d2._affine_a is not None
+            assert d2._affine_a.shape == (d2.E, 6)
+            G_fast = d2.laplacian_factors(None)
+            scale = np.abs(np.asarray(G_direct)).max()
+            assert (np.abs(np.asarray(G_fast) - np.asarray(G_direct))
+                    .max() <= 1e-12 * scale)
+            return True
+
+        assert self._with_cache(tmp_path, run)
+
+    def test_curved_mesh_skips_fast_path(self, tmp_path):
+        from spectralelementmethod_tpu.mesh import annulus_mesh
+
+        mesh = annulus_mesh(4, 6, 5)
+
+        def run():
+            d1 = Discretization(mesh, gll_basis_2d(4))
+            d2 = Discretization(mesh, gll_basis_2d(4))
+            assert d2._affine_a is None          # curved: no artifact
+            G1 = d1.laplacian_factors(None)
+            G2 = d2.laplacian_factors(None)
+            assert np.abs(np.asarray(G1) - np.asarray(G2)).max() == 0.0
+            return True
+
+        assert self._with_cache(tmp_path, run)
+
+    def test_coefficient_bypasses_fast_path(self, tmp_path):
+        mesh = rectangle_mesh(4, 3, 4)
+
+        def run():
+            d1 = Discretization(mesh, gll_basis_2d(4))
+            c = np.ones((d1.E,) + tuple(d1.shape)) * 2.0
+            G_direct = d1.laplacian_factors(c)
+            d2 = Discretization(mesh, gll_basis_2d(4))
+            G_coeff = d2.laplacian_factors(c)    # variable coefficient
+            assert np.allclose(np.asarray(G_coeff),
+                               np.asarray(G_direct), rtol=1e-13)
+            return True
+
+        assert self._with_cache(tmp_path, run)
