@@ -39,7 +39,7 @@ import numpy as np  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--its", type=int, default=30,
+    ap.add_argument("--its", type=int, default=48,
                     help="bounded CG iteration count for the agreement "
                          "check (full convergence at 1M f64 on one CPU "
                          "is not the point of this tier)")
@@ -47,7 +47,23 @@ def main():
     ap.add_argument("--order", type=int, default=2)
     ap.add_argument("--msh", default="/tmp/config5_1m.msh",
                     help="mesh file path (kept for re-runs)")
+    ap.add_argument("--trivial", action="store_true",
+                    help="linear BC data (round-4 behavior): converges "
+                         "in ~5 its because the data is nearly "
+                         "coarse-space.  Default is an oscillatory "
+                         "manufactured problem whose forcing has no "
+                         "coarse-space shortcut (VERDICT round-4 item "
+                         "4: the sharded smoother/coarse/halo must all "
+                         "do real work)")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent compilation + setup "
+                         "caches (cold-path measurement)")
     args = ap.parse_args()
+
+    if not args.no_cache:
+        from spectralelementmethod_tpu import config
+        config.enable_compilation_cache()
+        config.enable_setup_cache()
 
     import jax.numpy as jnp
 
@@ -92,27 +108,64 @@ def main():
                                     # (sem/grid_importers.py:221-270)
 
     t0 = time.perf_counter()
-    # panel=64: the cross-panel class offset is panel*n_slow + 1 =
-    # 65537 lanes, which must stay below the per-shard block
-    # (1M / 8 = 131072); panel=128 lands exactly ONE lane over
-    perm = pt.panel_order(n_fast=nx, n_slow=nx, panel=64)
+    # cross-panel class offset panel*n_slow + 1 must stay below the
+    # per-shard block nx*nx/8: panel = nx/16 (=64 at the headline
+    # nx=1024, where panel=128 lands exactly ONE lane over)
+    perm = pt.panel_order(n_fast=nx, n_slow=nx,
+                          panel=max(1, nx // 16))
     mesh = pt.reorder_elements(mesh, perm)
     phase("partition_s", t0)
 
     t0 = time.perf_counter()
     disc = Discretization(mesh, gll_basis_2d(p))
-    prob = Poisson(disc, dtype=np.float64)
-    prob.set_dirichlet("ebc", lambda x, y: 0.1 * (x + y))
+    if args.trivial:
+        prob = Poisson(disc, dtype=np.float64)
+        prob.set_dirichlet("ebc", lambda x, y: 0.1 * (x + y))
+    else:
+        # oscillatory manufactured problem with GRID-SCALED frequencies
+        # (content at ~1/8 and ~1/4 of the mesh Nyquist, 8-16 nodes per
+        # wavelength at p=2): fixed-frequency data becomes relatively
+        # smoother under refinement and converges in O(5) its at 1M —
+        # scaling the frequencies keeps genuine fine-scale content the
+        # coarse space cannot represent, so the sharded smoother /
+        # exact coarse / halo all do real work at every nx
+        k1, k2 = max(4, nx // 8), max(8, nx // 4)
+        prob = Poisson(
+            disc,
+            forcing=lambda x, y: (np.sin(k1 * np.pi * x)
+                                  * np.cos((k1 - 1) * np.pi * y)
+                                  + 0.3 * np.sin((k2 + 1) * np.pi * x)
+                                  * np.sin(k2 * np.pi * y)),
+            dtype=np.float64)
+        prob.set_dirichlet(
+            "ebc", lambda x, y: 0.1 * np.sin(3 * np.pi * (x + 0.7 * y)))
     phase("discretize_s", t0)
     out["n_nodes"] = disc.n_nodes
+    out["problem"] = "trivial-linear" if args.trivial else "oscillatory"
 
+    snap0 = dict(stages.snapshot())
     t0 = time.perf_counter()
     hmesh = sh.hybrid_device_mesh(n_slices=2)
     A, r, M, u_dL, ex, _ = sh.sharded_local_poisson_problem(
         prob, hmesh, comm="shardmap",
         precond={"pmg": {"degree": 7, "alpha": 30.0}})
+    shard_total = time.perf_counter() - t0
     phase("shard_setup_s", t0)
     out["coarse_kind"] = M._coarse_kind
+    # attribution (VERDICT round-4 item 5): split the shard-setup wall
+    # into exchange build / pmg build / everything else (XLA compiles +
+    # transfers) via the stage-accounting deltas
+    snap1 = stages.snapshot()
+    d_ex = snap1.get("exchange/build", 0.0) - snap0.get(
+        "exchange/build", 0.0)
+    d_pmg = snap1.get("precond/pmg-build", 0.0) - snap0.get(
+        "precond/pmg-build", 0.0)
+    out["shard_setup_breakdown"] = {
+        "exchange_build_s": round(d_ex, 1),
+        "pmg_build_s": round(d_pmg, 1),
+        "compile_transfer_other_s": round(
+            max(shard_total - d_ex - d_pmg, 0.0), 1),
+    }
 
     w = ex._weights_as(np.float64, transposed=True)
     t0 = time.perf_counter()
@@ -122,6 +175,25 @@ def main():
     phase("sharded_cg_s", t0)
     out["its"] = int(res.iterations)
     out["resnorm"] = float(res.residual_norm)
+
+    # weak-smoother arm (degree-1 Chebyshev, the weakest symmetric
+    # smoother): the
+    # production degree-7 pmg converges in ~5 its for ANY data at p=2
+    # (spectral equivalence, not a coarse-space shortcut — measured
+    # identical counts for linear and oscillatory data); this arm runs
+    # the same solve at 20-30+ iterations so the sharded smoother /
+    # exact coarse / halo composition is exercised across many cycles
+    # (VERDICT round-4 item 4)
+    t0 = time.perf_counter()
+    _, r3, M3, _, _, _ = sh.sharded_local_poisson_problem(
+        prob, hmesh, comm="shardmap",
+        precond={"pmg": {"degree": 1}})
+    res3 = cg(A, r3, M=M3, tol=1e-10, max_iter=max(args.its, 64),
+              dot_weight=w, block=max(args.its, 64))
+    res3.x.block_until_ready()
+    phase("weak_smoother_cg_s", t0)
+    out["its_weak"] = int(res3.iterations)
+    out["resnorm_weak"] = float(res3.residual_norm)
     u_sh = ex.global_from_local_T(np.asarray(u_dL + res.x))
 
     # identical single-device ladder (same padded exchange, same M)
