@@ -102,6 +102,42 @@ def numpy_reference_apply(u, gather, G, D, n_nodes, n_elems_sample):
     return time.perf_counter() - t0
 
 
+def _np_true_residual_3d(prob, disc, u):
+    """Relative TRUE residual of a 3D solve, evaluated in float64 host
+    numpy (assembled weak Laplacian via sum-factorized einsums +
+    bincount DSS).  An f32 recurrence cannot certify small tolerances
+    at 10M nodes (round-5a: the f32 evaluation floor) — this is the
+    3D twin of the 2D arm's f64 anchor, kept on host because one
+    untimed verification pass doesn't justify a device f64 operator."""
+    E = disc.E
+    shape = tuple(disc.shape)
+    D = np.asarray(disc.basis.subbases[0].D1, np.float64)
+    G = np.asarray(prob._G_host, np.float64).reshape((E, 6) + shape)
+    gather = np.asarray(disc.gather_nodes)
+
+    def apply64(ug):
+        ue = ug[gather].reshape((E,) + shape)
+        u0 = np.einsum("li,eijk->eljk", D, ue)
+        u1 = np.einsum("mj,eijk->eimk", D, ue)
+        u2 = np.einsum("nk,eijk->eijn", D, ue)
+        f0 = G[:, 0] * u0 + G[:, 1] * u1 + G[:, 2] * u2
+        f1 = G[:, 1] * u0 + G[:, 3] * u1 + G[:, 4] * u2
+        f2 = G[:, 2] * u0 + G[:, 4] * u1 + G[:, 5] * u2
+        v = (np.einsum("li,eljk->eijk", D, f0)
+             + np.einsum("mj,eimk->eijk", D, f1)
+             + np.einsum("nk,eijn->eijk", D, f2))
+        return np.bincount(gather.ravel(), weights=v.reshape(-1),
+                           minlength=disc.n_nodes)
+
+    free = ~prob._dirichlet_mask
+    b = np.asarray(prob._b, np.float64) + prob._neumann
+    u_d = np.where(prob._dirichlet_mask, prob._dirichlet_vals, 0.0)
+    r_true = np.where(free, b - apply64(np.asarray(u, np.float64)), 0.0)
+    r0 = np.where(free, b - apply64(u_d), 0.0)
+    return float(np.linalg.norm(r_true)
+                 / (np.linalg.norm(r0) + 1e-300))
+
+
 def main_3d(args, dtype):
     """3D hexahedral bench: box mesh, sum-factorized apply + plane-roll
     DSS on the (E, n) lexicographic L-vector path, preconditioned CG.
@@ -215,28 +251,44 @@ def main_3d(args, dtype):
     sol = prob.solve_local(tol=cg_tol, precond=args.precond)
     t_cg = time.perf_counter() - t0
 
-    # 3D converged-solve headline (VERDICT round-3 item 6): solve TO
-    # TOLERANCE with the two-level p-MG V-cycle (unified entry point,
-    # GridFDM3D exact tensor-lattice coarse solve on box meshes) and
-    # record wall-clock next to the jacobi throughput arm.
+    # 3D converged-solve headline (VERDICT round-3 item 6, round-5
+    # honesty fix): the same f64-anchored single-dispatch refinement as
+    # the 2D arm (an f32 recurrence cannot certify 1e-6 at 10.2M
+    # nodes), plus an independent host-numpy f64 certification of the
+    # returned solution.
+    def _run_converged_arm_3d():
+        tol_s = 1e-6
+        _progress("3D certified pmg solve warmup (compile + precond)")
+        sol_p = prob.solve_local(tol=tol_s, precond="pmg", certify=True)
+        _progress("3D certified pmg solve timing")
+        t0 = time.perf_counter()
+        sol_p = prob.solve_local(tol=tol_s, precond="pmg", certify=True)
+        t_solve = time.perf_counter() - t0
+        rs = sol_p.cg
+        _progress("3D f64 true-residual certification (host numpy)")
+        true_rel = _np_true_residual_3d(prob, disc, np.asarray(sol_p.u))
+        return {
+            "cg_solve_to_tol_s": round(t_solve, 3),
+            "cg_solve_to_tol": tol_s,
+            "cg_solve_to_tol_iters": int(rs.iterations),
+            "cg_solve_to_tol_issued": int(rs.issued),
+            # converged = the certified solve's f64-evaluated stop (its
+            # weighted norm); the host-numpy plain-L2 evaluation below
+            # is an independent cross-check in its own norm
+            "cg_solve_to_tol_converged": bool(rs.converged),
+            "cg_solve_to_tol_resnorm": float(rs.residual_norm),
+            "cg_solve_cycle_resnorms": [float(v) for v in
+                                        rs.cycle_resnorms],
+            "cg_solve_stalled": bool(rs.stalled),
+            "cg_solve_true_rel_resnorm_f64": true_rel,
+            "cg_solve_to_tol_precond":
+                "pmg+f64-anchored-refinement (solve_local certify)",
+        }
+
     solve_extra = {}
     if args.precond == "jacobi" and not args.smoke:
         try:
-            tol_s = 1e-6
-            _progress("3D pmg solve warmup (compile + precond build)")
-            sol_p = prob.solve_local(tol=tol_s, precond="pmg")
-            _progress("3D pmg solve timing")
-            t0 = time.perf_counter()
-            sol_p = prob.solve_local(tol=tol_s, precond="pmg")
-            t_solve = time.perf_counter() - t0
-            solve_extra = {
-                "cg_solve_to_tol_s": round(t_solve, 3),
-                "cg_solve_to_tol": tol_s,
-                "cg_solve_to_tol_iters": int(sol_p.cg.iterations),
-                "cg_solve_to_tol_converged": bool(sol_p.cg.converged),
-                "cg_solve_to_tol_resnorm": float(sol_p.cg.residual_norm),
-                "cg_solve_to_tol_precond": "pmg",
-            }
+            solve_extra = _run_converged_arm_3d()
         except Exception as e:               # noqa: BLE001
             _progress(f"3D converged-solve arm skipped: {e}")
 
@@ -755,54 +807,57 @@ def main():
     # (two Pallas kernels per iteration, bf16 direction/aux storage) — the
     # measured-fastest solve configuration on affine meshes (BASELINE.md
     # round-2 table).  Only on a real TPU (interpret mode would crawl).
+    def _run_fused_arm():
+        from spectralelementmethod_tpu.ops import pallas_kernels
+        from spectralelementmethod_tpu.solver.cg import cg_fused
+
+        if not pallas_kernels.supported():
+            raise RuntimeError("no TPU (interpret mode skipped)")
+        Gf_p = sumfac._pad_factors_to_exchange(
+            Gf.astype(np.float32), ex)
+        Wg = disc.basis.weight_grid().reshape(-1)
+        a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wg)
+        if not exact_aff:
+            raise RuntimeError("mesh not affine")
+        Kcat = sumfac.make_affine_element_matrices(
+            Dhat, Wg, order=ex.hier)
+        kA_x, kB_x, _ = pallas_kernels.make_fused_cg_kernels(
+            ex, Kcat, a_f, precision="high",
+            p_dtype=jnp.bfloat16)
+        inv_x = jnp.where(
+            free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
+        ).astype(jnp.bfloat16)
+        wf_x = jnp.where(
+            free, ex._weights_as(np.float32, transposed=True), 0.0
+        ).astype(jnp.bfloat16)
+
+        def run_cg_fused():
+            return cg_fused(kA_x, kB_x, r_cg, inv=inv_x, w_free=wf_x,
+                            tol=cg_tol, max_iter=cg_iters,
+                            block=cg_iters, p_dtype=jnp.bfloat16)
+
+        _progress("fused-bf16p cg warmup (compile)")
+        rf = run_cg_fused()
+        rf.x.block_until_ready()
+        _progress("fused-bf16p cg timing")
+        t0 = time.perf_counter()
+        rf = run_cg_fused()
+        rf.x.block_until_ready()
+        t_cg_f = time.perf_counter() - t0
+        return {
+            "cg_ms_per_iter_fused_bf16p": round(
+                t_cg_f * 1e3 / max(int(rf.iterations), 1), 3),
+            "cg_wallclock_s_fused_bf16p": round(t_cg_f, 3),
+            "cg_iters_fused_bf16p": int(rf.iterations),
+            "cg_resnorm_fused_bf16p": float(rf.residual_norm),
+        }
+
     fused_extra = {}
     if (args.cg_mode == "plain" and args.precond == "jacobi"
             and args.kernel in ("local", "xla-local") and args.nrhs == 1
             and not args.smoke and dtype == np.float32 and transposed):
         try:
-            from spectralelementmethod_tpu.ops import pallas_kernels
-            from spectralelementmethod_tpu.solver.cg import cg_fused
-
-            if not pallas_kernels.supported():
-                raise RuntimeError("no TPU (interpret mode skipped)")
-            Gf_p = sumfac._pad_factors_to_exchange(
-                Gf.astype(np.float32), ex)
-            Wg = disc.basis.weight_grid().reshape(-1)
-            a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wg)
-            if not exact_aff:
-                raise RuntimeError("mesh not affine")
-            Kcat = sumfac.make_affine_element_matrices(
-                Dhat, Wg, order=ex.hier)
-            kA_x, kB_x, _ = pallas_kernels.make_fused_cg_kernels(
-                ex, Kcat, a_f, precision="high",
-                p_dtype=jnp.bfloat16)
-            inv_x = jnp.where(
-                free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
-            ).astype(jnp.bfloat16)
-            wf_x = jnp.where(
-                free, ex._weights_as(np.float32, transposed=True), 0.0
-            ).astype(jnp.bfloat16)
-
-            def run_cg_fused():
-                return cg_fused(kA_x, kB_x, r_cg, inv=inv_x, w_free=wf_x,
-                                tol=cg_tol, max_iter=cg_iters,
-                                block=cg_iters, p_dtype=jnp.bfloat16)
-
-            _progress("fused-bf16p cg warmup (compile)")
-            rf = run_cg_fused()
-            rf.x.block_until_ready()
-            _progress("fused-bf16p cg timing")
-            t0 = time.perf_counter()
-            rf = run_cg_fused()
-            rf.x.block_until_ready()
-            t_cg_f = time.perf_counter() - t0
-            fused_extra = {
-                "cg_ms_per_iter_fused_bf16p": round(
-                    t_cg_f * 1e3 / max(int(rf.iterations), 1), 3),
-                "cg_wallclock_s_fused_bf16p": round(t_cg_f, 3),
-                "cg_iters_fused_bf16p": int(rf.iterations),
-                "cg_resnorm_fused_bf16p": float(rf.residual_norm),
-            }
+            fused_extra = _run_fused_arm()
         except Exception as e:               # noqa: BLE001
             _progress(f"fused-CG arm skipped: {e}")
 
@@ -810,68 +865,85 @@ def main():
     # batched multi-RHS fused CG at its measured-best configuration
     # (--nrhs 4 --cg-mode fused-bf16p --defer-x 8 = 0.473 ms/iter/RHS at
     # 100k, BASELINE.md round-3e) — the driver-visible scoreboard now
-    # carries the per-RHS throughput record every round.
+    # carries the per-RHS throughput record every round.  Runs in its
+    # own function scope so a failed arm's device arrays are freed
+    # (an OOM'd k=4 stack leaking into later arms took the 1M
+    # converged arm down with it).
+    def _run_batched_arm():
+        from spectralelementmethod_tpu.ops import pallas_kernels
+        from spectralelementmethod_tpu.solver.cg import cg_fused_batched
+
+        if not pallas_kernels.supported():
+            raise RuntimeError("no TPU (interpret mode skipped)")
+        # k=4/m=8 is the 100k record config; in the HBM residency
+        # regime (1M) even a k=2 stack next to the other arms' state
+        # exhausts the 16 GB HBM (measured: both k=4 and k=2 OOM'd
+        # mid-arm) — skip, the standalone 1M batched record is
+        # BASELINE.md round-3b (k=2: 5.55 ms/iter/RHS)
+        from spectralelementmethod_tpu.solver.cg import (
+            hbm_residency_regime)
+
+        if hbm_residency_regime(E, n_loc):
+            raise RuntimeError(
+                "HBM-residency regime: batched arm needs the chip to "
+                "itself (standalone record: BASELINE round-3b)")
+        k_b = 4
+        m_b = 8
+        Gf_p = sumfac._pad_factors_to_exchange(
+            Gf.astype(np.float32), ex)
+        Wg = disc.basis.weight_grid().reshape(-1)
+        a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wg)
+        if not exact_aff:
+            raise RuntimeError("mesh not affine")
+        Kcat = sumfac.make_affine_element_matrices(
+            Dhat, Wg, order=ex.hier)
+        kA_b, kB_b, _ = pallas_kernels.make_fused_cg_kernels_batched(
+            ex, Kcat, a_f, n_rhs=k_b, precision="high",
+            p_dtype=jnp.bfloat16, defer_x=True)
+        inv_b = jnp.where(
+            free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
+        ).astype(jnp.bfloat16)
+        wf_b = jnp.where(
+            free, ex._weights_as(np.float32, transposed=True), 0.0
+        ).astype(jnp.bfloat16)
+        rng_b = np.random.RandomState(7)
+        R_b = jnp.stack([r_cg] + [
+            jnp.where(free, jnp.asarray(
+                rng_b.standard_normal(r_cg.shape).astype(dtype)),
+                0.0)
+            for _ in range(k_b - 1)])
+
+        def run_cg_batched():
+            return cg_fused_batched(
+                kA_b, kB_b, R_b, inv=inv_b, w_free=wf_b,
+                tol=cg_tol, max_iter=cg_iters, block=cg_iters,
+                p_dtype=jnp.bfloat16, defer_x=m_b)
+
+        _progress("batched fused-bf16p cg warmup (compile)")
+        rb = run_cg_batched()
+        rb.x.block_until_ready()
+        _progress("batched fused-bf16p cg timing")
+        t0 = time.perf_counter()
+        rb = run_cg_batched()
+        rb.x.block_until_ready()
+        t_cg_b = time.perf_counter() - t0
+        it_b = max(int(np.max(np.asarray(rb.iterations))), 1)
+        den_b = max(int(rb.issued), it_b)
+        return {
+            "cg_ms_per_iter_per_rhs_batched": round(
+                t_cg_b * 1e3 / den_b / k_b, 3),
+            "cg_wallclock_s_batched": round(t_cg_b, 3),
+            "cg_iters_batched": it_b,
+            "cg_nrhs_batched": k_b,
+            "cg_defer_x_batched": m_b,
+        }
+
     batched_extra = {}
     if (args.cg_mode == "plain" and args.precond == "jacobi"
             and args.kernel in ("local", "xla-local") and args.nrhs == 1
             and not args.smoke and dtype == np.float32 and transposed):
         try:
-            from spectralelementmethod_tpu.ops import pallas_kernels
-            from spectralelementmethod_tpu.solver.cg import (
-                cg_fused_batched)
-
-            if not pallas_kernels.supported():
-                raise RuntimeError("no TPU (interpret mode skipped)")
-            k_b = 4
-            m_b = 8
-            Gf_p = sumfac._pad_factors_to_exchange(
-                Gf.astype(np.float32), ex)
-            Wg = disc.basis.weight_grid().reshape(-1)
-            a_f, exact_aff = sumfac.affine_factorization(Gf_p, Wg)
-            if not exact_aff:
-                raise RuntimeError("mesh not affine")
-            Kcat = sumfac.make_affine_element_matrices(
-                Dhat, Wg, order=ex.hier)
-            kA_b, kB_b, _ = pallas_kernels.make_fused_cg_kernels_batched(
-                ex, Kcat, a_f, n_rhs=k_b, precision="high",
-                p_dtype=jnp.bfloat16, defer_x=True)
-            inv_b = jnp.where(
-                free, 1.0 / jnp.where(diagL != 0, diagL, 1.0), 0.0
-            ).astype(jnp.bfloat16)
-            wf_b = jnp.where(
-                free, ex._weights_as(np.float32, transposed=True), 0.0
-            ).astype(jnp.bfloat16)
-            rng_b = np.random.RandomState(7)
-            R_b = jnp.stack([r_cg] + [
-                jnp.where(free, jnp.asarray(
-                    rng_b.standard_normal(r_cg.shape).astype(dtype)),
-                    0.0)
-                for _ in range(k_b - 1)])
-
-            def run_cg_batched():
-                return cg_fused_batched(
-                    kA_b, kB_b, R_b, inv=inv_b, w_free=wf_b,
-                    tol=cg_tol, max_iter=cg_iters, block=cg_iters,
-                    p_dtype=jnp.bfloat16, defer_x=m_b)
-
-            _progress("batched fused-bf16p cg warmup (compile)")
-            rb = run_cg_batched()
-            rb.x.block_until_ready()
-            _progress("batched fused-bf16p cg timing")
-            t0 = time.perf_counter()
-            rb = run_cg_batched()
-            rb.x.block_until_ready()
-            t_cg_b = time.perf_counter() - t0
-            it_b = max(int(np.max(np.asarray(rb.iterations))), 1)
-            den_b = max(int(rb.issued), it_b)
-            batched_extra = {
-                "cg_ms_per_iter_per_rhs_batched": round(
-                    t_cg_b * 1e3 / den_b / k_b, 3),
-                "cg_wallclock_s_batched": round(t_cg_b, 3),
-                "cg_iters_batched": it_b,
-                "cg_nrhs_batched": k_b,
-                "cg_defer_x_batched": m_b,
-            }
+            batched_extra = _run_batched_arm()
         except Exception as e:               # noqa: BLE001
             _progress(f"batched fused-CG arm skipped: {e}")
 
@@ -913,87 +985,112 @@ def main():
     # (which does NOT converge at bench scale); this arm solves the same
     # system TO TOLERANCE with the best preconditioner (two-level p-MG,
     # exact tensor-grid coarse solve) and reports wall-clock.
+    def _run_converged_arm():
+        from spectralelementmethod_tpu.solver.pmg import (
+            make_pmg_preconditioner)
+
+        from spectralelementmethod_tpu.solver.cg import cg_refined_static
+
+        # factory defaults (p_coarse=1): measured-best, see the
+        # --precond pmg branch note
+        M_pmg = make_pmg_preconditioner(
+            disc, ex, Gf, A_cg, ~prob._dirichlet_mask,
+            np.asarray(prob.operator_diagonal()))
+        tol_s = 1e-6
+
+        # Single-dispatch mixed-precision refined solve (round-5
+        # root cause, BASELINE.md round-5a): the f32 apply's ~5
+        # eps32 per-entry rounding floors any f32-evaluated
+        # residual near 1e-5 RELATIVE at 6.4M DOFs, so an f32-only
+        # arm either stalls (honest refinement, BENCH_r04) or
+        # false-converges on the recurrence residual (the old
+        # "green" plain arm).  cg_refined_static re-anchors the
+        # inner f32 pmg-CG segments against the f64-evaluated true
+        # residual inside ONE jitted program — converged here
+        # means certified at f64.
+        _progress("f64 anchor operator build")
+        with jax.enable_x64():
+            Gf64 = np.asarray(prob._G_host, np.float64).reshape(
+                E, 3, -1)
+            A_hi = sumfac.make_local_laplacian_operator(
+                ex, Gf64, np.asarray(Dhat, np.float64), free,
+                backend="xla", precision="highest",
+                vector_layout="ne", assume_masked_input=True)
+            u_d_np = np.where(prob._dirichlet_mask,
+                              prob._dirichlet_vals, 0.0)
+            bL64 = jnp.asarray(np.ascontiguousarray(
+                ex.local_from_global(np.asarray(prob._b))
+                .astype(np.float64).T), jnp.float64)
+            u_dL64 = jnp.asarray(np.ascontiguousarray(
+                ex.local_from_global(u_d_np)
+                .astype(np.float64).T), jnp.float64)
+            r_hi = jax.jit(
+                lambda f, b, u: jnp.where(f, b - A_hi(u), 0.0))(
+                    free, bL64, u_dL64)
+            r_hi.block_until_ready()
+            # the lifted-BC staging vectors are dead once r_hi exists:
+            # 1.4 GB of f64 HBM at 1M elements
+            del bL64, u_dL64
+
+        # the single-program solve inlines a _no_hoist (fused Pallas)
+        # operator's operands as HLO literals once per segment — at 1M
+        # that blew the remote-compile transport (HTTP 413).  The HBM
+        # regime swaps in the hoistable XLA operator for the OUTER
+        # iteration only (the V-cycle dominates per-iteration cost;
+        # its own Pallas operands ride hoist_closure's runtime args).
+        from spectralelementmethod_tpu.solver.cg import (
+            hbm_residency_regime)
+
+        if hbm_residency_regime(E, n_loc):
+            A_solve = sumfac.make_local_laplacian_operator(
+                ex, Gf, Dhat, free, backend="xla",
+                precision="highest", vector_layout=vlayout,
+                assume_masked_input=True)
+        else:
+            A_solve = A_cg
+
+        def run_solve():
+            return cg_refined_static(
+                A_solve, r_hi, A_hi=A_hi, M=M_pmg, tol=tol_s,
+                schedule=(64, 32, 32, 64), dot_weight=dw)
+
+        _progress("pmg solve warmup (compile)")
+        rs = run_solve()
+        rs.x.block_until_ready()
+        _progress("pmg solve timing")
+        t0 = time.perf_counter()
+        rs = run_solve()
+        rs.x.block_until_ready()
+        t_solve = time.perf_counter() - t0
+        return {
+            "cg_solve_to_tol_s": round(t_solve, 3),
+            "cg_solve_to_tol": tol_s,
+            "cg_solve_to_tol_iters": int(rs.iterations),
+            # V-cycles actually EXECUTED (incl. frozen ladder tail)
+            # + per-cycle true resnorms + stall flag: a red arm is
+            # diagnosable from the artifact alone (VERDICT r4 #3)
+            "cg_solve_to_tol_issued": int(rs.issued),
+            "cg_solve_to_tol_converged": bool(rs.converged),
+            "cg_solve_to_tol_resnorm": float(rs.residual_norm),
+            "cg_solve_cycle_resnorms": [float(v) for v in
+                                        rs.cycle_resnorms],
+            "cg_solve_stalled": bool(rs.stalled),
+            "cg_solve_schedule": [64, 32, 32, 64],
+            "cg_solve_to_tol_precond":
+                f"pmg/{M_pmg._coarse_kind}-coarse"
+                "+f64-anchored-refinement",
+        }
+
     solve_extra = {}
     if (args.cg_mode == "plain" and args.precond == "jacobi"
             and args.kernel in ("local", "xla-local") and args.nrhs == 1
             and not args.smoke and dtype == np.float32 and transposed):
+        # HBM diet: the f64 anchor + solve state at 1M need the space
+        # these now-dead device arrays hold (timing chain input, lifted
+        # BC staging); at 100k it is harmless
+        vec0 = vec_timed = bL = u_dL = None  # noqa: F841
         try:
-            from spectralelementmethod_tpu.solver.pmg import (
-                make_pmg_preconditioner)
-
-            from spectralelementmethod_tpu.solver.cg import (
-                cg_refined_static)
-
-            _progress("pmg preconditioner build")
-            # factory defaults (p_coarse=1): measured-best, see the
-            # --precond pmg branch note
-            M_pmg = make_pmg_preconditioner(
-                disc, ex, Gf, A_cg, ~prob._dirichlet_mask,
-                np.asarray(prob.operator_diagonal()))
-            tol_s = 1e-6
-
-            # Single-dispatch mixed-precision refined solve (round-5
-            # root cause, BASELINE.md round-5a): the f32 apply's ~5
-            # eps32 per-entry rounding floors any f32-evaluated
-            # residual near 1e-5 RELATIVE at 6.4M DOFs, so an f32-only
-            # arm either stalls (honest refinement, BENCH_r04) or
-            # false-converges on the recurrence residual (the old
-            # "green" plain arm).  cg_refined_static re-anchors the
-            # inner f32 pmg-CG segments against the f64-evaluated true
-            # residual inside ONE jitted program — converged here
-            # means certified at f64.
-            _progress("f64 anchor operator build")
-            with jax.enable_x64():
-                Gf64 = np.asarray(prob._G_host, np.float64).reshape(
-                    E, 3, -1)
-                A_hi = sumfac.make_local_laplacian_operator(
-                    ex, Gf64, np.asarray(Dhat, np.float64), free,
-                    backend="xla", precision="highest",
-                    vector_layout="ne", assume_masked_input=True)
-                u_d_np = np.where(prob._dirichlet_mask,
-                                  prob._dirichlet_vals, 0.0)
-                bL64 = jnp.asarray(np.ascontiguousarray(
-                    ex.local_from_global(np.asarray(prob._b))
-                    .astype(np.float64).T), jnp.float64)
-                u_dL64 = jnp.asarray(np.ascontiguousarray(
-                    ex.local_from_global(u_d_np)
-                    .astype(np.float64).T), jnp.float64)
-                r_hi = jax.jit(
-                    lambda f, b, u: jnp.where(f, b - A_hi(u), 0.0))(
-                        free, bL64, u_dL64)
-                r_hi.block_until_ready()
-
-            def run_solve():
-                return cg_refined_static(
-                    A_cg, r_hi, A_hi=A_hi, M=M_pmg, tol=tol_s,
-                    schedule=(64, 32, 32, 64), dot_weight=dw)
-
-            _progress("pmg solve warmup (compile)")
-            rs = run_solve()
-            rs.x.block_until_ready()
-            _progress("pmg solve timing")
-            t0 = time.perf_counter()
-            rs = run_solve()
-            rs.x.block_until_ready()
-            t_solve = time.perf_counter() - t0
-            solve_extra = {
-                "cg_solve_to_tol_s": round(t_solve, 3),
-                "cg_solve_to_tol": tol_s,
-                "cg_solve_to_tol_iters": int(rs.iterations),
-                # V-cycles actually EXECUTED (incl. frozen ladder tail)
-                # + per-cycle true resnorms + stall flag: a red arm is
-                # diagnosable from the artifact alone (VERDICT r4 #3)
-                "cg_solve_to_tol_issued": int(rs.issued),
-                "cg_solve_to_tol_converged": bool(rs.converged),
-                "cg_solve_to_tol_resnorm": float(rs.residual_norm),
-                "cg_solve_cycle_resnorms": [float(v) for v in
-                                            rs.cycle_resnorms],
-                "cg_solve_stalled": bool(rs.stalled),
-                "cg_solve_schedule": [64, 32, 32, 64],
-                "cg_solve_to_tol_precond":
-                    f"pmg/{M_pmg._coarse_kind}-coarse"
-                    "+f64-anchored-refinement",
-            }
+            solve_extra = _run_converged_arm()
         except Exception as e:               # noqa: BLE001
             _progress(f"converged-solve arm skipped: {e}")
 

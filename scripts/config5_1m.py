@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the persistent compilation + setup "
                          "caches (cold-path measurement)")
+    ap.add_argument("--reuse-msh", action="store_true",
+                    help="skip generate+save when --msh already exists "
+                         "(warm-path measurement: the 1M writer alone "
+                         "is ~4 min)")
     args = ap.parse_args()
 
     if not args.no_cache:
@@ -90,22 +94,23 @@ def main():
 
     nx = args.nx
     p = args.order
-    t0 = time.perf_counter()
-    mesh0 = rectangle_mesh(nx, nx, p)
-    phase("generate_s", t0)
-    out["elements"] = mesh0.n_cells
-    assert mesh0.n_cells == nx * nx
+    if not (args.reuse_msh and os.path.exists(args.msh)):
+        t0 = time.perf_counter()
+        mesh0 = rectangle_mesh(nx, nx, p)
+        phase("generate_s", t0)
+        assert mesh0.n_cells == nx * nx
 
-    t0 = time.perf_counter()
-    save_msh(mesh0, args.msh, binary=True)
-    phase("save_msh_s", t0)
+        t0 = time.perf_counter()
+        save_msh(mesh0, args.msh, binary=True)
+        phase("save_msh_s", t0)
+        del mesh0
     out["msh_bytes"] = os.path.getsize(args.msh)
-    del mesh0
 
     t0 = time.perf_counter()
     mesh = load_msh(args.msh)
     phase("import_s", t0)           # the reference-role serial scan
                                     # (sem/grid_importers.py:221-270)
+    out["elements"] = mesh.n_cells
 
     t0 = time.perf_counter()
     # cross-panel class offset panel*n_slow + 1 must stay below the
