@@ -260,15 +260,34 @@ def main_3d(args, dtype):
         tol_s = 1e-6
         _progress("3D certified pmg solve warmup (compile + precond)")
         sol_p = prob.solve_local(tol=tol_s, precond="pmg", certify=True)
-        _progress("3D certified pmg solve timing")
+        _progress("3D certified pmg solve timing (end-to-end API)")
         t0 = time.perf_counter()
         sol_p = prob.solve_local(tol=tol_s, precond="pmg", certify=True)
+        t_e2e = time.perf_counter() - t0
+        # solve-only timing (excl. the ~57 MB host materialization of
+        # u through the remote tunnel; see the 2D arm note)
+        from spectralelementmethod_tpu.solver.cg import cg_refined_static
+
+        ctx3 = prob._local_setup_3d("pmg")
+        _vk, u_dL64_3, r_hi_3 = prob.__dict__["_vec3d_hi"]
+        A_hi3 = prob._op_cache[("A_hi3d",)]
+        w3c = prob._op_cache[("w_cert3d",)]
+
+        def run_solve():
+            return cg_refined_static(ctx3["A"], r_hi_3, A_hi=A_hi3,
+                                     M=ctx3["M"], tol=tol_s,
+                                     dot_weight=w3c)
+
+        _progress("3D certified pmg solve timing (solve-only)")
+        t0 = time.perf_counter()
+        rs = run_solve()
+        rs.x.block_until_ready()
         t_solve = time.perf_counter() - t0
-        rs = sol_p.cg
         _progress("3D f64 true-residual certification (host numpy)")
         true_rel = _np_true_residual_3d(prob, disc, np.asarray(sol_p.u))
         return {
             "cg_solve_to_tol_s": round(t_solve, 3),
+            "cg_solve_end_to_end_s": round(t_e2e, 3),
             "cg_solve_to_tol": tol_s,
             "cg_solve_to_tol_iters": int(rs.iterations),
             "cg_solve_to_tol_issued": int(rs.issued),
@@ -986,84 +1005,51 @@ def main():
     # system TO TOLERANCE with the best preconditioner (two-level p-MG,
     # exact tensor-grid coarse solve) and reports wall-clock.
     def _run_converged_arm():
-        from spectralelementmethod_tpu.solver.pmg import (
-            make_pmg_preconditioner)
-
+        # Single-dispatch mixed-precision refined solve through the
+        # USER API (round-5 root cause, BASELINE.md round-5a): the f32
+        # apply's ~5 eps32 per-entry rounding floors any f32-evaluated
+        # residual near 1e-5 RELATIVE at 6.4M DOFs, so an f32-only arm
+        # either stalls (honest refinement, BENCH_r04) or
+        # false-converges on the recurrence residual (the old "green"
+        # plain arm).  solve_local(certify=True) re-anchors the inner
+        # f32 pmg-CG segments against the f64-evaluated true residual
+        # (exact rank-1 f64 anchor factors on affine meshes) — 
+        # converged here means certified at f64.
+        tol_s = 1e-6
+        _progress("certified pmg solve warmup (precond + f64 anchor "
+                  "+ compile)")
+        sol_p = prob.solve_local(tol=tol_s, precond="pmg", certify=True)
+        _progress("certified pmg solve timing (end-to-end API)")
+        t0 = time.perf_counter()
+        sol_p = prob.solve_local(tol=tol_s, precond="pmg", certify=True)
+        t_e2e = time.perf_counter() - t0
+        # solve-only timing (comparable to the r2-r4 records): same
+        # cached pieces the API call used, without materializing u on
+        # the host — through the remote tunnel that pull is a ~1.3 s /
+        # 33 MB transfer, not solver work (on a co-located host it is
+        # ~30 ms)
         from spectralelementmethod_tpu.solver.cg import cg_refined_static
 
-        # factory defaults (p_coarse=1): measured-best, see the
-        # --precond pmg branch note
-        M_pmg = make_pmg_preconditioner(
-            disc, ex, Gf, A_cg, ~prob._dirichlet_mask,
-            np.asarray(prob.operator_diagonal()))
-        tol_s = 1e-6
-
-        # Single-dispatch mixed-precision refined solve (round-5
-        # root cause, BASELINE.md round-5a): the f32 apply's ~5
-        # eps32 per-entry rounding floors any f32-evaluated
-        # residual near 1e-5 RELATIVE at 6.4M DOFs, so an f32-only
-        # arm either stalls (honest refinement, BENCH_r04) or
-        # false-converges on the recurrence residual (the old
-        # "green" plain arm).  cg_refined_static re-anchors the
-        # inner f32 pmg-CG segments against the f64-evaluated true
-        # residual inside ONE jitted program — converged here
-        # means certified at f64.
-        _progress("f64 anchor operator build")
-        with jax.enable_x64():
-            Gf64 = np.asarray(prob._G_host, np.float64).reshape(
-                E, 3, -1)
-            A_hi = sumfac.make_local_laplacian_operator(
-                ex, Gf64, np.asarray(Dhat, np.float64), free,
-                backend="xla", precision="highest",
-                vector_layout="ne", assume_masked_input=True)
-            u_d_np = np.where(prob._dirichlet_mask,
-                              prob._dirichlet_vals, 0.0)
-            bL64 = jnp.asarray(np.ascontiguousarray(
-                ex.local_from_global(np.asarray(prob._b))
-                .astype(np.float64).T), jnp.float64)
-            u_dL64 = jnp.asarray(np.ascontiguousarray(
-                ex.local_from_global(u_d_np)
-                .astype(np.float64).T), jnp.float64)
-            r_hi = jax.jit(
-                lambda f, b, u: jnp.where(f, b - A_hi(u), 0.0))(
-                    free, bL64, u_dL64)
-            r_hi.block_until_ready()
-            # the lifted-BC staging vectors are dead once r_hi exists:
-            # 1.4 GB of f64 HBM at 1M elements
-            del bL64, u_dL64
-
-        # the single-program solve inlines a _no_hoist (fused Pallas)
-        # operator's operands as HLO literals once per segment — at 1M
-        # that blew the remote-compile transport (HTTP 413).  The HBM
-        # regime swaps in the hoistable XLA operator for the OUTER
-        # iteration only (the V-cycle dominates per-iteration cost;
-        # its own Pallas operands ride hoist_closure's runtime args).
-        from spectralelementmethod_tpu.solver.cg import (
-            hbm_residency_regime)
-
-        if hbm_residency_regime(E, n_loc):
-            A_solve = sumfac.make_local_laplacian_operator(
-                ex, Gf, Dhat, free, backend="xla",
-                precision="highest", vector_layout=vlayout,
-                assume_masked_input=True)
-        else:
-            A_solve = A_cg
+        ctx_c = prob._local_setup("pmg", "auto", None, "auto")
+        vl = ctx_c["vector_layout"]
+        _vk, u_dL64_c, r_hi_c = prob.__dict__["_vec2d_hi"]
+        A_hi_c = prob._op_cache[("A_hi", vl)]
+        w_c = prob._op_cache[("w_cert", vl)]
+        A_c2 = prob._op_cache.get(("A_xla_cert", vl), ctx_c["A"])
 
         def run_solve():
-            return cg_refined_static(
-                A_solve, r_hi, A_hi=A_hi, M=M_pmg, tol=tol_s,
-                schedule=(64, 32, 32, 64), dot_weight=dw)
+            return cg_refined_static(A_c2, r_hi_c, A_hi=A_hi_c,
+                                     M=ctx_c["M"], tol=tol_s,
+                                     dot_weight=w_c)
 
-        _progress("pmg solve warmup (compile)")
-        rs = run_solve()
-        rs.x.block_until_ready()
-        _progress("pmg solve timing")
+        _progress("certified pmg solve timing (solve-only)")
         t0 = time.perf_counter()
         rs = run_solve()
         rs.x.block_until_ready()
         t_solve = time.perf_counter() - t0
         return {
             "cg_solve_to_tol_s": round(t_solve, 3),
+            "cg_solve_end_to_end_s": round(t_e2e, 3),
             "cg_solve_to_tol": tol_s,
             "cg_solve_to_tol_iters": int(rs.iterations),
             # V-cycles actually EXECUTED (incl. frozen ladder tail)
@@ -1077,8 +1063,7 @@ def main():
             "cg_solve_stalled": bool(rs.stalled),
             "cg_solve_schedule": [64, 32, 32, 64],
             "cg_solve_to_tol_precond":
-                f"pmg/{M_pmg._coarse_kind}-coarse"
-                "+f64-anchored-refinement",
+                "pmg+f64-anchored-refinement (solve_local certify)",
         }
 
     solve_extra = {}

@@ -480,9 +480,12 @@ class Poisson(BoundaryConditionMixin):
         tolerance is not evidence.  The certified path runs
         :func:`..solver.cg.cg_refined_static`: inner f32 PCG segments
         re-anchored on a float64 operator (same factor values) inside
-        one jitted program, ~2-3 f64 applies total.  The returned
-        ``u`` is float64 and ``cg.converged`` refers to the f64
-        residual.  On float64 models ``certify`` is a no-op (the plain
+        one jitted program, ~2-3 f64 applies total.  ``cg.converged``
+        and ``cg.residual_norm`` refer to the f64-evaluated residual;
+        ``u`` is returned at the model dtype (digits below the
+        certified tolerance don't survive it anyway, and the f64 pull
+        doubles the device->host transfer).  On float64 models
+        ``certify`` is a no-op (the plain
         residual is already evaluated in f64).  Ignores
         ``cg_kernel``/``p_dtype``/``defer_x`` (the inner solver is the
         plain path) and requires ``host_loop=False``.
@@ -564,18 +567,21 @@ class Poisson(BoundaryConditionMixin):
         free_local = ctx["free_local"]
         Gf, Dhat = ctx["Gf"], ctx["Dhat"]
 
+        if certify and np.dtype(self.dtype) == np.float32:
+            # before the f32 rhs staging: the certified path builds its
+            # own f64 seed (re-uploading unused f32 L-vectors per call
+            # costs seconds through a remote tunnel)
+            if host_loop:
+                raise ValueError("certify=True is a device path "
+                                 "(host_loop=False)")
+            return self._certified_solve_2d(ctx, tol)
+
         # rhs and Dirichlet lift in local form
         b = np.asarray(self._b) + self._neumann
         u_d = np.where(self._dirichlet_mask, self._dirichlet_vals, 0.0)
         bL = to_local(b)
         u_dL = to_local(u_d)
         r = _masked_residual(A_raw, free_local, bL, u_dL)
-
-        if certify and np.dtype(self.dtype) == np.float32:
-            if host_loop:
-                raise ValueError("certify=True is a device path "
-                                 "(host_loop=False)")
-            return self._certified_solve_2d(ctx, tol)
 
         if max_iter is None:
             max_iter = max(200, 20 * int(np.sqrt(disc.ndof)))
@@ -998,8 +1004,21 @@ class Poisson(BoundaryConditionMixin):
             key = ("A_hi", vlayout)
             A_hi = self._op_cache.get(key)
             if A_hi is None:
-                Gf64 = np.asarray(self._G_host, np.float64).reshape(
-                    disc.E, 3, -1)
+                Gf32 = self._G_host.reshape(disc.E, 3, -1)
+                W = np.asarray(disc.basis.weight_grid(),
+                               np.float64).reshape(-1)
+                a32, exact = sumfac.affine_factorization(Gf32, W)
+                if exact:
+                    # affine f32 system: its factors ARE fl32(a) x W —
+                    # reconstruct them as an EXACT rank-1 f64 field, so
+                    # the f64 factory compresses back to (E, 3) scalars
+                    # (a raw f32->f64 upcast carries per-entry rounding
+                    # that fails the f64-tolerance affine detector and
+                    # silently keeps 2 GB general slabs at 1M)
+                    Gf64 = (np.asarray(a32, np.float64)[:, :, None]
+                            * W[None, None, :])
+                else:
+                    Gf64 = np.asarray(Gf32, np.float64)
                 A_hi = self._op_cache[key] = \
                     sumfac.make_local_laplacian_operator(
                         ex, Gf64, np.asarray(Dhat, np.float64),
@@ -1026,11 +1045,21 @@ class Poisson(BoundaryConditionMixin):
                 bL64, u_dL64 = to64(b), to64(u_d)
                 r_hi = _masked_residual(A_hi, free_local, bL64, u_dL64)
                 self.__dict__["_vec2d_hi"] = (vkey, u_dL64, r_hi)
-        w = ex._weights_as(np.float32, transposed=transposed)
+        # device-resident dot weights: a host array would re-upload
+        # through the tunnel on every solve
+        wkey = ("w_cert", vlayout)
+        w = self._op_cache.get(wkey)
+        if w is None:
+            w = self._op_cache[wkey] = jnp.asarray(
+                ex._weights_as(np.float32, transposed=transposed))
         res = cg_refined_static(A, r_hi, A_hi=A_hi, M=M, tol=tol,
                                 dot_weight=w)
         with jax.enable_x64():
-            uL = np.asarray(u_dL64 + res.x)
+            # materialize at model dtype: the CERTIFICATE is the f64
+            # residual already in `res`; pulling the f64 iterate
+            # doubles a 30+ MB device->host transfer for digits below
+            # the certified tolerance
+            uL = np.asarray((u_dL64 + res.x).astype(self.dtype))
         u = (ex.global_from_local_T(uL) if transposed
              else ex.global_from_local(uL))
         return PoissonSolution(u, res)
@@ -1109,11 +1138,15 @@ class Poisson(BoundaryConditionMixin):
                     ex.local_from_global(u_d_np).astype(np.float64))
                 r_hi = _masked_residual(A_hi, free, bL64, u_dL64)
                 self.__dict__["_vec3d_hi"] = (vkey, u_dL64, r_hi)
-        w = ex._weights_as(np.float32)
+        w = self._op_cache.get(("w_cert3d",))
+        if w is None:
+            w = self._op_cache[("w_cert3d",)] = jnp.asarray(
+                ex._weights_as(np.float32))
         res = cg_refined_static(A, r_hi, A_hi=A_hi, M=M, tol=tol,
                                 dot_weight=w)
         with jax.enable_x64():
-            uL = np.asarray(u_dL64 + res.x)
+            # model-dtype materialization (see _certified_solve_2d)
+            uL = np.asarray((u_dL64 + res.x).astype(self.dtype))
         return PoissonSolution(ex.global_from_local(uL), res)
 
     def _local_setup_3d(self, precond):

@@ -268,14 +268,15 @@ class TestCertifiedSolve:
         sol = prob.solve_local(tol=1e-6, precond="pmg", certify=True)
         assert bool(sol.cg.converged)
         assert not sol.cg.stalled
-        assert sol.u.dtype == np.float64
+        assert sol.u.dtype == np.float32   # model dtype; cert is f64
         assert len(sol.cg.cycle_resnorms) >= 1
         # the certified claim holds against an independent f64 solve
         ref = Poisson(disc, dtype=np.float64)
         ref.set_dirichlet("ebc", lambda x, y: 0.2 * (x + y))
         sref = ref.solve_local(tol=1e-11)
         scale = np.abs(sref.u).max()
-        assert np.abs(np.asarray(sol.u) - sref.u).max() / scale < 1e-4
+        assert (np.abs(np.asarray(sol.u, np.float64) - sref.u).max()
+                / scale < 1e-4)
 
     def test_3d_certified(self):
         from spectralelementmethod_tpu.basis import gll_basis_3d
