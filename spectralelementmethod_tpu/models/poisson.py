@@ -1030,7 +1030,7 @@ class Poisson(BoundaryConditionMixin):
             vkey = (self._bc_state_key(), vlayout)
             cachedv = self.__dict__.get("_vec2d_hi")
             if cachedv is not None and cachedv[0] == vkey:
-                u_dL64, r_hi = cachedv[1], cachedv[2]
+                u_dL_c, r_hi = cachedv[1], cachedv[2]
             else:
                 b = np.asarray(self._b, np.float64) + self._neumann
                 u_d = np.where(self._dirichlet_mask,
@@ -1044,7 +1044,13 @@ class Poisson(BoundaryConditionMixin):
 
                 bL64, u_dL64 = to64(b), to64(u_d)
                 r_hi = _masked_residual(A_hi, free_local, bL64, u_dL64)
-                self.__dict__["_vec2d_hi"] = (vkey, u_dL64, r_hi)
+                # only the seed needs the f64 staging; the lift is kept
+                # at model dtype for the final assembly (1 ulp of the
+                # returned model-dtype solution; ~1.4 GB of f64 HBM
+                # at 1M elements)
+                u_dL_c = u_dL64.astype(self.dtype)
+                del bL64, u_dL64
+                self.__dict__["_vec2d_hi"] = (vkey, u_dL_c, r_hi)
         # device-resident dot weights: a host array would re-upload
         # through the tunnel on every solve
         wkey = ("w_cert", vlayout)
@@ -1054,12 +1060,11 @@ class Poisson(BoundaryConditionMixin):
                 ex._weights_as(np.float32, transposed=transposed))
         res = cg_refined_static(A, r_hi, A_hi=A_hi, M=M, tol=tol,
                                 dot_weight=w)
-        with jax.enable_x64():
-            # materialize at model dtype: the CERTIFICATE is the f64
-            # residual already in `res`; pulling the f64 iterate
-            # doubles a 30+ MB device->host transfer for digits below
-            # the certified tolerance
-            uL = np.asarray((u_dL64 + res.x).astype(self.dtype))
+        # model-dtype materialization: the CERTIFICATE is the f64
+        # residual already in `res`; pulling the f64 iterate doubles a
+        # 30+ MB device->host transfer for digits below the certified
+        # tolerance
+        uL = np.asarray(u_dL_c + res.x.astype(self.dtype))
         u = (ex.global_from_local_T(uL) if transposed
              else ex.global_from_local(uL))
         return PoissonSolution(u, res)
@@ -1127,7 +1132,7 @@ class Poisson(BoundaryConditionMixin):
             vkey = self._bc_state_key()
             cachedv = self.__dict__.get("_vec3d_hi")
             if cachedv is not None and cachedv[0] == vkey:
-                u_dL64, r_hi = cachedv[1], cachedv[2]
+                u_dL_c, r_hi = cachedv[1], cachedv[2]
             else:
                 b_np = np.asarray(self._b, np.float64) + self._neumann
                 u_d_np = np.where(self._dirichlet_mask,
@@ -1137,16 +1142,17 @@ class Poisson(BoundaryConditionMixin):
                 u_dL64 = jnp.asarray(
                     ex.local_from_global(u_d_np).astype(np.float64))
                 r_hi = _masked_residual(A_hi, free, bL64, u_dL64)
-                self.__dict__["_vec3d_hi"] = (vkey, u_dL64, r_hi)
+                u_dL_c = u_dL64.astype(self.dtype)
+                del bL64, u_dL64   # dead after the seed
+                self.__dict__["_vec3d_hi"] = (vkey, u_dL_c, r_hi)
         w = self._op_cache.get(("w_cert3d",))
         if w is None:
             w = self._op_cache[("w_cert3d",)] = jnp.asarray(
                 ex._weights_as(np.float32))
         res = cg_refined_static(A, r_hi, A_hi=A_hi, M=M, tol=tol,
                                 dot_weight=w)
-        with jax.enable_x64():
-            # model-dtype materialization (see _certified_solve_2d)
-            uL = np.asarray((u_dL64 + res.x).astype(self.dtype))
+        # model-dtype materialization (see _certified_solve_2d)
+        uL = np.asarray(u_dL_c + res.x.astype(self.dtype))
         return PoissonSolution(ex.global_from_local(uL), res)
 
     def _local_setup_3d(self, precond):

@@ -275,16 +275,15 @@ def cg_refined_static(
         A_c, M_c, Ah_c = tuple(A_c), tuple(M_c), tuple(Ah_c)
         if dot_weight is not None:
             w32 = jnp.asarray(dot_weight).astype(dtype)
-            w64 = jnp.asarray(dot_weight).astype(jnp.float64)
             wfold = True
         else:
-            w32 = w64 = None
+            w32 = None
             wfold = False
         run = _cg_refined_static_kernel(
             A_p, M_p, Ah_p, schedule, tol2, f2, wfold,
             jnp.dtype(dtype).name)
         xh, rn2_h, rn2_0, its, issued, seg_rns = run(
-            b_h, w32, w64, A_c, M_c, Ah_c)
+            b_h, w32, A_c, M_c, Ah_c)
         # one transfer for all scalars (each separate read is a tunnel
         # round trip)
         rn2_f, rn2_0f, its_f, issued_f, seg_f = jax.device_get(
@@ -311,11 +310,14 @@ def _cg_refined_static_kernel(A_p, M_p, Ah_p, schedule, tol2, f2,
     dot_p = _diag_weight_dot if wfold else _euclidean_dot
 
     @jax.jit
-    def run(bh, w32, w64, A_c, M_c, Ah_c):
+    def run(bh, w32, A_c, M_c, Ah_c):
         dot_c = (w32,) if wfold else ()
 
         def wsum64(v):
-            return (jnp.sum(w64 * v * v) if wfold
+            # cast the f32 weights inside the reduction: XLA fuses the
+            # convert into the multiply, so no persistent f64 weight
+            # buffer lives in HBM (690 MB at 1M elements)
+            return (jnp.sum(w32.astype(jnp.float64) * v * v) if wfold
                     else jnp.real(jnp.vdot(v, v)))
 
         rn2_0 = wsum64(bh)
