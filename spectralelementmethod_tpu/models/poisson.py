@@ -979,7 +979,8 @@ class Poisson(BoundaryConditionMixin):
         """f64-certified mixed-precision 2D solve (``certify=True``)."""
         import jax
 
-        from ..solver.cg import cg_refined_static, hbm_residency_regime
+        from ..solver.cg import (cg_refined, cg_refined_static,
+                                 hbm_residency_regime)
 
         disc = self.disc
         ex, transposed = ctx["ex"], ctx["transposed"]
@@ -987,11 +988,15 @@ class Poisson(BoundaryConditionMixin):
                                    ctx["Dhat"], ctx["M"])
         vlayout = ctx["vector_layout"]
         A = ctx["A"]
-        if hbm_residency_regime(ex.E, disc.n_loc):
-            # the single-program solve inlines a _no_hoist (Pallas)
-            # operator's operands per segment — past HBM residency that
-            # overflows remote-compile transports; swap the hoistable
-            # XLA operator in for the outer iteration
+        ladder = hbm_residency_regime(ex.E, disc.n_loc)
+        if ladder:
+            # past HBM residency the fused single-program solve is off
+            # the table twice over: a _no_hoist (Pallas) operator's
+            # operands inline per segment (overflowed remote-compile
+            # transports at 1M), and even hoisted the multi-segment
+            # program crashed the remote compile helper — the certified
+            # solve runs the host-ladder cg_refined (small separate
+            # programs) on the hoistable XLA operator instead
             key = ("A_xla_cert", vlayout)
             A = self._op_cache.get(key)
             if A is None:
@@ -1058,8 +1063,13 @@ class Poisson(BoundaryConditionMixin):
         if w is None:
             w = self._op_cache[wkey] = jnp.asarray(
                 ex._weights_as(np.float32, transposed=transposed))
-        res = cg_refined_static(A, r_hi, A_hi=A_hi, M=M, tol=tol,
-                                dot_weight=w)
+        if ladder:
+            res = cg_refined(A, r_hi.astype(self.dtype), M=M, tol=tol,
+                             max_iter=700, dot_weight=w, block=64,
+                             cycles=4, A_hi=A_hi, b_hi=r_hi)
+        else:
+            res = cg_refined_static(A, r_hi, A_hi=A_hi, M=M, tol=tol,
+                                    dot_weight=w)
         # model-dtype materialization: the CERTIFICATE is the f64
         # residual already in `res`; pulling the f64 iterate doubles a
         # 30+ MB device->host transfer for digits below the certified

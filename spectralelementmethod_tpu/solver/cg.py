@@ -151,7 +151,10 @@ def cg_refined(
         with jax.enable_x64():
             b_h = jnp.asarray(b_hi if b_hi is not None else b,
                               jnp.float64)
-            w_h = (jnp.asarray(dot_weight, jnp.float64)
+            # weights stay at their storage dtype; the f64 cast fuses
+            # into the jitted reduction (a persistent f64 weight buffer
+            # would hold 690 MB of HBM at 1M elements)
+            w_h = (jnp.asarray(dot_weight)
                    if dot_weight is not None else None)
             x_h = jnp.zeros_like(b_h)
             Ah_p, Ah_c = hoist_closure(A_hi, b_h)
@@ -161,7 +164,8 @@ def cg_refined(
             def _anchor(bh, xh, dx, w, consts):
                 xh = xh + dx.astype(bh.dtype)
                 rh = bh - Ah_p(xh, *consts)
-                rn2 = (jnp.sum(w * rh * rh) if w is not None
+                rn2 = (jnp.sum(w.astype(bh.dtype) * rh * rh)
+                       if w is not None
                        else jnp.real(jnp.vdot(rh, rh)))
                 return xh, rh, rn2
 
